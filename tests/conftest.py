@@ -1,0 +1,35 @@
+"""Test harness config.
+
+Forces the CPU backend with 8 virtual devices BEFORE jax initializes, per
+SURVEY.md §4(d): sharding/pmap/GSPMD tests run on a virtual 8-device CPU
+mesh (the standard way to test multi-chip code without a pod).  Parity
+tests vs torch also run on CPU so FFT numerics differences reflect our
+math, not cross-backend float drift.  TPU execution is covered by
+bench.py / __graft_entry__.py, which the driver runs on the real chip.
+"""
+import os
+
+# Force CPU: the ambient environment pins JAX_PLATFORMS to the TPU tunnel
+# (axon), which is slow to compile and can't host-transfer complex arrays —
+# parity tests must run on the CPU backend regardless.  NOTE: `import
+# pytest` already imports jax (via an installed plugin), so env vars are
+# too late here; the backend, however, is not yet initialized, so
+# jax.config.update still takes effect.
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any late-spawned subprocess
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+assert jax.device_count() == 8 and jax.devices()[0].platform == "cpu", (
+    "tests require the 8-virtual-device CPU backend; got "
+    f"{jax.devices()}")
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(20260816)

@@ -1,0 +1,57 @@
+"""torchaudio_contrib_tpu — TPU-native differentiable audio transforms.
+
+A ground-up JAX/XLA rebuild of the capability surface of
+``keunwoochoi/torchaudio-contrib`` (see SURVEY.md): a functional core
+(:mod:`.ops`), a composable layer API (:mod:`.models`), and batch/corpus
+sharding utilities (:mod:`.parallel`).  Flat re-exports below mirror the
+reference's ``__init__.py`` convention [SURVEY.md §2 #15].
+"""
+
+__version__ = "0.1.0"
+
+from . import ops, models, utils
+
+# functional core (flat, reference-style)
+from .ops import (
+    stft, istft, frame_signal, num_frames, stft_output_length,
+    complex_norm, angle, magphase,
+    hertz_to_mel, mel_to_hertz, create_mel_filter, apply_filterbank,
+    amplitude_to_db, db_to_amplitude,
+    mu_law_encoding, mu_law_decoding,
+    phase_vocoder, compute_phase_advance,
+    hann_window, hamming_window, blackman_window, get_window,
+)
+
+# layer API (flat, reference-style)
+from .models import (
+    Transform, Pipeline,
+    STFT, ISTFT, ComplexNorm,
+    Filterbank, MelFilterbank, ApplyFilterbank,
+    AmplitudeToDb, DbToAmplitude,
+    MuLawEncoding, MuLawDecoding,
+    StretchSpecTime,
+    Spectrogram, Melspectrogram,
+    MelFrontendClassifier,
+)
+
+from .utils import view_as_real, view_as_complex
+
+__all__ = [
+    "ops", "models", "utils",
+    "stft", "istft", "frame_signal", "num_frames", "stft_output_length",
+    "complex_norm", "angle", "magphase",
+    "hertz_to_mel", "mel_to_hertz", "create_mel_filter", "apply_filterbank",
+    "amplitude_to_db", "db_to_amplitude",
+    "mu_law_encoding", "mu_law_decoding",
+    "phase_vocoder", "compute_phase_advance",
+    "hann_window", "hamming_window", "blackman_window", "get_window",
+    "Transform", "Pipeline",
+    "STFT", "ISTFT", "ComplexNorm",
+    "Filterbank", "MelFilterbank", "ApplyFilterbank",
+    "AmplitudeToDb", "DbToAmplitude",
+    "MuLawEncoding", "MuLawDecoding",
+    "StretchSpecTime",
+    "Spectrogram", "Melspectrogram",
+    "MelFrontendClassifier",
+    "view_as_real", "view_as_complex",
+]

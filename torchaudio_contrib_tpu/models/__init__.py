@@ -1,0 +1,21 @@
+from .layers import (
+    Transform, Pipeline,
+    STFT, ISTFT, ComplexNorm,
+    Filterbank, MelFilterbank, ApplyFilterbank,
+    AmplitudeToDb, DbToAmplitude,
+    MuLawEncoding, MuLawDecoding,
+    StretchSpecTime,
+    Spectrogram, Melspectrogram,
+)
+from .frontend import MelFrontendClassifier
+
+__all__ = [
+    "Transform", "Pipeline",
+    "STFT", "ISTFT", "ComplexNorm",
+    "Filterbank", "MelFilterbank", "ApplyFilterbank",
+    "AmplitudeToDb", "DbToAmplitude",
+    "MuLawEncoding", "MuLawDecoding",
+    "StretchSpecTime",
+    "Spectrogram", "Melspectrogram",
+    "MelFrontendClassifier",
+]

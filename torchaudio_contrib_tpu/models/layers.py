@@ -1,0 +1,379 @@
+"""Layer API: composable transform objects + pipeline factories.
+
+Capability parity with [ref: torchaudio_contrib/layers.py — UNVERIFIED]:
+``STFT``, ``ComplexNorm``, ``Filterbank``/``MelFilterbank``,
+``ApplyFilterbank``, ``AmplitudeToDb``, ``DbToAmplitude``,
+``MuLawEncoding``, ``MuLawDecoding``, ``StretchSpecTime``, plus the
+``Spectrogram`` / ``Melspectrogram`` factories returning a composable
+pipeline (the reference returns ``nn.Sequential``).
+
+TPU-first redesign (not a port of nn.Module)
+--------------------------------------------
+* Transforms are **immutable, hashable config objects** whose ``__call__``
+  is pure.  They can close over ``jit`` (becoming compile-time constants)
+  or be passed as static args — no mutable module state, no device moves.
+* Derived arrays (window, filterbank, phase-advance) are recomputed from
+  config, **never serialized** — the same contract the reference enforces
+  with ``_ModuleNoStateBuffers`` [ref: layers.py::_ModuleNoStateBuffers —
+  UNVERIFIED]; here it falls out of the functional design: ``state_dict()``
+  returns only *trainable* leaves (empty for every stateless transform).
+* Trainable frontends use the explicit-params path idiomatic to JAX:
+  ``params = pipe.init_params()`` → ``pipe(x, params=params)`` →
+  ``jax.grad`` w.r.t. ``params``.  With ``params=None`` every stage uses
+  its config-derived constant.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import stft as _stft_ops
+from ..ops import (
+    complex_norm as _complex_norm,
+    apply_filterbank as _apply_filterbank,
+    create_mel_filter,
+    amplitude_to_db as _amplitude_to_db,
+    db_to_amplitude as _db_to_amplitude,
+    mu_law_encoding as _mu_law_encoding,
+    mu_law_decoding as _mu_law_decoding,
+    phase_vocoder as _phase_vocoder,
+    compute_phase_advance,
+)
+
+__all__ = [
+    "Transform", "Pipeline",
+    "STFT", "ISTFT", "ComplexNorm",
+    "Filterbank", "MelFilterbank", "ApplyFilterbank",
+    "AmplitudeToDb", "DbToAmplitude",
+    "MuLawEncoding", "MuLawDecoding",
+    "StretchSpecTime",
+    "Spectrogram", "Melspectrogram",
+]
+
+
+class Transform:
+    """Base: an immutable, hashable, pure-callable audio transform.
+
+    Subclasses set ``_config`` (a tuple of hashables) in ``__init__``;
+    equality/hashing derive from it so transforms are safe ``jit`` static
+    arguments and dict keys.
+    """
+
+    _config: tuple = ()
+
+    # -- trainable-params protocol -------------------------------------
+    def init_params(self):
+        """Trainable parameter pytree for this transform (None if stateless)."""
+        return None
+
+    def state_dict(self):
+        """Only trainable leaves are checkpoint-visible (the
+        ``_ModuleNoStateBuffers`` contract): derived buffers are excluded
+        by construction."""
+        p = self.init_params()
+        return {} if p is None else {"params": p}
+
+    # -- call ------------------------------------------------------------
+    def __call__(self, x, params=None):
+        raise NotImplementedError
+
+    # -- identity --------------------------------------------------------
+    def __eq__(self, other):
+        return type(self) is type(other) and self._config == other._config
+
+    def __hash__(self):
+        return hash((type(self).__name__, self._config))
+
+    def __repr__(self):
+        cfg = ", ".join(repr(c) for c in self._config)
+        return f"{type(self).__name__}({cfg})"
+
+
+def _hashable_window(window):
+    if window is None or isinstance(window, str):
+        return window
+    if callable(window):
+        return window
+    return tuple(np.asarray(window, dtype=np.float64).tolist())
+
+
+class STFT(Transform):
+    """Short-time Fourier transform layer.  Window derives from config per
+    call (constant-folded under jit) — never stored, never serialized.
+    [ref: layers.py::STFT — UNVERIFIED]"""
+
+    def __init__(self, fft_length: int, hop_length: Optional[int] = None,
+                 win_length: Optional[int] = None, window="hann",
+                 center: bool = True, pad_mode: str = "reflect",
+                 normalized: bool = False, onesided: bool = True,
+                 method: str = "fft"):
+        self.fft_length = fft_length
+        self.hop_length = hop_length if hop_length is not None else fft_length // 4
+        self.win_length = win_length if win_length is not None else fft_length
+        self.window = window
+        self.center = center
+        self.pad_mode = pad_mode
+        self.normalized = normalized
+        self.onesided = onesided
+        self.method = method
+        self._config = (fft_length, self.hop_length, self.win_length,
+                        _hashable_window(window), center, pad_mode,
+                        normalized, onesided, method)
+
+    @property
+    def num_freqs(self) -> int:
+        return self.fft_length // 2 + 1 if self.onesided else self.fft_length
+
+    def __call__(self, waveform, params=None):
+        return _stft_ops.stft(
+            waveform, self.fft_length, self.hop_length, self.win_length,
+            self.window, self.center, self.pad_mode, self.normalized,
+            self.onesided, method=self.method)
+
+
+class ISTFT(Transform):
+    """Inverse STFT layer (rebuild extra; functional istft per SURVEY §2 #2)."""
+
+    def __init__(self, fft_length: Optional[int] = None,
+                 hop_length: Optional[int] = None,
+                 win_length: Optional[int] = None, window="hann",
+                 center: bool = True, normalized: bool = False,
+                 onesided: bool = True, length: Optional[int] = None):
+        self.fft_length = fft_length
+        self.hop_length = hop_length
+        self.win_length = win_length
+        self.window = window
+        self.center = center
+        self.normalized = normalized
+        self.onesided = onesided
+        self.length = length
+        self._config = (fft_length, hop_length, win_length,
+                        _hashable_window(window), center, normalized,
+                        onesided, length)
+
+    def __call__(self, stft_matrix, params=None):
+        return _stft_ops.istft(
+            stft_matrix, self.hop_length, self.win_length, self.window,
+            self.center, self.normalized, self.onesided, self.length,
+            self.fft_length)
+
+
+class ComplexNorm(Transform):
+    """Magnitude/power of a complex spectrogram.
+    [ref: layers.py::ComplexNorm — UNVERIFIED]"""
+
+    def __init__(self, power: float = 1.0):
+        self.power = power
+        self._config = (power,)
+
+    def __call__(self, spec, params=None):
+        return _complex_norm(spec, self.power)
+
+
+class Filterbank(Transform):
+    """Abstract filterbank provider: subclasses implement
+    ``get_filterbank() -> (num_bins, num_banks)``.
+    [ref: layers.py::Filterbank — UNVERIFIED]"""
+
+    def get_filterbank(self) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def __call__(self, x, params=None):
+        fb = params if params is not None else self.get_filterbank()
+        return _apply_filterbank(x, fb)
+
+
+class MelFilterbank(Filterbank):
+    """Triangular HTK-mel filterbank, built in float64 from config.
+    [ref: layers.py::MelFilterbank — UNVERIFIED]"""
+
+    def __init__(self, num_mels: int = 128, sample_rate: float = 22050,
+                 f_min: float = 0.0, f_max: Optional[float] = None,
+                 num_bins: int = 1025, dtype=jnp.float32):
+        self.num_mels = num_mels
+        self.sample_rate = sample_rate
+        self.f_min = f_min
+        self.f_max = f_max if f_max is not None else sample_rate / 2.0
+        self.num_bins = num_bins
+        self.dtype = dtype
+        self._config = (num_mels, sample_rate, f_min, self.f_max, num_bins,
+                        str(jnp.dtype(dtype)))
+
+    def get_filterbank(self) -> jnp.ndarray:
+        return create_mel_filter(self.num_mels, self.sample_rate,
+                                 self.f_min, self.f_max, self.num_bins,
+                                 dtype=self.dtype)
+
+
+class ApplyFilterbank(Transform):
+    """Project ``(..., freq, time)`` through a filterbank GEMM.
+
+    ``trainable=True`` exposes the matrix as a parameter pytree
+    (``init_params()``) so gradients flow into it — the reference's
+    "trainable filterbank spliced into the Sequential" use case.
+    [ref: layers.py::ApplyFilterbank — UNVERIFIED]"""
+
+    def __init__(self, filterbank, trainable: bool = False):
+        if isinstance(filterbank, Filterbank):
+            self._fb_source = filterbank
+            self._fb_array = None
+            fb_key = filterbank
+        else:
+            self._fb_source = None
+            self._fb_array = jnp.asarray(filterbank)
+            fb_key = (self._fb_array.shape,
+                      tuple(np.asarray(self._fb_array, np.float64)
+                            .ravel()[:8].tolist()))
+        self.trainable = trainable
+        self._config = (fb_key, trainable)
+
+    def filterbank(self) -> jnp.ndarray:
+        if self._fb_array is not None:
+            return self._fb_array
+        return self._fb_source.get_filterbank()
+
+    def init_params(self):
+        return self.filterbank() if self.trainable else None
+
+    def __call__(self, x, params=None):
+        fb = params if params is not None else self.filterbank()
+        return _apply_filterbank(x, fb)
+
+
+class AmplitudeToDb(Transform):
+    """[ref: layers.py::AmplitudeToDb — UNVERIFIED]"""
+
+    def __init__(self, ref: float = 1.0, amin: float = 1e-7,
+                 power: float = 1.0):
+        self.ref, self.amin, self.power = ref, amin, power
+        self._config = (ref, amin, power)
+
+    def __call__(self, x, params=None):
+        return _amplitude_to_db(x, self.ref, self.amin, self.power)
+
+
+class DbToAmplitude(Transform):
+    """[ref: layers.py::DbToAmplitude — UNVERIFIED]"""
+
+    def __init__(self, ref: float = 1.0, power: float = 1.0):
+        self.ref, self.power = ref, power
+        self._config = (ref, power)
+
+    def __call__(self, x, params=None):
+        return _db_to_amplitude(x, self.ref, self.power)
+
+
+class MuLawEncoding(Transform):
+    """[ref: layers.py::MuLawEncoding — UNVERIFIED]"""
+
+    def __init__(self, n_quantize: int = 256):
+        self.n_quantize = n_quantize
+        self._config = (n_quantize,)
+
+    def __call__(self, x, params=None):
+        return _mu_law_encoding(x, self.n_quantize)
+
+
+class MuLawDecoding(Transform):
+    """[ref: layers.py::MuLawDecoding — UNVERIFIED]"""
+
+    def __init__(self, n_quantize: int = 256):
+        self.n_quantize = n_quantize
+        self._config = (n_quantize,)
+
+    def __call__(self, x, params=None):
+        return _mu_law_decoding(x, self.n_quantize)
+
+
+class StretchSpecTime(Transform):
+    """Phase-vocoder time stretch with config-derived phase advance.
+    [ref: layers.py::StretchSpecTime — UNVERIFIED, name low-confidence]"""
+
+    def __init__(self, rate: float, hop_length: int = 512,
+                 num_freqs: int = 1025):
+        self.rate = rate
+        self.hop_length = hop_length
+        self.num_freqs = num_freqs
+        self._config = (rate, hop_length, num_freqs)
+
+    def __call__(self, spec, params=None, rate: Optional[float] = None):
+        r = rate if rate is not None else self.rate
+        adv = compute_phase_advance(self.num_freqs, self.hop_length)
+        return _phase_vocoder(spec, r, adv)
+
+
+class Pipeline(Transform):
+    """Sequential composition — the reference's ``nn.Sequential`` analog.
+
+    Indexable/iterable/sliceable so users can splice custom stages
+    (e.g. swap in a trainable filterbank) exactly as the reference's
+    Sequential composition allows.  ``params`` threads per-stage trainable
+    pytrees as a tuple aligned with the stages.
+    """
+
+    def __init__(self, *transforms: Transform):
+        self.transforms = tuple(transforms)
+        self._config = self.transforms
+
+    def init_params(self):
+        ps = tuple(t.init_params() for t in self.transforms)
+        return None if all(p is None for p in ps) else ps
+
+    def __call__(self, x, params=None):
+        if params is None:
+            params = (None,) * len(self.transforms)
+        for t, p in zip(self.transforms, params):
+            x = t(x, params=p)
+        return x
+
+    def __iter__(self):
+        return iter(self.transforms)
+
+    def __len__(self):
+        return len(self.transforms)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return Pipeline(*self.transforms[i])
+        return self.transforms[i]
+
+
+def Spectrogram(power: float = 1.0, **stft_kwargs) -> Pipeline:
+    """``Pipeline(STFT, ComplexNorm(power))`` factory.
+    [ref: layers.py::Spectrogram — UNVERIFIED]"""
+    fft_length = stft_kwargs.pop("fft_length", 2048)
+    return Pipeline(STFT(fft_length, **stft_kwargs), ComplexNorm(power))
+
+
+def Melspectrogram(num_mels: int = 128,
+                   sample_rate: float = 22050,
+                   f_min: float = 0.0,
+                   f_max: Optional[float] = None,
+                   num_bins: Optional[int] = None,
+                   filterbank: Optional[Filterbank] = None,
+                   trainable: bool = False,
+                   **spectrogram_kwargs) -> Pipeline:
+    """``Pipeline(STFT, ComplexNorm(2), ApplyFilterbank)`` factory.
+
+    ``power`` defaults to 2 (the reference's Melspectrogram default);
+    pass a custom ``filterbank`` object to swap scales, or
+    ``trainable=True`` to expose the mel matrix as a parameter.
+    [ref: layers.py::Melspectrogram — UNVERIFIED]
+    """
+    power = spectrogram_kwargs.pop("power", 2.0)
+    spec = Spectrogram(power=power, **spectrogram_kwargs)
+    stft_layer: STFT = spec[0]
+    if num_bins is None:
+        num_bins = stft_layer.num_freqs
+    elif num_bins != stft_layer.num_freqs:
+        raise ValueError(
+            f"num_bins={num_bins} inconsistent with STFT num_freqs="
+            f"{stft_layer.num_freqs}")
+    if filterbank is None:
+        filterbank = MelFilterbank(num_mels=num_mels,
+                                   sample_rate=sample_rate, f_min=f_min,
+                                   f_max=f_max, num_bins=num_bins)
+    return Pipeline(*spec.transforms,
+                    ApplyFilterbank(filterbank, trainable=trainable))

@@ -1,0 +1,38 @@
+"""Functional core: pure, differentiable, jit-friendly audio transforms.
+
+Mirrors the reference's ``torchaudio_contrib/functional.py`` +
+``istft.py`` capability surface [SURVEY.md §2 components 1-8] as native
+JAX ops designed for TPU (static shapes, MXU GEMMs, XLA FFT, associative
+scans).
+"""
+from .windows import (
+    hann_window,
+    hamming_window,
+    blackman_window,
+    rectangular_window,
+    get_window,
+    cola_window_sum,
+    check_nola,
+)
+from .stft import stft, istft, frame_signal, num_frames, stft_output_length
+from .complexops import complex_norm, angle, magphase
+from .filters import (
+    hertz_to_mel,
+    mel_to_hertz,
+    create_mel_filter,
+    apply_filterbank,
+)
+from .db import amplitude_to_db, db_to_amplitude
+from .mulaw import mu_law_encoding, mu_law_decoding
+from .phase_vocoder import phase_vocoder, compute_phase_advance
+
+__all__ = [
+    "hann_window", "hamming_window", "blackman_window", "rectangular_window",
+    "get_window", "cola_window_sum", "check_nola",
+    "stft", "istft", "frame_signal", "num_frames", "stft_output_length",
+    "complex_norm", "angle", "magphase",
+    "hertz_to_mel", "mel_to_hertz", "create_mel_filter", "apply_filterbank",
+    "amplitude_to_db", "db_to_amplitude",
+    "mu_law_encoding", "mu_law_decoding",
+    "phase_vocoder", "compute_phase_advance",
+]

@@ -1,0 +1,98 @@
+"""Mel-scale conversion, mel filterbank construction, filterbank application.
+
+Capability parity with [ref: torchaudio_contrib/functional.py::hertz_to_mel,
+mel_to_hertz, create_mel_filter, apply_filterbank — UNVERIFIED].
+
+TPU-first design
+----------------
+* Filterbank matrices are built **in float64 NumPy at trace time** (SURVEY
+  §7 flags float32 filterbank construction as a parity risk) and cast to
+  the compute dtype at the edge; under ``jit`` they are compile-time
+  constants living in HBM once.
+* ``apply_filterbank`` is a single batched GEMM on the MXU via
+  ``jnp.einsum`` — no transpose round-trips through HBM (the reference's
+  transpose→matmul→transpose is a torch idiom XLA makes unnecessary).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Union
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = [
+    "hertz_to_mel",
+    "mel_to_hertz",
+    "create_mel_filter",
+    "apply_filterbank",
+]
+
+_ArrayLike = Union[float, np.ndarray, jnp.ndarray]
+
+
+def hertz_to_mel(freq: _ArrayLike) -> _ArrayLike:
+    """HTK mel scale: ``2595·log10(1 + f/700)``.
+    [ref: functional.py::hertz_to_mel — UNVERIFIED]"""
+    if isinstance(freq, jnp.ndarray):
+        return 2595.0 * jnp.log10(1.0 + freq / 700.0)
+    return 2595.0 * np.log10(1.0 + np.asarray(freq, dtype=np.float64) / 700.0)
+
+
+def mel_to_hertz(mel: _ArrayLike) -> _ArrayLike:
+    """Inverse HTK mel scale: ``700·(10^(m/2595) − 1)``."""
+    if isinstance(mel, jnp.ndarray):
+        return 700.0 * (10.0 ** (mel / 2595.0) - 1.0)
+    return 700.0 * (10.0 ** (np.asarray(mel, dtype=np.float64) / 2595.0) - 1.0)
+
+
+@functools.lru_cache(maxsize=32)
+def _mel_filter_np(num_mels: int, sample_rate: float, f_min: float,
+                   f_max: float, num_bins: int) -> np.ndarray:
+    """Float64 triangular mel filterbank ``(num_bins, num_mels)``.
+
+    Linear-frequency bin centers ``linspace(0, sr/2, num_bins)``; triangle
+    corners linearly spaced on the HTK mel scale between ``f_min``/``f_max``
+    — the reference's construction [ref: functional.py::create_mel_filter —
+    UNVERIFIED], no Slaney area normalization.
+    """
+    all_freqs = np.linspace(0.0, sample_rate / 2.0, num_bins)
+    m_min = float(hertz_to_mel(f_min))
+    m_max = float(hertz_to_mel(f_max))
+    m_pts = np.linspace(m_min, m_max, num_mels + 2)
+    f_pts = np.asarray(mel_to_hertz(m_pts), dtype=np.float64)
+
+    f_diff = f_pts[1:] - f_pts[:-1]                        # (num_mels+1,)
+    slopes = f_pts[None, :] - all_freqs[:, None]           # (num_bins, num_mels+2)
+    down = -slopes[:, :-2] / f_diff[None, :-1]             # rising edge
+    up = slopes[:, 2:] / f_diff[None, 1:]                  # falling edge
+    fb = np.maximum(0.0, np.minimum(down, up))
+    return fb
+
+
+def create_mel_filter(num_mels: int = 128,
+                      sample_rate: float = 22050,
+                      f_min: float = 0.0,
+                      f_max: Optional[float] = None,
+                      num_bins: int = 1025,
+                      dtype=jnp.float32) -> jnp.ndarray:
+    """Mel filterbank matrix ``(num_bins, num_mels)``.
+
+    ``num_bins`` is the number of one-sided FFT bins (``fft_length//2+1``).
+    ``f_max`` defaults to the Nyquist frequency.
+    """
+    if f_max is None:
+        f_max = sample_rate / 2.0
+    fb = _mel_filter_np(int(num_mels), float(sample_rate), float(f_min),
+                        float(f_max), int(num_bins))
+    return jnp.asarray(fb, dtype=dtype)
+
+
+def apply_filterbank(mag_specgrams: jnp.ndarray,
+                     filterbank: jnp.ndarray) -> jnp.ndarray:
+    """Project ``(..., freq, time)`` magnitudes through ``(freq, num_mels)``.
+
+    Returns ``(..., num_mels, time)``.  One einsum → one MXU GEMM; the
+    contraction runs over the frequency axis with no data movement.
+    """
+    return jnp.einsum("...ft,fm->...mt", mag_specgrams, filterbank)
