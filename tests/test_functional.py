@@ -1,0 +1,201 @@
+"""Functional core: complex ops, mel filters, dB, mu-law, windows.
+
+Oracle strategy per SURVEY.md §4: torch where it has the op; otherwise an
+independent float64 NumPy implementation + algebraic properties (librosa
+absent in this environment).
+"""
+import math
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from torchaudio_contrib_tpu import ops
+from torchaudio_contrib_tpu.utils import view_as_real, view_as_complex
+
+
+# ---------------------------------------------------------------- complex
+
+def test_complex_norm_angle_magphase(rng):
+    re = rng.standard_normal((2, 5, 7)).astype(np.float32)
+    im = rng.standard_normal((2, 5, 7)).astype(np.float32)
+    c = jnp.asarray(re + 1j * im)
+    for power in (1.0, 2.0, 0.5):
+        ours = ops.complex_norm(c, power)
+        ref = np.abs(re + 1j * im) ** power
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-5,
+                                   atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ops.angle(c)),
+                               np.angle(re + 1j * im), atol=1e-6)
+    mag, ph = ops.magphase(c, power=1.0)
+    rec = np.asarray(mag) * np.exp(1j * np.asarray(ph))
+    np.testing.assert_allclose(rec, re + 1j * im, atol=1e-5)
+
+
+def test_complex_norm_trailing2_compat(rng):
+    """Legacy (…, 2) real view accepted, matching the reference layout."""
+    re = rng.standard_normal((3, 4)).astype(np.float32)
+    im = rng.standard_normal((3, 4)).astype(np.float32)
+    legacy = jnp.stack([jnp.asarray(re), jnp.asarray(im)], axis=-1)
+    np.testing.assert_allclose(np.asarray(ops.complex_norm(legacy, 2.0)),
+                               re ** 2 + im ** 2, rtol=1e-6)
+
+
+def test_view_roundtrip(rng):
+    c = jnp.asarray((rng.standard_normal((4, 5))
+                     + 1j * rng.standard_normal((4, 5))).astype(np.complex64))
+    assert jnp.allclose(view_as_complex(view_as_real(c)), c)
+
+
+def test_complex_norm_grad_at_zero():
+    """power=2 path must have a defined gradient at 0 (re²+im², no sqrt)."""
+    g = jax.grad(lambda z: ops.complex_norm(z, 2.0).sum().real)(
+        jnp.zeros((2,), jnp.complex64))
+    assert np.all(np.isfinite(np.asarray(jnp.abs(g))))
+
+
+# ---------------------------------------------------------------- filters
+
+def test_mel_scale_roundtrip():
+    f = np.linspace(0, 11025, 100)
+    np.testing.assert_allclose(ops.mel_to_hertz(ops.hertz_to_mel(f)), f,
+                               rtol=1e-10)
+    # HTK anchor: 1000 Hz ≈ 999.99 mel
+    assert abs(ops.hertz_to_mel(1000.0) - 2595.0 * math.log10(1 + 1000 / 700)) < 1e-9
+
+
+def test_mel_filter_properties():
+    fb = np.asarray(ops.create_mel_filter(num_mels=128, sample_rate=22050,
+                                          f_min=0.0, f_max=None,
+                                          num_bins=1025))
+    assert fb.shape == (1025, 128)
+    assert np.all(fb >= 0) and np.all(fb <= 1.0 + 1e-6)
+    # every filter has support; centers increase monotonically
+    assert np.all(fb.sum(axis=0) > 0)
+    centers = fb.argmax(axis=0)
+    assert np.all(np.diff(centers) >= 0)
+    # triangles: each column unimodal (rises then falls)
+    col = fb[:, 64]
+    peak = col.argmax()
+    assert np.all(np.diff(col[:peak + 1]) >= -1e-12)
+    assert np.all(np.diff(col[peak:]) <= 1e-12)
+
+
+def test_mel_filter_vs_independent_numpy():
+    """Independent float64 reconstruction of HTK triangular filters."""
+    num_mels, sr, fmin, fmax, nbins = 40, 16000, 50.0, 7600.0, 257
+    fb = np.asarray(ops.create_mel_filter(num_mels, sr, fmin, fmax, nbins),
+                    dtype=np.float64)
+    freqs = np.linspace(0, sr / 2, nbins)
+    mel = lambda f: 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+    imel = lambda m: 700.0 * (10 ** (np.asarray(m) / 2595.0) - 1.0)
+    pts = imel(np.linspace(mel(fmin), mel(fmax), num_mels + 2))
+    ref = np.zeros((nbins, num_mels))
+    for j in range(num_mels):
+        lo, c, hi = pts[j], pts[j + 1], pts[j + 2]
+        rise = (freqs - lo) / (c - lo)
+        fall = (hi - freqs) / (hi - c)
+        ref[:, j] = np.maximum(0, np.minimum(rise, fall))
+    np.testing.assert_allclose(fb, ref, atol=1e-10)
+
+
+def test_apply_filterbank_is_projection(rng):
+    x = rng.random((2, 3, 257, 50)).astype(np.float32)
+    fb = ops.create_mel_filter(64, 16000, 0.0, None, 257)
+    out = ops.apply_filterbank(jnp.asarray(x), fb)
+    assert out.shape == (2, 3, 64, 50)
+    ref = np.einsum("bcft,fm->bcmt", x, np.asarray(fb))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------- dB
+
+def test_amplitude_to_db_roundtrip(rng):
+    x = (rng.random((4, 100)) + 1e-3).astype(np.float32)
+    for power in (1.0, 2.0):
+        db = ops.amplitude_to_db(jnp.asarray(x), ref=1.0, power=power)
+        back = ops.db_to_amplitude(db, ref=1.0, power=power)
+        np.testing.assert_allclose(np.asarray(back), x, rtol=1e-4)
+
+
+def test_amplitude_to_db_semantics():
+    x = jnp.asarray([1.0, 10.0, 100.0])
+    # amplitude convention: 20·log10
+    np.testing.assert_allclose(np.asarray(ops.amplitude_to_db(x)),
+                               [0.0, 20.0, 40.0], atol=1e-5)
+    # power convention: 10·log10 (librosa power_to_db equivalent)
+    np.testing.assert_allclose(np.asarray(ops.amplitude_to_db(x, power=2.0)),
+                               [0.0, 10.0, 20.0], atol=1e-5)
+
+
+def test_amplitude_to_db_amin_clamp():
+    out = ops.amplitude_to_db(jnp.asarray([0.0, 1e-12]), amin=1e-7)
+    np.testing.assert_allclose(np.asarray(out), [-140.0, -140.0], atol=1e-4)
+    # gradient finite at 0 thanks to the clamp
+    g = jax.grad(lambda v: ops.amplitude_to_db(v, amin=1e-7).sum())(
+        jnp.asarray([0.0]))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+# ---------------------------------------------------------------- mu-law
+
+def test_mulaw_roundtrip(rng):
+    x = (rng.random((3, 1000)) * 2 - 1).astype(np.float32)
+    enc = ops.mu_law_encoding(jnp.asarray(x), 256)
+    e = np.asarray(enc)
+    assert e.dtype == np.int32 and e.min() >= 0 and e.max() <= 255
+    dec = np.asarray(ops.mu_law_decoding(enc, 256))
+    # quantization error bounded by one companded step
+    assert np.max(np.abs(dec - x)) < 2.0 / 255 * 4
+
+
+def test_mulaw_vs_independent_numpy(rng):
+    x = (rng.random(500) * 2 - 1).astype(np.float64)
+    mu = 255.0
+    ref_enc = np.floor((np.sign(x) * np.log1p(mu * np.abs(x))
+                        / np.log1p(mu) + 1) / 2 * mu + 0.5).astype(np.int32)
+    ours = np.asarray(ops.mu_law_encoding(jnp.asarray(x, jnp.float32), 256))
+    assert np.mean(ours != ref_enc) < 0.01  # float32 boundary flips only
+    # decode parity exact in float64 formula
+    codes = np.arange(256, dtype=np.int32)
+    y = codes / mu * 2 - 1
+    ref_dec = np.sign(y) * (np.expm1(np.abs(y) * np.log1p(mu))) / mu
+    ours_dec = np.asarray(ops.mu_law_decoding(jnp.asarray(codes), 256))
+    np.testing.assert_allclose(ours_dec, ref_dec, atol=1e-6)
+
+
+def test_mulaw_extremes():
+    enc = ops.mu_law_encoding(jnp.asarray([-1.0, 0.0, 1.0]), 256)
+    # 0 → (0+1)/2·255+0.5 = 128 under trunc-to-int (torch semantics)
+    np.testing.assert_array_equal(np.asarray(enc), [0, 128, 255])
+
+
+# ---------------------------------------------------------------- windows
+
+def test_hann_matches_torch():
+    for n in (16, 256, 400, 512):
+        ours = ops.hann_window(n)
+        ref = torch.hann_window(n, dtype=torch.float64).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-12)
+
+
+def test_hamming_blackman_match_torch():
+    for n in (64, 257):
+        np.testing.assert_allclose(
+            ops.hamming_window(n),
+            torch.hamming_window(n, dtype=torch.float64).numpy(), atol=1e-12)
+        np.testing.assert_allclose(
+            ops.blackman_window(n),
+            torch.blackman_window(n, dtype=torch.float64).numpy(), atol=1e-9)
+
+
+def test_get_window_forms():
+    w = ops.get_window("hann", 64)
+    np.testing.assert_allclose(ops.get_window(w, 64), w)
+    np.testing.assert_allclose(ops.get_window(None, 8), np.ones(8))
+    with pytest.raises(ValueError):
+        ops.get_window("nosuch", 64)
+    with pytest.raises(ValueError):
+        ops.get_window(np.ones(10), 64)

@@ -29,7 +29,7 @@ from typing import Optional, Sequence
 import numpy as np
 import jax.numpy as jnp
 
-from ..ops import stft as _stft_ops
+from ..ops.stft import stft as _stft_fn, istft as _istft_fn
 from ..ops import (
     complex_norm as _complex_norm,
     apply_filterbank as _apply_filterbank,
@@ -127,7 +127,7 @@ class STFT(Transform):
         return self.fft_length // 2 + 1 if self.onesided else self.fft_length
 
     def __call__(self, waveform, params=None):
-        return _stft_ops.stft(
+        return _stft_fn(
             waveform, self.fft_length, self.hop_length, self.win_length,
             self.window, self.center, self.pad_mode, self.normalized,
             self.onesided, method=self.method)
@@ -154,7 +154,7 @@ class ISTFT(Transform):
                         onesided, length)
 
     def __call__(self, stft_matrix, params=None):
-        return _stft_ops.istft(
+        return _istft_fn(
             stft_matrix, self.hop_length, self.win_length, self.window,
             self.center, self.normalized, self.onesided, self.length,
             self.fft_length)
