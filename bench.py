@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Benchmark: BASELINE config 2 — batched 128-band Melspectrogram +
+AmplitudeToDb (batch 32, 30 s clips, 22.05 kHz) on the ambient device
+(TPU v5e under the driver), vs the reference implementation style in
+torch on CPU (the only reference oracle available; SURVEY.md §6).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
+vs_baseline is (our frames/s) / (torch-CPU frames/s); the north star is
+>=20.  Details (fwd+bwd, parity) go to stderr.
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def torch_cpu_baseline(x_np, fft_length, hop, num_mels, sr, iters=2):
+    """Reference-style melspec+dB in torch (stft → |.|² → mel GEMM → log)."""
+    import torch
+    import torchaudio_contrib_tpu as tac
+
+    x = torch.as_tensor(x_np.reshape(-1, x_np.shape[-1]))
+    w = torch.hann_window(fft_length)
+    fb = torch.as_tensor(
+        np.asarray(tac.create_mel_filter(num_mels, sr, 0.0, None,
+                                         fft_length // 2 + 1),
+                   dtype=np.float32))
+
+    def run():
+        s = torch.stft(x, fft_length, hop, window=w, center=True,
+                       pad_mode="reflect", return_complex=True)
+        p = s.real ** 2 + s.imag ** 2
+        mel = torch.matmul(p.transpose(-2, -1), fb).transpose(-2, -1)
+        db = 10.0 * torch.log10(torch.clamp(mel, min=1e-7))
+        return db
+
+    run()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run()
+    dt = (time.perf_counter() - t0) / iters
+    n_frames_total = int(np.prod(x_np.shape[:-1])) * out.shape[-1]
+    return n_frames_total / dt, out.shape[-1]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--channels", type=int, default=1)
+    ap.add_argument("--seconds", type=float, default=30.0)
+    ap.add_argument("--sr", type=int, default=22050)
+    ap.add_argument("--fft", type=int, default=2048)
+    ap.add_argument("--hop", type=int, default=512)
+    ap.add_argument("--mels", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--baseline-iters", type=int, default=2)
+    ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--profile", default=None,
+                    help="write a jax.profiler trace to this directory")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import torchaudio_contrib_tpu as tac
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+
+    t_samples = int(args.seconds * args.sr)
+    rng = np.random.default_rng(0)
+    x_np = rng.standard_normal(
+        (args.batch, args.channels, t_samples)).astype(np.float32)
+
+    mel = tac.Melspectrogram(num_mels=args.mels, sample_rate=args.sr,
+                             fft_length=args.fft, hop_length=args.hop)
+    to_db = tac.AmplitudeToDb(power=2.0)
+
+    @jax.jit
+    def fwd(x):
+        return to_db(mel(x))
+
+    @jax.jit
+    def fwd_bwd(x):
+        return jax.grad(lambda v: jnp.sum(fwd(v)))(x)
+
+    @jax.jit
+    def probe(o):
+        return jnp.sum(o)
+
+    x = jnp.asarray(x_np)
+
+    # compile + warmup.  NOTE: on the axon TPU tunnel, block_until_ready
+    # alone does not reliably force execution until a value has actually
+    # been fetched once — so every sync point below fetches a scalar.
+    t0 = time.perf_counter()
+    float(probe(fwd(x)))
+    log(f"fwd compile+run: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = fwd(x)
+    float(probe(out))
+    dt_fwd = (time.perf_counter() - t0) / args.iters
+    n_frames_total = args.batch * args.channels * out.shape[-1]
+    fps_fwd = n_frames_total / dt_fwd
+    log(f"fwd: {dt_fwd * 1e3:.2f} ms/iter, {fps_fwd:,.0f} frames/s "
+        f"({out.shape[-1]} frames x {args.batch * args.channels} streams)")
+
+    try:
+        t0 = time.perf_counter()
+        float(probe(fwd_bwd(x)))
+        log(f"fwd+bwd compile+run: {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        for _ in range(max(args.iters // 2, 1)):
+            g = fwd_bwd(x)
+        float(probe(g))
+        dt_bwd = (time.perf_counter() - t0) / max(args.iters // 2, 1)
+        log(f"fwd+bwd: {dt_bwd * 1e3:.2f} ms/iter, "
+            f"{n_frames_total / dt_bwd:,.0f} frames/s")
+    except Exception as e:  # keep the headline metric alive
+        log(f"fwd+bwd failed: {e}")
+
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            fwd(x).block_until_ready()
+        log(f"profile written to {args.profile}")
+
+    if args.skip_baseline:
+        fps_cpu = None
+    else:
+        log("running torch CPU baseline...")
+        fps_cpu, frames_ref = torch_cpu_baseline(
+            x_np, args.fft, args.hop, args.mels, args.sr,
+            args.baseline_iters)
+        log(f"torch CPU: {fps_cpu:,.0f} frames/s")
+
+    vs = (fps_fwd / fps_cpu) if fps_cpu else None
+    print(json.dumps({
+        "metric": "melspec_db_fwd_frames_per_sec_per_chip",
+        "value": round(fps_fwd, 1),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Trainable frontend (BASELINE config 3): fwd+bwd through STFT→mel→dB→CNN,
+gradients reach the mel filterbank, loss decreases, and the train step
+shards over the mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from torchaudio_contrib_tpu.models import MelFrontendClassifier
+from torchaudio_contrib_tpu import parallel as par
+
+
+def _toy_batch(rng, n=8, t=4000):
+    x = rng.standard_normal((n, 1, t)).astype(np.float32)
+    y = rng.integers(0, 4, size=(n,))
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_forward_shapes(rng):
+    model = MelFrontendClassifier(num_classes=4, num_mels=32,
+                                  fft_length=256, hop_length=64)
+    params = model.init(jax.random.PRNGKey(0))
+    x, _ = _toy_batch(rng)
+    logits = model.apply(params, x)
+    assert logits.shape == (8, 4)
+    assert "frontend" in params  # trainable filterbank present
+
+
+def test_gradients_reach_filterbank(rng):
+    model = MelFrontendClassifier(num_classes=4, num_mels=32,
+                                  fft_length=256, hop_length=64)
+    params = model.init(jax.random.PRNGKey(0))
+    x, y = _toy_batch(rng)
+    grads = jax.grad(model.loss_fn)(params, x, y)
+    g_fb = grads["frontend"][2]  # (STFT, ComplexNorm, ApplyFilterbank, AmplitudeToDb)
+    assert g_fb is not None and float(jnp.max(jnp.abs(g_fb))) > 0
+    g_w = grads["conv"][0]["w"]
+    assert float(jnp.max(jnp.abs(g_w))) > 0
+
+
+def test_train_step_decreases_loss(rng):
+    model = MelFrontendClassifier(num_classes=4, num_mels=32,
+                                  fft_length=256, hop_length=64)
+    params = model.init(jax.random.PRNGKey(1))
+    x, y = _toy_batch(rng, n=16)
+    first = None
+    for _ in range(10):
+        params, loss = model.train_step(params, x, y, 0.05)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first
+
+
+def test_train_step_sharded(rng):
+    """Full train step under GSPMD batch sharding on the 8-device mesh —
+    XLA inserts the gradient psum over ICI automatically."""
+    model = MelFrontendClassifier(num_classes=4, num_mels=32,
+                                  fft_length=256, hop_length=64)
+    params = model.init(jax.random.PRNGKey(2))
+    mesh = par.make_mesh()
+    x, y = _toy_batch(rng, n=16)
+    x = par.shard_batch(x, mesh)
+    y = par.shard_batch(y, mesh)
+    params = par.replicate(params, mesh)
+    params2, loss = model.train_step(params, x, y, 0.05)
+    assert np.isfinite(float(loss))
+    # params stay replicated (grads all-reduced)
+    leaf = jax.tree_util.tree_leaves(params2)[0]
+    assert leaf.sharding.is_fully_replicated

@@ -1,0 +1,122 @@
+"""Sharding + streaming tests on the 8-virtual-device CPU mesh
+(SURVEY.md §4(d): the standard way to test GSPMD without a pod)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import torchaudio_contrib_tpu as tac
+from torchaudio_contrib_tpu import ops
+from torchaudio_contrib_tpu import parallel as par
+
+
+def test_mesh_shapes():
+    mesh = par.make_mesh()
+    assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
+    mesh2 = par.make_mesh(n_data=4, n_model=2)
+    assert mesh2.shape["data"] == 4 and mesh2.shape["model"] == 2
+    with pytest.raises(ValueError):
+        par.make_mesh(n_data=3, n_model=2)
+
+
+def test_data_parallel_melspec_matches_local(rng):
+    mesh = par.make_mesh()
+    mel = tac.Melspectrogram(num_mels=64, fft_length=512, hop_length=128,
+                             sample_rate=16000)
+    x = rng.standard_normal((16, 1, 8000)).astype(np.float32)
+    out_dp = par.data_parallel(mel, mesh)(jnp.asarray(x))
+    out_local = mel(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out_dp), np.asarray(out_local),
+                               rtol=1e-5, atol=1e-6)
+    # batch axis actually sharded over the mesh
+    assert len(out_dp.sharding.device_set) == 8
+
+
+def test_shard_batch_placement(rng):
+    mesh = par.make_mesh()
+    x = par.shard_batch(jnp.asarray(rng.standard_normal((8, 100))
+                                    .astype(np.float32)), mesh)
+    assert len(x.sharding.device_set) == 8
+
+
+def test_streaming_stft_matches_oneshot(rng):
+    """Chunked STFT with overlap carry == one-shot center=False STFT."""
+    fft_length, hop, k = 256, 64, 8
+    stream = par.StreamingSTFT(fft_length, hop)
+    x = rng.standard_normal((2, stream.carry_len + hop * k * 5)) \
+        .astype(np.float32)
+    xj = jnp.asarray(x)
+
+    ref = ops.stft(xj, fft_length, hop, center=False)
+
+    state = stream.init_state((2,))
+    state = state.at[..., :].set(xj[..., :stream.carry_len])
+    specs = []
+    pos = stream.carry_len
+    while pos + hop * k <= x.shape[-1]:
+        state, s = stream.process(state, xj[..., pos:pos + hop * k])
+        specs.append(s)
+        pos += hop * k
+    got = jnp.concatenate(specs, axis=-1)
+    assert got.shape == ref.shape
+    err = np.max(np.abs(np.asarray(got - ref)))
+    assert err <= 1e-5, err
+
+
+def test_streaming_chunk_validation():
+    stream = par.StreamingSTFT(256, 64)
+    with pytest.raises(ValueError):
+        stream.process(stream.init_state(), jnp.zeros(100))
+    with pytest.raises(ValueError):
+        par.StreamingSTFT(256, 512)
+
+
+def test_chunked_melspectrogram_matches_oneshot(rng):
+    """30 s-clip pipeline (BASELINE config 5 core): scan-chunked log-mel
+    equals the one-shot computation."""
+    sr, fft_length, hop, mels = 22050, 2048, 512, 128
+    x = rng.standard_normal((2, 1, sr * 3)).astype(np.float32)
+    xj = jnp.asarray(x)
+
+    got = par.chunked_melspectrogram(
+        xj, fft_length, hop, mels, sr, frames_per_chunk=16)
+
+    spec = ops.stft(xj, fft_length, hop, center=False)
+    fb = ops.create_mel_filter(mels, sr, 0.0, None, fft_length // 2 + 1)
+    ref = ops.amplitude_to_db(
+        ops.apply_filterbank(ops.complex_norm(spec, 2.0), fb), power=2.0)
+
+    n = got.shape[-1]
+    assert abs(ref.shape[-1] - n) <= 16  # scan drops the ragged tail chunk
+    err = np.max(np.abs(np.asarray(got) - np.asarray(ref[..., :n])))
+    assert err <= 1e-3, err
+
+
+def test_corpus_preprocessor_fault_tolerance(rng):
+    """Bad files are retried then skipped; shard completes (SURVEY §5)."""
+    sr = 16000
+    clips = {i: rng.standard_normal((1, sr)).astype(np.float32)
+             for i in range(20)}
+
+    calls = {"n": 0}
+
+    def loader(i):
+        calls["n"] += 1
+        if i == 7:
+            raise IOError("synthetic decode failure")
+        if i == 13 and calls.setdefault(f"first13", True):
+            calls["first13"] = False
+            raise IOError("transient failure")  # succeeds on retry
+        return clips[i]
+
+    outs = {}
+    pre = par.CorpusPreprocessor(
+        loader, clip_samples=sr, batch_size=8, retries=1,
+        sink=lambda i, m: outs.__setitem__(i, m.shape),
+        fft_length=512, hop_length=128, num_mels=64, sample_rate=sr,
+        frames_per_chunk=16)
+    stats = pre.run(range(20))
+    assert stats.files_failed == 1
+    assert stats.files_done == 19
+    assert len(outs) == 19 and 7 not in outs
+    assert stats.frames_per_sec > 0

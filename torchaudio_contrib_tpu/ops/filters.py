@@ -19,6 +19,7 @@ import functools
 from typing import Optional, Union
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -89,10 +90,20 @@ def create_mel_filter(num_mels: int = 128,
 
 
 def apply_filterbank(mag_specgrams: jnp.ndarray,
-                     filterbank: jnp.ndarray) -> jnp.ndarray:
+                     filterbank: jnp.ndarray,
+                     precision=None) -> jnp.ndarray:
     """Project ``(..., freq, time)`` magnitudes through ``(freq, num_mels)``.
 
     Returns ``(..., num_mels, time)``.  One einsum → one MXU GEMM; the
     contraction runs over the frequency axis with no data movement.
+
+    ``precision`` defaults to HIGHEST: on TPU the default MXU precision is
+    bf16, whose ~2e-3 relative error would blow the ≤1e-4 parity budget;
+    the mel GEMM is a tiny fraction of pipeline FLOPs, so full float32
+    costs almost nothing.  Pass ``jax.lax.Precision.DEFAULT`` for
+    throughput-over-parity workloads.
     """
-    return jnp.einsum("...ft,fm->...mt", mag_specgrams, filterbank)
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+    return jnp.einsum("...ft,fm->...mt", mag_specgrams, filterbank,
+                      precision=precision)

@@ -1,0 +1,13 @@
+from .sharding import (
+    make_mesh, shard_batch, replicate, sharded_apply, data_parallel,
+)
+from .corpus import (
+    StreamingSTFT, chunked_melspectrogram, CorpusPreprocessor, CorpusStats,
+)
+
+__all__ = [
+    "make_mesh", "shard_batch", "replicate", "sharded_apply",
+    "data_parallel",
+    "StreamingSTFT", "chunked_melspectrogram", "CorpusPreprocessor",
+    "CorpusStats",
+]
