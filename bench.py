@@ -78,12 +78,29 @@ def main():
     x_np = rng.standard_normal(
         (args.batch, args.channels, t_samples)).astype(np.float32)
 
+    # headline path: the fused Pallas kernel at parity precision (split3,
+    # ~4e-6 relative); the composed XLA chain and the fast bf16 kernel are
+    # reported to stderr for context
+    fused = tac.FusedMelspectrogram(
+        num_mels=args.mels, sample_rate=args.sr, fft_length=args.fft,
+        hop_length=args.hop, precision="split3")
+    fused_fast = tac.FusedMelspectrogram(
+        num_mels=args.mels, sample_rate=args.sr, fft_length=args.fft,
+        hop_length=args.hop, precision="fast")
     mel = tac.Melspectrogram(num_mels=args.mels, sample_rate=args.sr,
                              fft_length=args.fft, hop_length=args.hop)
     to_db = tac.AmplitudeToDb(power=2.0)
 
     @jax.jit
     def fwd(x):
+        return fused(x)
+
+    @jax.jit
+    def fwd_fast(x):
+        return fused_fast(x)
+
+    @jax.jit
+    def fwd_chain(x):
         return to_db(mel(x))
 
     @jax.jit
@@ -126,6 +143,37 @@ def main():
             f"{n_frames_total / dt_bwd:,.0f} frames/s")
     except Exception as e:  # keep the headline metric alive
         log(f"fwd+bwd failed: {e}")
+
+    # secondary paths for context
+    for name, f in [("fast-bf16 kernel", fwd_fast),
+                    ("XLA chain", fwd_chain)]:
+        try:
+            float(probe(f(x)))
+            t0 = time.perf_counter()
+            for _ in range(max(args.iters // 2, 1)):
+                o2 = f(x)
+            float(probe(o2))
+            dt = (time.perf_counter() - t0) / max(args.iters // 2, 1)
+            log(f"{name}: {dt * 1e3:.2f} ms/iter, "
+                f"{n_frames_total / dt:,.0f} frames/s")
+        except Exception as e:
+            log(f"{name} failed: {e}")
+
+    # device-side parity probe vs torch float64 (center=True handled by
+    # comparing against our own XLA chain which is torch-parity-tested)
+    try:
+        xs = jnp.asarray(x_np[:2, :, : args.sr * 4])
+        a = fused(xs, )
+        spec = tac.ops.stft(xs, args.fft, args.hop, center=False)
+        ref = tac.ops.amplitude_to_db(
+            tac.ops.apply_filterbank(tac.ops.complex_norm(spec, 2.0),
+                                     mel[2].filterbank()), power=2.0)
+        rel = float(jnp.max(jnp.abs(a - ref))
+                    / (jnp.max(jnp.abs(ref)) + 1e-12))
+        log(f"parity probe (fused vs f32 XLA chain, dB domain, rel): "
+            f"{rel:.2e}")
+    except Exception as e:
+        log(f"parity probe failed: {e}")
 
     if args.profile:
         with jax.profiler.trace(args.profile):

@@ -1,0 +1,43 @@
+"""Checkpoint round-trip for trainable params; config-mismatch guards."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import torchaudio_contrib_tpu as tac
+from torchaudio_contrib_tpu.models import MelFrontendClassifier
+from torchaudio_contrib_tpu.utils import save_params, load_params
+
+
+def test_roundtrip_pipeline_params(tmp_path, rng):
+    mel = tac.Melspectrogram(num_mels=16, fft_length=128, trainable=True)
+    params = mel.init_params()
+    p = str(tmp_path / "fb.npz")
+    save_params(p, params)
+    restored = load_params(p, mel.init_params())
+    got = jax.tree_util.tree_leaves(restored)
+    want = jax.tree_util.tree_leaves(params)
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_roundtrip_model_params(tmp_path):
+    model = MelFrontendClassifier(num_classes=3, num_mels=8,
+                                  fft_length=64, hop_length=16,
+                                  channels=(4,))
+    params = model.init(jax.random.PRNGKey(0))
+    p = str(tmp_path / "model.npz")
+    save_params(p, params)
+    restored = load_params(p, model.init(jax.random.PRNGKey(1)))
+    np.testing.assert_array_equal(
+        np.asarray(restored["head"]["w"]), np.asarray(params["head"]["w"]))
+
+
+def test_mismatch_raises(tmp_path):
+    mel = tac.Melspectrogram(num_mels=16, fft_length=128, trainable=True)
+    p = str(tmp_path / "fb.npz")
+    save_params(p, mel.init_params())
+    other = tac.Melspectrogram(num_mels=32, fft_length=128, trainable=True)
+    with pytest.raises(ValueError):
+        load_params(p, other.init_params())

@@ -1,0 +1,95 @@
+"""Fused mel op: fallback-path equivalence, gradients, layer API.
+
+On the CPU test backend the op runs its jnp fallback — these tests pin
+the *semantics* (center=False chain equivalence, custom_vjp gradients,
+layer contract).  TPU-kernel numerics are exercised by bench.py on real
+hardware (measured: ≤4e-6 relative vs the XLA chain at split3).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import torchaudio_contrib_tpu as tac
+from torchaudio_contrib_tpu import ops
+
+
+def test_matches_chain(rng):
+    x = jnp.asarray(rng.standard_normal((2, 1, 16384)).astype(np.float32))
+    fb = ops.create_mel_filter(64, 16000, 0.0, None, 257)
+    out = ops.fused_melspectrogram(x, fb, 512, 128)
+    spec = ops.stft(x, 512, 128, center=False)
+    ref = ops.amplitude_to_db(
+        ops.apply_filterbank(ops.complex_norm(spec, 2.0), fb), power=2.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_no_db_and_shapes(rng):
+    x = jnp.asarray(rng.standard_normal((3, 2, 8192)).astype(np.float32))
+    fb = ops.create_mel_filter(32, 16000, 0.0, None, 129)
+    out = ops.fused_melspectrogram(x, fb, 256, 128, to_db=False)
+    n_frames = 1 + (8192 - 256) // 128
+    assert out.shape == (3, 2, 32, n_frames)
+    assert float(jnp.min(out)) >= 0.0
+
+
+def test_gradient_matches_chain(rng):
+    x = jnp.asarray(rng.standard_normal((1, 8192)).astype(np.float32))
+    fb = ops.create_mel_filter(32, 16000, 0.0, None, 257)
+
+    g_fused = jax.grad(
+        lambda v: jnp.sum(ops.fused_melspectrogram(v, fb, 512, 256)))(x)
+
+    def chain(v):
+        spec = ops.stft(v, 512, 256, center=False)
+        p = ops.complex_norm(spec, 2.0)
+        return jnp.sum(ops.amplitude_to_db(ops.apply_filterbank(p, fb),
+                                           power=2.0))
+
+    g_ref = jax.grad(chain)(x)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_filterbank_gradient(rng):
+    x = jnp.asarray(rng.standard_normal((1, 4096)).astype(np.float32))
+    fb = ops.create_mel_filter(16, 16000, 0.0, None, 129)
+    g = jax.grad(lambda f: jnp.sum(
+        ops.fused_melspectrogram(x, f, 256, 128)))(fb)
+    assert g.shape == fb.shape and float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_supported_matrix():
+    assert ops.fused_mel_supported(2048, 512)
+    assert ops.fused_mel_supported(1024, 256)
+    assert not ops.fused_mel_supported(2048, 2048)   # no overlap
+    assert not ops.fused_mel_supported(400, 160)     # unaligned
+    assert not ops.fused_mel_supported(2048, 500)    # hop doesn't divide
+
+
+def test_layer(rng):
+    layer = tac.FusedMelspectrogram(num_mels=32, sample_rate=16000,
+                                    fft_length=512, hop_length=128)
+    x = jnp.asarray(rng.standard_normal((2, 1, 8192)).astype(np.float32))
+    out = layer(x)
+    assert out.shape[:3] == (2, 1, 32)
+    assert layer.state_dict() == {}
+    # trainable variant exposes the filterbank
+    t = tac.FusedMelspectrogram(num_mels=32, sample_rate=16000,
+                                fft_length=512, hop_length=128,
+                                trainable=True)
+    params = t.init_params()
+    assert params.shape == (257, 32)
+    g = jax.grad(lambda p: jnp.sum(t(x, params=p)))(params)
+    assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_bad_filterbank_rows(rng):
+    x = jnp.asarray(rng.standard_normal((1, 4096)).astype(np.float32))
+    # wrong row count only detectable on the kernel path (CPU falls back
+    # to einsum which broadcasts differently) — exercise the shape check
+    fb_bad = jnp.zeros((100, 16), jnp.float32)
+    if jax.default_backend() == "tpu":
+        with pytest.raises(ValueError):
+            ops.fused_melspectrogram(x, fb_bad, 256, 128)

@@ -59,7 +59,7 @@ def test_stft_parity_torch(rng, fft_length, hop, win, center, normalized,
     assert err <= 1e-4, f"max abs err {err}"
 
 
-@pytest.mark.parametrize("method", ["fft", "matmul"])
+@pytest.mark.parametrize("method", ["fft", "matmul", "gemm"])
 def test_stft_methods_agree(rng, method):
     x = rng.standard_normal((3, 8000)).astype(np.float32)
     a = ops.stft(jnp.asarray(x), 512, 128, method="fft")

@@ -19,6 +19,7 @@ from .ops import (
     amplitude_to_db, db_to_amplitude,
     mu_law_encoding, mu_law_decoding,
     phase_vocoder, compute_phase_advance,
+    fused_melspectrogram, fused_mel_supported,
     hann_window, hamming_window, blackman_window, get_window,
 )
 
@@ -30,7 +31,7 @@ from .models import (
     AmplitudeToDb, DbToAmplitude,
     MuLawEncoding, MuLawDecoding,
     StretchSpecTime,
-    Spectrogram, Melspectrogram,
+    Spectrogram, Melspectrogram, FusedMelspectrogram,
     MelFrontendClassifier,
 )
 
@@ -44,6 +45,7 @@ __all__ = [
     "amplitude_to_db", "db_to_amplitude",
     "mu_law_encoding", "mu_law_decoding",
     "phase_vocoder", "compute_phase_advance",
+    "fused_melspectrogram", "fused_mel_supported",
     "hann_window", "hamming_window", "blackman_window", "get_window",
     "Transform", "Pipeline",
     "STFT", "ISTFT", "ComplexNorm",
@@ -51,7 +53,7 @@ __all__ = [
     "AmplitudeToDb", "DbToAmplitude",
     "MuLawEncoding", "MuLawDecoding",
     "StretchSpecTime",
-    "Spectrogram", "Melspectrogram",
+    "Spectrogram", "Melspectrogram", "FusedMelspectrogram",
     "MelFrontendClassifier",
     "view_as_real", "view_as_complex",
 ]

@@ -5,7 +5,7 @@ from .layers import (
     AmplitudeToDb, DbToAmplitude,
     MuLawEncoding, MuLawDecoding,
     StretchSpecTime,
-    Spectrogram, Melspectrogram,
+    Spectrogram, Melspectrogram, FusedMelspectrogram,
 )
 from .frontend import MelFrontendClassifier
 
@@ -16,6 +16,6 @@ __all__ = [
     "AmplitudeToDb", "DbToAmplitude",
     "MuLawEncoding", "MuLawDecoding",
     "StretchSpecTime",
-    "Spectrogram", "Melspectrogram",
+    "Spectrogram", "Melspectrogram", "FusedMelspectrogram",
     "MelFrontendClassifier",
 ]

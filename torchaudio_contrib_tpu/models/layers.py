@@ -30,6 +30,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops.stft import stft as _stft_fn, istft as _istft_fn
+from ..ops.fused import fused_melspectrogram as _fused_mel
 from ..ops import (
     complex_norm as _complex_norm,
     apply_filterbank as _apply_filterbank,
@@ -49,7 +50,7 @@ __all__ = [
     "AmplitudeToDb", "DbToAmplitude",
     "MuLawEncoding", "MuLawDecoding",
     "StretchSpecTime",
-    "Spectrogram", "Melspectrogram",
+    "Spectrogram", "Melspectrogram", "FusedMelspectrogram",
 ]
 
 
@@ -338,6 +339,55 @@ class Pipeline(Transform):
         if isinstance(i, slice):
             return Pipeline(*self.transforms[i])
         return self.transforms[i]
+
+
+class FusedMelspectrogram(Transform):
+    """Single-kernel log-mel transform (the TPU fast path).
+
+    Computes the same STFT→|·|²→mel[→dB] chain as
+    ``Melspectrogram(...)`` + ``AmplitudeToDb`` but as ONE fused Pallas
+    program on TPU (see ops/fused.py; ~2.5× the jitted XLA chain at
+    parity precision, ~4.4× in ``precision="fast"``).  ``center=False``
+    frame semantics (streaming-compatible).  Off-TPU or for unsupported
+    configs it transparently runs the XLA chain.  Differentiable.
+    """
+
+    def __init__(self, num_mels: int = 128, sample_rate: float = 22050,
+                 f_min: float = 0.0, f_max: Optional[float] = None,
+                 fft_length: int = 2048, hop_length: int = 512,
+                 window="hann", power: float = 2.0, to_db: bool = True,
+                 db_ref: float = 1.0, amin: float = 1e-7,
+                 precision: str = "split3", trainable: bool = False):
+        self.num_mels = num_mels
+        self.sample_rate = sample_rate
+        self.f_min = f_min
+        self.f_max = f_max if f_max is not None else sample_rate / 2.0
+        self.fft_length = fft_length
+        self.hop_length = hop_length
+        self.window = window
+        self.power = power
+        self.to_db = to_db
+        self.db_ref = db_ref
+        self.amin = amin
+        self.precision = precision
+        self.trainable = trainable
+        self._config = (num_mels, sample_rate, f_min, self.f_max,
+                        fft_length, hop_length, _hashable_window(window),
+                        power, to_db, db_ref, amin, precision, trainable)
+
+    def filterbank(self) -> jnp.ndarray:
+        return create_mel_filter(self.num_mels, self.sample_rate,
+                                 self.f_min, self.f_max,
+                                 self.fft_length // 2 + 1)
+
+    def init_params(self):
+        return self.filterbank() if self.trainable else None
+
+    def __call__(self, waveform, params=None):
+        fb = params if params is not None else self.filterbank()
+        return _fused_mel(waveform, fb, self.fft_length, self.hop_length,
+                          self.window, self.power, self.to_db,
+                          self.db_ref, self.amin, self.precision)
 
 
 def Spectrogram(power: float = 1.0, **stft_kwargs) -> Pipeline:

@@ -144,6 +144,73 @@ def _resolve_window(window, win_length: int, fft_length: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=32)
+def _gemm_fft_constants(fft_length: int):
+    """Constants for the four-step GEMM rDFT (float64 NumPy, cached).
+
+    Cooley-Tukey split ``N = N1·N2`` (``n = N2·n1 + n2``, ``k = k1 +
+    N1·k2``): stage 1 is a real GEMM with the ``(N1, N1)`` DFT basis over
+    ``n1``; the twiddle ``W_N^{n2·k}`` is folded into the stage-2 basis,
+    making stage 2 a single batched-over-``k1`` complex GEMM over ``n2``
+    — no separate twiddle pass, and only the ``k2`` columns the onesided
+    output needs are computed.
+    """
+    N = fft_length
+    # largest power-of-two N2 <= sqrt(N) dividing N (near-square minimizes
+    # 2·N1 + 4·N2 FLOPs/sample; N1 >= N2 keeps the big GEMM contraction)
+    N2 = 1
+    while N % (N2 * 2) == 0 and (N2 * 2) ** 2 <= N:
+        N2 *= 2
+    N1 = N // N2
+    if N2 < 2:
+        return None  # odd/prime lengths: caller falls back to jnp.fft
+
+    n1 = np.arange(N1, dtype=np.float64)
+    k1 = np.arange(N1, dtype=np.float64)
+    ang1 = 2.0 * np.pi * np.outer(n1, k1) / N1
+    C1, S1 = np.cos(ang1), -np.sin(ang1)                  # (N1, K1)
+
+    n_k2 = (N // 2) // N1 + 1                             # onesided k2 count
+    n2 = np.arange(N2, dtype=np.float64)
+    k2 = np.arange(n_k2, dtype=np.float64)
+    # k = k1 + N1·k2 ; TW[k1, n2, k2] = exp(-2πi·n2·k/N)
+    k_full = k1[:, None, None] + N1 * k2[None, None, :]   # (K1, 1, K2)
+    ang2 = 2.0 * np.pi * n2[None, :, None] * k_full / N
+    TWr, TWi = np.cos(ang2), -np.sin(ang2)                # (K1, N2, K2)
+    return N1, N2, n_k2, C1, S1, TWr, TWi
+
+
+def _gemm_rfft(frames: jnp.ndarray, fft_length: int, dtype,
+               precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Onesided DFT of real ``frames (..., fft_length)`` as two MXU GEMM
+    stages (see :func:`_gemm_fft_constants`).  Returns ``(..., N//2+1)``
+    complex.  All GEMMs run at ``precision`` (default HIGHEST: full f32
+    accuracy; pass HIGH for bf16_3x at ~1e-6 relative error)."""
+    consts = _gemm_fft_constants(fft_length)
+    if consts is None:
+        return jnp.fft.rfft(frames, n=fft_length, axis=-1)
+    N1, N2, n_k2, C1, S1, TWr, TWi = consts
+    c1 = jnp.asarray(C1, dtype)
+    s1 = jnp.asarray(S1, dtype)
+    twr = jnp.asarray(TWr, dtype)
+    twi = jnp.asarray(TWi, dtype)
+
+    x = frames.reshape(frames.shape[:-1] + (N1, N2)).astype(dtype)
+    # stage 1: real GEMM over n1  -> A (..., K1, N2)
+    ar = jnp.einsum("...ab,ak->...kb", x, c1, precision=precision)
+    ai = jnp.einsum("...ab,ak->...kb", x, s1, precision=precision)
+    # stage 2: twiddle-folded batched complex GEMM over n2 -> (..., K1, K2)
+    xr = (jnp.einsum("...kb,kbq->...kq", ar, twr, precision=precision)
+          - jnp.einsum("...kb,kbq->...kq", ai, twi, precision=precision))
+    xi = (jnp.einsum("...kb,kbq->...kq", ar, twi, precision=precision)
+          + jnp.einsum("...kb,kbq->...kq", ai, twr, precision=precision))
+    # (..., K1, K2) -> flat k = k1 + N1·k2 -> slice onesided
+    xr = jnp.swapaxes(xr, -1, -2).reshape(frames.shape[:-1] + (N1 * n_k2,))
+    xi = jnp.swapaxes(xi, -1, -2).reshape(frames.shape[:-1] + (N1 * n_k2,))
+    n_freqs = fft_length // 2 + 1
+    return jax.lax.complex(xr[..., :n_freqs], xi[..., :n_freqs])
+
+
+@functools.lru_cache(maxsize=32)
 def _dft_matrices(fft_length: int, onesided: bool):
     """Real/imag DFT analysis matrices ``(fft_length, n_freqs)`` in float64.
 
@@ -229,6 +296,11 @@ def stft(waveform: jnp.ndarray,
         re = fr @ wr
         im = fr @ wi
         spec = jax.lax.complex(re, im)
+    elif method == "gemm":
+        if not onesided:
+            raise ValueError("method='gemm' supports onesided only")
+        frames = frames * jnp.asarray(w, dtype=dtype)
+        spec = _gemm_rfft(frames, fft_length, dtype)
     elif method == "fft":
         frames = frames * jnp.asarray(w, dtype=dtype)
         if onesided:

@@ -1,3 +1,4 @@
 from .compat import view_as_real, view_as_complex
+from .checkpoint import save_params, load_params
 
-__all__ = ["view_as_real", "view_as_complex"]
+__all__ = ["view_as_real", "view_as_complex", "save_params", "load_params"]

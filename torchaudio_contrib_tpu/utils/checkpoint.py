@@ -1,0 +1,59 @@
+"""Checkpointing for trainable transform params.
+
+The reference's checkpoint story is *exclusion*: derived buffers never
+enter ``state_dict`` (``_ModuleNoStateBuffers`` [SURVEY.md §5]).  Our
+transforms recompute derived arrays from config, so the only state worth
+persisting is explicit trainable param pytrees.  These helpers serialize
+any pytree of arrays to a single ``.npz`` (no orbax dependency needed for
+arrays this small; swap in orbax for sharded checkpoints).
+"""
+from __future__ import annotations
+
+import io
+import json
+from typing import Any
+
+import numpy as np
+import jax
+
+__all__ = ["save_params", "load_params"]
+
+_NONE = "__none__"
+
+
+def _flatten(params: Any):
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    return leaves, treedef
+
+
+def save_params(path: str, params: Any) -> None:
+    """Serialize a pytree of arrays (Nones allowed) to ``path`` (.npz)."""
+    leaves, treedef = _flatten(params)
+    arrays = {f"leaf_{i}": np.asarray(jax.device_get(x))
+              for i, x in enumerate(leaves)}
+    arrays["__treedef__"] = np.frombuffer(
+        json.dumps(str(treedef)).encode(), dtype=np.uint8)
+    np.savez(path, **arrays)
+
+
+def load_params(path: str, like: Any) -> Any:
+    """Restore a pytree saved by :func:`save_params`.
+
+    ``like`` provides the tree structure (e.g. ``model.init(key)`` or
+    ``pipeline.init_params()``); leaf values are replaced by the stored
+    arrays.  Raises if the leaf count differs (config mismatch).
+    """
+    data = np.load(path)
+    leaves, treedef = _flatten(like)
+    n = sum(1 for k in data.files if k.startswith("leaf_"))
+    if n != len(leaves):
+        raise ValueError(
+            f"checkpoint has {n} leaves; expected {len(leaves)} — "
+            "was it saved from a different config?")
+    new_leaves = [data[f"leaf_{i}"] for i in range(n)]
+    for old, new in zip(leaves, new_leaves):
+        if tuple(np.shape(old)) != tuple(new.shape):
+            raise ValueError(
+                f"leaf shape mismatch: checkpoint {new.shape} vs model "
+                f"{np.shape(old)}")
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
