@@ -1,0 +1,227 @@
+"""Audio IO: native WAV codec (C++ via ctypes) with a NumPy fallback.
+
+The reference has no IO layer (users bring librosa/torchaudio — absent in
+this environment); corpus preprocessing (BASELINE config 5) needs the
+host-side loader to keep pace with the TPU, so decode is native C++
+(``wavio.cpp``, auto-built with g++ on first import).  The pure-NumPy
+fallback keeps the API available without a toolchain.
+
+API: ``read_wav(path|bytes) -> (data (channels, frames) float32, sr)``,
+``write_wav(path, data, sr, bits=16|32)``.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+__all__ = ["read_wav", "write_wav", "wav_info", "have_native"]
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libwavio.so")
+_lib = None
+
+
+def _build_native() -> bool:
+    src = os.path.join(_DIR, "wavio.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", _SO,
+             src],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception as e:  # toolchain missing/failed: fall back
+        print(f"wavio: native build failed ({e}); using NumPy fallback",
+              file=sys.stderr)
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO) and not _build_native():
+        _lib = False
+        return _lib
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        if not _build_native():
+            _lib = False
+            return _lib
+        lib = ctypes.CDLL(_SO)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.wav_info.restype = ctypes.c_int
+    lib.wav_info.argtypes = [u8p, ctypes.c_size_t,
+                             ctypes.POINTER(ctypes.c_uint32),
+                             ctypes.POINTER(ctypes.c_uint16),
+                             ctypes.POINTER(ctypes.c_uint16),
+                             ctypes.POINTER(ctypes.c_uint64),
+                             ctypes.POINTER(ctypes.c_uint64),
+                             ctypes.POINTER(ctypes.c_uint16)]
+    lib.wav_decode.restype = ctypes.c_int
+    lib.wav_decode.argtypes = [u8p, ctypes.c_size_t, f32p]
+    lib.wav_encoded_size.restype = ctypes.c_uint64
+    lib.wav_encoded_size.argtypes = [ctypes.c_uint64, ctypes.c_uint16,
+                                     ctypes.c_uint16]
+    lib.wav_encode.restype = ctypes.c_int64
+    lib.wav_encode.argtypes = [f32p, ctypes.c_uint64, ctypes.c_uint16,
+                               ctypes.c_uint32, ctypes.c_uint16, u8p,
+                               ctypes.c_uint64]
+    _lib = lib
+    return _lib
+
+
+def have_native() -> bool:
+    return bool(_load())
+
+
+def _as_bytes(src) -> bytes:
+    if isinstance(src, (bytes, bytearray, memoryview)):
+        return bytes(src)
+    with open(src, "rb") as f:
+        return f.read()
+
+
+def wav_info(src) -> dict:
+    """Header metadata without decoding samples."""
+    buf = _as_bytes(src)
+    lib = _load()
+    if lib:
+        arr = np.frombuffer(buf, np.uint8)
+        p = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        sr = ctypes.c_uint32()
+        ch = ctypes.c_uint16()
+        bits = ctypes.c_uint16()
+        nf = ctypes.c_uint64()
+        off = ctypes.c_uint64()
+        fmt = ctypes.c_uint16()
+        rc = lib.wav_info(p, len(buf), ctypes.byref(sr), ctypes.byref(ch),
+                          ctypes.byref(bits), ctypes.byref(nf),
+                          ctypes.byref(off), ctypes.byref(fmt))
+        if rc != 0:
+            raise ValueError(f"invalid/unsupported WAV (code {rc})")
+        return {"sample_rate": sr.value, "channels": ch.value,
+                "bits": bits.value, "num_frames": nf.value,
+                "float": fmt.value == 3}
+    return _py_info(buf)
+
+
+def read_wav(src):
+    """Decode to float32 ``(channels, frames)`` in [-1, 1] + sample rate."""
+    buf = _as_bytes(src)
+    info = wav_info(buf)
+    lib = _load()
+    if lib:
+        out = np.empty((info["channels"], info["num_frames"]), np.float32)
+        arr = np.frombuffer(buf, np.uint8)
+        rc = lib.wav_decode(
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if rc != 0:
+            raise ValueError(f"WAV decode failed (code {rc})")
+        return out, info["sample_rate"]
+    return _py_decode(buf, info), info["sample_rate"]
+
+
+def write_wav(path, data: np.ndarray, sample_rate: int,
+              bits: int = 16) -> None:
+    """Encode float32 ``(channels, frames)`` (or ``(frames,)``) to WAV."""
+    data = np.asarray(data, np.float32)
+    if data.ndim == 1:
+        data = data[None, :]
+    if data.ndim != 2:
+        raise ValueError("data must be (channels, frames)")
+    ch, nf = data.shape
+    lib = _load()
+    if lib:
+        size = lib.wav_encoded_size(nf, ch, bits)
+        out = np.empty(size, np.uint8)
+        n = lib.wav_encode(
+            np.ascontiguousarray(data).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_float)),
+            nf, ch, sample_rate, bits,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), size)
+        if n < 0:
+            raise ValueError(f"WAV encode failed (code {n})")
+        with open(path, "wb") as f:
+            f.write(out[:n].tobytes())
+        return
+    _py_encode(path, data, sample_rate, bits)
+
+
+# ---------------------------------------------------------------- fallback
+
+def _py_info(buf: bytes) -> dict:
+    import struct
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    off, fmt = 12, None
+    while off + 8 <= len(buf):
+        cid, sz = buf[off:off + 4], struct.unpack("<I", buf[off+4:off+8])[0]
+        body = off + 8
+        if cid == b"fmt ":
+            tag, ch, sr = struct.unpack("<HHI", buf[body:body + 8])
+            bits = struct.unpack("<H", buf[body + 14:body + 16])[0]
+            if tag == 0xFFFE and sz >= 40:
+                tag = struct.unpack("<H", buf[body + 24:body + 26])[0]
+            fmt = (tag, ch, sr, bits)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data before fmt")
+            tag, ch, sr, bits = fmt
+            if tag not in (1, 3) or bits not in (16, 24, 32):
+                raise ValueError("unsupported WAV format")
+            return {"sample_rate": sr, "channels": ch, "bits": bits,
+                    "num_frames": sz // (ch * bits // 8),
+                    "float": tag == 3, "_off": body}
+        off = body + sz + (sz & 1)
+    raise ValueError("no data chunk")
+
+
+def _py_decode(buf: bytes, info: dict) -> np.ndarray:
+    if "_off" not in info:
+        info = _py_info(buf)
+    off, ch, nf = info["_off"], info["channels"], info["num_frames"]
+    bits = info["bits"]
+    if info["float"]:
+        x = np.frombuffer(buf, "<f4", nf * ch, off)
+    elif bits == 16:
+        x = np.frombuffer(buf, "<i2", nf * ch, off) / 32768.0
+    elif bits == 32:
+        x = np.frombuffer(buf, "<i4", nf * ch, off) / 2147483648.0
+    else:  # 24-bit
+        raw = np.frombuffer(buf, np.uint8, nf * ch * 3, off)
+        raw = raw.reshape(-1, 3).astype(np.uint32)
+        v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        v = v.astype(np.int32)
+        v[v >= 1 << 23] -= 1 << 24
+        x = v / 8388608.0
+    return np.ascontiguousarray(
+        x.reshape(nf, ch).T.astype(np.float32))
+
+
+def _py_encode(path, data, sample_rate, bits):
+    import struct
+    ch, nf = data.shape
+    if bits == 16:
+        payload = np.clip(data.T * 32767.0, -32768, 32767) \
+            .astype("<i2").tobytes()
+        tag = 1
+    elif bits == 32:
+        payload = data.T.astype("<f4").tobytes()
+        tag = 3
+    else:
+        raise ValueError("bits must be 16 or 32")
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, tag, ch, sample_rate,
+                         sample_rate * ch * bits // 8, ch * bits // 8,
+                         bits) + b"data" + struct.pack("<I", len(payload)))
+    with open(path, "wb") as f:
+        f.write(hdr + payload)
