@@ -1,0 +1,148 @@
+"""Per-config benchmark runner for the five BASELINE.json configs.
+
+Writes one JSON line per config to stdout (details to stderr).  Heavier
+than bench.py (which the driver runs); use this for full coverage:
+
+    python benchmarks/run_configs.py            # all configs
+    python benchmarks/run_configs.py 1 4        # subset
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# runnable from anywhere: the package lives one level up
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def emit(name, **kw):
+    print(json.dumps({"config": name, **kw}), flush=True)
+
+
+def _sync(probe, x):
+    return float(probe(x))
+
+
+def config1():
+    """1 s 16 kHz mono wav → STFT magnitude (n_fft=512, hop=128), CPU
+    parity vs torch float64."""
+    import torch
+    import jax.numpy as jnp
+    from torchaudio_contrib_tpu import ops
+
+    x = np.random.default_rng(0).standard_normal(16000).astype(np.float32)
+    mag = np.asarray(jnp.abs(ops.stft(jnp.asarray(x), 512, 128)))
+
+    w = torch.hann_window(512, dtype=torch.float64)
+    ref = torch.stft(torch.as_tensor(x, dtype=torch.float64), 512, 128,
+                     window=w, center=True, pad_mode="reflect",
+                     return_complex=True).abs().numpy()
+    err = float(np.max(np.abs(mag - ref)))
+    emit("1:stft-parity", max_abs_err=err, passed=bool(err <= 1e-4))
+
+
+def config2():
+    """Batched 128-band Melspectrogram+dB (batch 32, 30 s, 22.05 kHz)."""
+    import jax
+    import jax.numpy as jnp
+    import torchaudio_contrib_tpu as tac
+
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((32, 1, 661500)).astype(np.float32))
+    fused = tac.FusedMelspectrogram(num_mels=128, sample_rate=22050,
+                                    fft_length=2048, hop_length=512)
+    f = jax.jit(fused)
+    probe = jax.jit(lambda o: jnp.sum(o))
+    _sync(probe, f(x))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        o = f(x)
+    _sync(probe, o)
+    dt = (time.perf_counter() - t0) / 5
+    emit("2:melspec-batch", ms_per_iter=round(dt * 1e3, 2),
+         frames_per_sec=round(32 * o.shape[-1] / dt))
+
+
+def config3():
+    """Fwd+bwd through STFT→mel→dB into a small CNN (trainable frontend)."""
+    import jax
+    import jax.numpy as jnp
+    from torchaudio_contrib_tpu.models import MelFrontendClassifier
+
+    model = MelFrontendClassifier(num_classes=10, num_mels=64,
+                                  sample_rate=16000, fft_length=512,
+                                  hop_length=128)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((32, 1, 160000)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 10, 32))
+
+    params, loss = model.train_step(params, x, y, 1e-3)  # compile
+    n_frames = 32 * (1 + 160000 // 128)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        params, loss = model.train_step(params, x, y, 1e-3)
+    float(loss)
+    dt = (time.perf_counter() - t0) / 5
+    emit("3:trainable-frontend", ms_per_step=round(dt * 1e3, 2),
+         frames_per_sec=round(n_frames / dt), loss=float(loss))
+
+
+def config4():
+    """ISTFT round-trip, COLA windows, stereo batch."""
+    import jax.numpy as jnp
+    from torchaudio_contrib_tpu import ops
+
+    x = np.random.default_rng(0).standard_normal((4, 2, 32768)) \
+        .astype(np.float32)
+    spec = ops.stft(jnp.asarray(x), 1024, 256)
+    y = ops.istft(spec, 256, length=32768)
+    err = float(jnp.max(jnp.abs(y - jnp.asarray(x))))
+    emit("4:istft-roundtrip", max_abs_err=err, passed=bool(err <= 1e-4))
+
+
+def config5():
+    """Corpus shard: sharded, fault-tolerant, streamed chunked STFT."""
+    import jax
+    from torchaudio_contrib_tpu import parallel as par
+
+    sr = 16000
+    n = 512
+    rng = np.random.default_rng(0)
+    clips = rng.standard_normal((8, 1, sr * 10)).astype(np.float32)
+
+    def loader(i):
+        return clips[i % 8]
+
+    nd = jax.device_count()
+    pre = par.CorpusPreprocessor(
+        loader, clip_samples=sr * 10, batch_size=max(nd * 4, 16),
+        mesh=par.make_mesh(n_data=nd),
+        fft_length=2048, hop_length=512, num_mels=128, sample_rate=22050,
+        frames_per_chunk=64)
+    stats = pre.run(range(n))
+    emit("5:corpus", files=stats.files_done, failed=stats.files_failed,
+         frames_per_sec=round(stats.frames_per_sec),
+         devices=nd)
+
+
+CONFIGS = {"1": config1, "2": config2, "3": config3, "4": config4,
+           "5": config5}
+
+if __name__ == "__main__":
+    picks = sys.argv[1:] or list(CONFIGS)
+    for k in picks:
+        log(f"--- config {k} ---")
+        t0 = time.time()
+        try:
+            CONFIGS[k]()
+        except Exception as e:  # report, keep going
+            emit(f"{k}:error", error=str(e)[:300])
+        log(f"config {k} took {time.time() - t0:.1f}s")

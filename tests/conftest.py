@@ -22,6 +22,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# SURVEY §5 sanitizer analog: TAC_DEBUG_NANS=1 makes every test fail on
+# the first NaN/Inf produced inside jit (jax re-runs un-jitted to locate it)
+if os.environ.get("TAC_DEBUG_NANS") == "1":
+    jax.config.update("jax_debug_nans", True)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -258,7 +258,8 @@ def stft(waveform: jnp.ndarray,
 
     x = waveform
     if center:
-        x = _pad_center(x, fft_length // 2, pad_mode)
+        with jax.named_scope("stft.pad"):
+            x = _pad_center(x, fft_length // 2, pad_mode)
 
     dtype = jnp.promote_types(x.dtype, jnp.float32)
 
@@ -286,7 +287,8 @@ def stft(waveform: jnp.ndarray,
             spec = spec * (fft_length ** -0.5)
         return spec
 
-    frames = frame_signal(x, fft_length, hop_length)  # (..., n_frames, n_fft)
+    with jax.named_scope("stft.frame"):
+        frames = frame_signal(x, fft_length, hop_length)  # (..., n_frames, n_fft)
 
     if method == "matmul":
         cos_m, msin_m = _dft_matrices(fft_length, onesided)
@@ -303,10 +305,11 @@ def stft(waveform: jnp.ndarray,
         spec = _gemm_rfft(frames, fft_length, dtype)
     elif method == "fft":
         frames = frames * jnp.asarray(w, dtype=dtype)
-        if onesided:
-            spec = jnp.fft.rfft(frames, n=fft_length, axis=-1)
-        else:
-            spec = jnp.fft.fft(frames, n=fft_length, axis=-1)
+        with jax.named_scope("stft.fft"):
+            if onesided:
+                spec = jnp.fft.rfft(frames, n=fft_length, axis=-1)
+            else:
+                spec = jnp.fft.fft(frames, n=fft_length, axis=-1)
     else:
         raise ValueError(f"unknown stft method {method!r}")
 
@@ -325,6 +328,44 @@ def stft(waveform: jnp.ndarray,
 def _ola_index_map(n_frames: int, fft_length: int, hop_length: int) -> np.ndarray:
     return (np.arange(n_frames, dtype=np.int32)[:, None] * hop_length
             + np.arange(fft_length, dtype=np.int32)[None, :])
+
+
+def _overlap_add(frames: jnp.ndarray, fft_length: int, hop_length: int,
+                 full_length: int) -> jnp.ndarray:
+    """Overlap-add ``frames (..., n_frames, fft_length)`` into
+    ``(..., full_length)``.
+
+    TPU note: mirrors :func:`frame_signal`'s phase decomposition — when
+    ``hop | fft``, frames of the same phase are non-overlapping, so OLA
+    is ``r = fft/hop`` dense shifted adds (XLA-friendly) instead of the
+    generic scatter-add (slow gather/scatter kernels on TPU).
+    """
+    n_frames = frames.shape[-2]
+    lead = frames.shape[:-2]
+    dtype = frames.dtype
+    if (fft_length % hop_length == 0 and n_frames > 1
+            and fft_length != hop_length):
+        r = fft_length // hop_length
+        k = -(-n_frames // r)
+        padf = k * r - n_frames
+        if padf:
+            frames = jnp.pad(frames, [(0, 0)] * len(lead)
+                             + [(0, padf), (0, 0)])
+        # (..., k, r, fft); phase p holds frames m = q·r + p
+        fr = frames.reshape(lead + (k, r, fft_length))
+        pad_len = (r - 1) * hop_length + k * fft_length
+        out = jnp.zeros(lead + (pad_len,), dtype=dtype)
+        for p in range(r):
+            seg = fr[..., :, p, :].reshape(lead + (k * fft_length,))
+            out = out.at[..., p * hop_length:
+                         p * hop_length + k * fft_length].add(seg)
+        return out[..., :full_length]
+    if fft_length == hop_length:
+        flat = frames.reshape(lead + (n_frames * fft_length,))
+        return flat[..., :full_length]
+    idx = _ola_index_map(n_frames, fft_length, hop_length)
+    out = jnp.zeros(lead + (full_length,), dtype=dtype)
+    return out.at[..., idx].add(frames)
 
 
 def istft(stft_matrix: jnp.ndarray,
@@ -368,11 +409,7 @@ def istft(stft_matrix: jnp.ndarray,
     frames = frames * jnp.asarray(w, dtype=dtype)
 
     full_length = fft_length + hop_length * (n_frames - 1)
-    idx = _ola_index_map(n_frames, fft_length, hop_length)
-
-    # scatter-add overlap-add over a constant index map
-    out = jnp.zeros(frames.shape[:-2] + (full_length,), dtype=dtype)
-    out = out.at[..., idx].add(frames)
+    out = _overlap_add(frames, fft_length, hop_length, full_length)
 
     env = cola_window_sum(w, hop_length, n_frames, full_length)
 
