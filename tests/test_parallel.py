@@ -120,3 +120,26 @@ def test_corpus_preprocessor_fault_tolerance(rng):
     assert stats.files_done == 19
     assert len(outs) == 19 and 7 not in outs
     assert stats.frames_per_sec > 0
+
+
+def test_corpus_prefetch_workers(rng):
+    """Threaded loader path produces the same set of outputs."""
+    sr = 8000
+    clips = {i: rng.standard_normal((1, sr)).astype(np.float32)
+             for i in range(24)}
+
+    def loader(i):
+        if i == 5:
+            raise IOError("bad file")
+        return clips[i]
+
+    outs = {}
+    pre = par.CorpusPreprocessor(
+        loader, clip_samples=sr, batch_size=8, retries=0, num_workers=4,
+        sink=lambda i, m: outs.__setitem__(i, True),
+        fft_length=512, hop_length=128, num_mels=32, sample_rate=sr,
+        frames_per_chunk=8)
+    stats = pre.run(range(24))
+    assert stats.files_failed == 1
+    assert stats.files_done == 23
+    assert len(outs) == 23 and 5 not in outs

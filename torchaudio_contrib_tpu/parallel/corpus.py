@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import queue
+import threading
 import time
 from typing import Callable, Iterable, Optional, Sequence
 
@@ -181,6 +183,7 @@ class CorpusPreprocessor:
                  channels: int = 1,
                  retries: int = 1,
                  sink: Optional[Callable[[int, np.ndarray], None]] = None,
+                 num_workers: int = 0,
                  **mel_kwargs):
         self.loader = loader
         self.clip_samples = clip_samples
@@ -188,6 +191,7 @@ class CorpusPreprocessor:
         self.channels = channels
         self.retries = retries
         self.sink = sink
+        self.num_workers = num_workers
         self.mesh = mesh if mesh is not None else make_mesh()
         if batch_size % self.mesh.shape["data"] != 0:
             raise ValueError("batch_size must divide over the data axis")
@@ -220,6 +224,57 @@ class CorpusPreprocessor:
                      self.retries + 1)
         return None
 
+    def _iter_loaded(self, indices: Iterable[int], stats: CorpusStats):
+        """Yield (idx, clip) pairs; with ``num_workers > 0``, decoding
+        runs on worker threads so host IO overlaps device compute (the
+        GIL releases inside file IO / the native WAV codec / NumPy)."""
+        if self.num_workers <= 0:
+            for idx in indices:
+                x = self._load_one(idx)
+                if x is None:
+                    stats.files_failed += 1
+                else:
+                    yield idx, x
+            return
+
+        idx_q: queue.Queue = queue.Queue()
+        out_q: queue.Queue = queue.Queue(maxsize=4 * self.batch_size)
+        _END = object()
+
+        def worker():
+            while True:
+                i = idx_q.get()
+                if i is _END:
+                    out_q.put(_END)
+                    return
+                out_q.put((i, self._load_one(i)))
+
+        n_pending = 0
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        for i in indices:
+            idx_q.put(i)
+            n_pending += 1
+        for _ in threads:
+            idx_q.put(_END)
+
+        done_workers = 0
+        results = {}
+        while done_workers < len(threads):
+            item = out_q.get()
+            if item is _END:
+                done_workers += 1
+                continue
+            i, x = item
+            if x is None:
+                stats.files_failed += 1
+            else:
+                yield i, x
+        for t in threads:
+            t.join()
+
     def run(self, indices: Iterable[int]) -> CorpusStats:
         stats = CorpusStats()
         batch, ids = [], []
@@ -242,11 +297,7 @@ class CorpusPreprocessor:
             batch.clear()
             ids.clear()
 
-        for idx in indices:
-            x = self._load_one(idx)
-            if x is None:
-                stats.files_failed += 1
-                continue
+        for idx, x in self._iter_loaded(indices, stats):
             batch.append(x)
             ids.append(idx)
             stats.files_done += 1
