@@ -20,6 +20,7 @@ from .ops import (
     mu_law_encoding, mu_law_decoding,
     phase_vocoder, compute_phase_advance,
     fused_melspectrogram, fused_mel_supported,
+    griffin_lim,
     hann_window, hamming_window, blackman_window, get_window,
 )
 
@@ -46,6 +47,7 @@ __all__ = [
     "mu_law_encoding", "mu_law_decoding",
     "phase_vocoder", "compute_phase_advance",
     "fused_melspectrogram", "fused_mel_supported",
+    "griffin_lim",
     "hann_window", "hamming_window", "blackman_window", "get_window",
     "Transform", "Pipeline",
     "STFT", "ISTFT", "ComplexNorm",

@@ -26,6 +26,7 @@ from .db import amplitude_to_db, db_to_amplitude
 from .mulaw import mu_law_encoding, mu_law_decoding
 from .phase_vocoder import phase_vocoder, compute_phase_advance
 from .fused import fused_melspectrogram, fused_mel_supported
+from .griffinlim import griffin_lim
 
 __all__ = [
     "hann_window", "hamming_window", "blackman_window", "rectangular_window",
@@ -37,4 +38,5 @@ __all__ = [
     "mu_law_encoding", "mu_law_decoding",
     "phase_vocoder", "compute_phase_advance",
     "fused_melspectrogram", "fused_mel_supported",
+    "griffin_lim",
 ]

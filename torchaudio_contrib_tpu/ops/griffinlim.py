@@ -1,0 +1,79 @@
+"""Griffin-Lim phase reconstruction (rebuild-only addition).
+
+Not in the reference (SURVEY §2), but the natural companion to its
+STFT/ISTFT pair: recover a waveform from a magnitude spectrogram by
+alternating projections.  Included because a feature library without an
+inversion path strands its users at the spectrogram; torchaudio later
+shipped the same op alongside the reference's layers.
+
+TPU-first: the iteration is a ``lax.fori_loop`` over jitted
+stft/istft round-trips (momentum variant of Perraudin et al. 2013) —
+one compiled program regardless of ``n_iter``, no host sync inside.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .stft import stft as _stft, istft as _istft, stft_output_length
+
+__all__ = ["griffin_lim"]
+
+
+def griffin_lim(mag_specgrams: jnp.ndarray,
+                fft_length: Optional[int] = None,
+                hop_length: Optional[int] = None,
+                window="hann",
+                n_iter: int = 32,
+                momentum: float = 0.99,
+                length: Optional[int] = None,
+                center: bool = True,
+                key: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Reconstruct a waveform from magnitudes ``(..., freq, time)``.
+
+    ``mag_specgrams`` is a *magnitude* (power=1) spectrogram.  Returns
+    ``(..., samples)``.  ``key`` seeds the initial random phase (zeros
+    phase if None — deterministic, converges similarly with momentum).
+    """
+    n_freqs = mag_specgrams.shape[-2]
+    n_frames = mag_specgrams.shape[-1]
+    if fft_length is None:
+        fft_length = 2 * (n_freqs - 1)
+    if hop_length is None:
+        hop_length = fft_length // 4
+    if length is None:
+        length = stft_output_length(n_frames, fft_length, hop_length,
+                                    center=center)
+    if momentum < 0 or momentum >= 1:
+        raise ValueError("momentum must be in [0, 1)")
+
+    mag = mag_specgrams.astype(jnp.float32)
+    if key is not None:
+        phase = jax.random.uniform(key, mag.shape, jnp.float32,
+                                   -jnp.pi, jnp.pi)
+        spec = mag * jnp.exp(1j * phase).astype(jnp.complex64)
+    else:
+        spec = mag.astype(jnp.complex64)
+
+    def project(s):
+        """istft → stft: project onto the set of consistent spectrograms."""
+        y = _istft(s, hop_length, window=window, center=center,
+                   length=length, fft_length=fft_length)
+        return _stft(y, fft_length, hop_length, window=window,
+                     center=center)
+
+    def body(_, carry):
+        spec, prev = carry
+        rebuilt = project(spec)
+        # momentum acceleration on the (unnormalized) phase estimate
+        update = rebuilt + momentum * (rebuilt - prev)
+        norm = jnp.abs(update)
+        update = update / jnp.maximum(norm, 1e-16)
+        return mag * update, rebuilt
+
+    spec, _ = jax.lax.fori_loop(0, n_iter, body,
+                                (spec, jnp.zeros_like(spec)))
+    return _istft(spec, hop_length, window=window, center=center,
+                  length=length, fft_length=fft_length)

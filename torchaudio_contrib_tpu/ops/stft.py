@@ -15,15 +15,18 @@ TPU-first design
   reference's pre-torch-1.8 trailing-``(..., 2)`` real view.  Use
   :func:`torchaudio_contrib_tpu.utils.compat.view_as_real` for the legacy
   layout when needed (parity tests do).
-* Two execution paths:
+* Three execution paths:
   - ``method="fft"`` (default): reflect-pad → frame → window → ``rfft``.
     XLA fuses pad/window around its FFT custom-call.
+  - ``method="gemm"``: four-step Cooley-Tukey rDFT as two MXU einsums
+    with twiddles folded into the second basis — ties the fft path on
+    TPU while keeping everything on the MXU.
   - ``method="matmul"``: the windowed DFT folded into one real matrix so
-    frame→spectrum is a single MXU GEMM (GEMM-native NDFT; useful when the
-    FFT custom-call is the bottleneck or for fusing with the mel GEMM —
-    see ops/fused.py).
-* ISTFT overlap-add uses a scatter-add over a constant index map; the NOLA
-  envelope is precomputed in float64 NumPy and constant-folded.
+    frame→spectrum is a single MXU GEMM (GEMM-native NDFT; the fully
+    fused single-kernel version lives in ops/fused.py).
+* ISTFT overlap-add is phase-decomposed into dense shifted adds when
+  ``hop | fft`` (scatter-add fallback otherwise); the NOLA envelope is
+  precomputed in float64 NumPy and constant-folded.
 * Everything is differentiable via JAX AD; the adjoint of reflect-pad
   framing (the correctness hot spot named in SURVEY.md §3c) is exercised
   by gradient parity tests against torch.
