@@ -85,6 +85,7 @@ def config3():
     y = jnp.asarray(rng.integers(0, 10, 32))
 
     params, loss = model.train_step(params, x, y, 1e-3)  # compile
+    float(loss)  # axon defers compile+exec until a value is demanded
     n_frames = 32 * (1 + 160000 // 128)
     t0 = time.perf_counter()
     for _ in range(5):

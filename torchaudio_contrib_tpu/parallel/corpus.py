@@ -288,7 +288,9 @@ class CorpusPreprocessor:
                 batch.append(np.zeros_like(batch[0]))
             x = jax.device_put(np.stack(batch), self._sharding)
             mel = self._features(x)
-            mel.block_until_ready()
+            # force execution with a scalar fetch: on some backends (axon
+            # TPU tunnel) block_until_ready alone does not demand the value
+            float(jnp.sum(mel[..., -1, -1]))
             if self.sink is not None:
                 mel_np = np.asarray(jax.device_get(mel))
                 for k in range(n):
