@@ -143,3 +143,19 @@ def test_corpus_prefetch_workers(rng):
     assert stats.files_failed == 1
     assert stats.files_done == 23
     assert len(outs) == 23 and 5 not in outs
+
+
+def test_corpus_use_fused(rng):
+    """Fused-kernel corpus path (falls back to the XLA chain on CPU)."""
+    sr = 8000
+    clips = {i: rng.standard_normal((1, sr)).astype(np.float32)
+             for i in range(8)}
+    shapes = {}
+    pre = par.CorpusPreprocessor(
+        lambda i: clips[i], clip_samples=sr, batch_size=8, use_fused=True,
+        sink=lambda i, m: shapes.__setitem__(i, m.shape),
+        fft_length=512, hop_length=128, num_mels=32, sample_rate=sr)
+    stats = pre.run(range(8))
+    assert stats.files_done == 8
+    n_frames = 1 + (sr - 512) // 128
+    assert all(s == (1, 32, n_frames) for s in shapes.values())

@@ -83,8 +83,7 @@ class MelFrontendClassifier:
 
     def apply(self, params: dict, waveform: jnp.ndarray) -> jnp.ndarray:
         feats = self.features(params, waveform)      # (B, C, mels, frames)
-        b, c, m, t = feats.shape
-        x = feats.reshape(b, c * 1, m, t).mean(axis=1, keepdims=True)
+        x = feats.mean(axis=1, keepdims=True)        # average channels
         x = jnp.transpose(x, (0, 2, 3, 1))           # NHWC
         for i, p in enumerate(params["conv"]):
             x = _conv(x, p["w"], p["b"], stride=2)

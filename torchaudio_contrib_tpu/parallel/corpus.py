@@ -184,6 +184,7 @@ class CorpusPreprocessor:
                  retries: int = 1,
                  sink: Optional[Callable[[int, np.ndarray], None]] = None,
                  num_workers: int = 0,
+                 use_fused: bool = False,
                  **mel_kwargs):
         self.loader = loader
         self.clip_samples = clip_samples
@@ -199,8 +200,28 @@ class CorpusPreprocessor:
 
         sharding = NamedSharding(self.mesh, P("data"))
 
-        def features(x):
-            return chunked_melspectrogram(x, **self.mel_kwargs)
+        if use_fused:
+            # one fused Pallas kernel per batch (TPU fast path; identical
+            # center=False frame semantics, 'fast' precision for corpus
+            # throughput).  Falls back to the XLA chain off-TPU.
+            from ..ops.fused import fused_melspectrogram
+            from ..ops.filters import create_mel_filter
+
+            mk = dict(self.mel_kwargs)
+            fft_length = mk.get("fft_length", 2048)
+            fb = create_mel_filter(
+                mk.get("num_mels", 128), mk.get("sample_rate", 22050),
+                mk.get("f_min", 0.0), mk.get("f_max"),
+                fft_length // 2 + 1)
+
+            def features(x):
+                return fused_melspectrogram(
+                    x, fb, fft_length, mk.get("hop_length", 512),
+                    mk.get("window", "hann"), mk.get("power", 2.0),
+                    mk.get("to_db", True), precision="fast")
+        else:
+            def features(x):
+                return chunked_melspectrogram(x, **self.mel_kwargs)
 
         self._features = jax.jit(features, in_shardings=(sharding,))
         self._sharding = sharding
