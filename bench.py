@@ -11,6 +11,7 @@ vs_baseline is (our frames/s) / (torch-CPU frames/s); the north star is
 """
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -72,6 +73,15 @@ def main():
     import jax
     if args.force_cpu:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache: remote TPU compiles are erratically
+    # slow (4-430 s); cached executables make reruns start in seconds
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        log(f"compilation cache unavailable: {e}")
     import jax.numpy as jnp
     import torchaudio_contrib_tpu as tac
 

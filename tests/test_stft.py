@@ -118,3 +118,27 @@ def test_stft_gradient_parity(rng):
 def test_stft_too_short_raises():
     with pytest.raises(ValueError):
         ops.num_frames(100, 512, 128, center=False)
+
+
+def test_stft_fuzz_configs_vs_torch(rng):
+    """Randomized config sweep: parity must hold across the config space,
+    not just the hand-picked cases."""
+    r = np.random.default_rng(99)
+    for _ in range(12):
+        fft_exp = int(r.integers(6, 11))              # 64..1024
+        fft_length = 2 ** fft_exp
+        hop = int(r.choice([fft_length // 8, fft_length // 4,
+                            fft_length // 2, 3 * fft_length // 8]))
+        hop = max(hop, 1)
+        win = int(r.integers(fft_length // 2, fft_length + 1))
+        center = bool(r.integers(0, 2))
+        t = int(r.integers(4 * fft_length, 6 * fft_length))
+        x = r.standard_normal((2, t)).astype(np.float32)
+
+        ours = ops.stft(jnp.asarray(x), fft_length, hop, win_length=win,
+                        center=center)
+        ref = _torch_stft(x, fft_length, hop, win_length=win,
+                          center=center)
+        assert ours.shape == ref.shape, (fft_length, hop, win, center, t)
+        err = np.max(np.abs(np.asarray(ours) - ref.astype(np.complex64)))
+        assert err <= 1e-4, (err, fft_length, hop, win, center, t)
