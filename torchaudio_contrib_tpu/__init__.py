@@ -21,6 +21,7 @@ from .ops import (
     phase_vocoder, compute_phase_advance,
     fused_melspectrogram, fused_mel_supported,
     griffin_lim,
+    create_inverse_mel_filter, mel_to_linear,
     hann_window, hamming_window, blackman_window, get_window,
 )
 
@@ -48,6 +49,7 @@ __all__ = [
     "phase_vocoder", "compute_phase_advance",
     "fused_melspectrogram", "fused_mel_supported",
     "griffin_lim",
+    "create_inverse_mel_filter", "mel_to_linear",
     "hann_window", "hamming_window", "blackman_window", "get_window",
     "Transform", "Pipeline",
     "STFT", "ISTFT", "ComplexNorm",

@@ -27,6 +27,7 @@ from .mulaw import mu_law_encoding, mu_law_decoding
 from .phase_vocoder import phase_vocoder, compute_phase_advance
 from .fused import fused_melspectrogram, fused_mel_supported
 from .griffinlim import griffin_lim
+from .melinv import create_inverse_mel_filter, mel_to_linear
 
 __all__ = [
     "hann_window", "hamming_window", "blackman_window", "rectangular_window",
@@ -39,4 +40,5 @@ __all__ = [
     "phase_vocoder", "compute_phase_advance",
     "fused_melspectrogram", "fused_mel_supported",
     "griffin_lim",
+    "create_inverse_mel_filter", "mel_to_linear",
 ]
