@@ -232,9 +232,10 @@ def fused_melspectrogram(waveform: jnp.ndarray,
 
 
 def _jnp_reference(x, fft_length, hop_length, window, fb, power, to_db,
-                   db_ref, amin):
+                   db_ref, amin, method="fft", precision=None):
     """The mathematically-identical XLA chain (backward pass + fallback)."""
-    spec = _stft(x, fft_length, hop_length, window=window, center=False)
+    spec = _stft(x, fft_length, hop_length, window=window, center=False,
+                 method=method, precision=precision)
     p = complex_norm(spec, power)
     mel = apply_filterbank(p, fb)
     if to_db:
@@ -298,9 +299,18 @@ def _fused_vjp_fwd(waveform, filterbank, fft_length, hop_length, window,
 def _fused_vjp_bwd(fft_length, hop_length, window, power, to_db, db_ref,
                    amin, precision, residuals, g):
     waveform, filterbank = residuals
+    # the matmul-STFT chain has the cheapest VJP on TPU (GEMM adjoints
+    # are GEMMs; measured 32 ms vs 52 ms for the fft chain at batch
+    # 32×30 s) at HIGH precision (~2e-5 gradient error); off-TPU the fft
+    # chain is both exact and fastest
+    if jax.default_backend() == "tpu":
+        method, prec = "matmul", jax.lax.Precision.HIGH
+    else:
+        method, prec = "fft", None
     _, vjp = jax.vjp(
         lambda x, fb: _jnp_reference(x, fft_length, hop_length, window,
-                                     fb, power, to_db, db_ref, amin),
+                                     fb, power, to_db, db_ref, amin,
+                                     method=method, precision=prec),
         waveform, filterbank)
     return vjp(g)
 

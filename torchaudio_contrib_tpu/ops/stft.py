@@ -240,7 +240,8 @@ def stft(waveform: jnp.ndarray,
          pad_mode: str = "reflect",
          normalized: bool = False,
          onesided: bool = True,
-         method: str = "fft") -> jnp.ndarray:
+         method: str = "fft",
+         precision=None) -> jnp.ndarray:
     """Short-time Fourier transform of ``waveform (..., time)``.
 
     Returns complex64 ``(..., n_freqs, n_frames)`` with
@@ -251,6 +252,13 @@ def stft(waveform: jnp.ndarray,
     Matches ``torch.stft(..., return_complex=True)`` semantics: reflect
     center padding, window zero-pad-centered when ``win_length <
     fft_length``, ``normalized`` multiplies by ``fft_length**-0.5``.
+
+    ``precision`` applies to the GEMM-based methods (``matmul``/``gemm``/
+    ``conv``): on TPU the default MXU precision is bf16 (~2e-3 relative);
+    ``HIGH`` (bf16_3x, ~1e-6) is the throughput/parity sweet spot, and
+    ``matmul``+HIGH has the fastest VJP of all paths (GEMM adjoints are
+    GEMMs — measured 32 vs 52 ms for the fft chain's grad at batch
+    32×30 s).  The ``fft`` method is always full float32.
     """
     if hop_length is None:
         hop_length = fft_length // 4
@@ -282,7 +290,8 @@ def stft(waveform: jnp.ndarray,
         out = jax.lax.conv_general_dilated(
             xf, kern, window_strides=(hop_length,), padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=(precision if precision is not None
+                       else jax.lax.Precision.HIGHEST),
             preferred_element_type=dtype)                     # (N, 2F, T')
         out = out.reshape(lead + out.shape[1:])
         spec = jax.lax.complex(out[..., :n_freqs, :], out[..., n_freqs:, :])
@@ -298,14 +307,16 @@ def stft(waveform: jnp.ndarray,
         wr = jnp.asarray(w[:, None] * cos_m, dtype=dtype)
         wi = jnp.asarray(w[:, None] * msin_m, dtype=dtype)
         fr = frames.astype(dtype)
-        re = fr @ wr
-        im = fr @ wi
+        re = jnp.matmul(fr, wr, precision=precision)
+        im = jnp.matmul(fr, wi, precision=precision)
         spec = jax.lax.complex(re, im)
     elif method == "gemm":
         if not onesided:
             raise ValueError("method='gemm' supports onesided only")
         frames = frames * jnp.asarray(w, dtype=dtype)
-        spec = _gemm_rfft(frames, fft_length, dtype)
+        spec = _gemm_rfft(frames, fft_length, dtype,
+                          precision=(precision if precision is not None
+                                     else jax.lax.Precision.HIGHEST))
     elif method == "fft":
         frames = frames * jnp.asarray(w, dtype=dtype)
         with jax.named_scope("stft.fft"):
