@@ -270,19 +270,16 @@ class CorpusPreprocessor:
                     return
                 out_q.put((i, self._load_one(i)))
 
-        n_pending = 0
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
         for t in threads:
             t.start()
         for i in indices:
             idx_q.put(i)
-            n_pending += 1
         for _ in threads:
             idx_q.put(_END)
 
         done_workers = 0
-        results = {}
         while done_workers < len(threads):
             item = out_q.get()
             if item is _END:
