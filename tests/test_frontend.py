@@ -43,10 +43,13 @@ def test_train_step_decreases_loss(rng):
     params = model.init(jax.random.PRNGKey(1))
     x, y = _toy_batch(rng, n=16)
     first = None
-    for _ in range(10):
-        params, loss = model.train_step(params, x, y, 0.05)
+    # plain SGD: mel powers are O(1e2-1e3), so filterbank grads are large
+    # — a big lr diverges; this tests the step, not an lr schedule
+    for _ in range(20):
+        params, loss = model.train_step(params, x, y, 1e-3)
         if first is None:
             first = float(loss)
+    assert np.isfinite(float(loss))
     assert float(loss) < first
 
 
