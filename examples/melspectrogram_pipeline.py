@@ -4,6 +4,7 @@ Run: python examples/melspectrogram_pipeline.py [--tiny]
 Works on CPU or TPU (uses whatever backend JAX selects).
 """
 import argparse
+import os
 import sys
 import time
 
@@ -11,7 +12,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-import torchaudio_contrib_tpu as tac
+# runnable from anywhere: the package lives one level up
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import torchaudio_contrib_tpu as tac  # noqa: E402
 from torchaudio_contrib_tpu import parallel as par
 
 

@@ -199,3 +199,12 @@ def test_get_window_forms():
         ops.get_window("nosuch", 64)
     with pytest.raises(ValueError):
         ops.get_window(np.ones(10), 64)
+
+
+def test_amplitude_to_db_top_db(rng):
+    x = jnp.asarray([[1e-6, 1.0, 100.0]], jnp.float32)
+    out = np.asarray(ops.amplitude_to_db(x, power=2.0, top_db=30.0))
+    # peak is 20 dB (power conv): floor at -10 dB
+    np.testing.assert_allclose(out, [[-10.0, 0.0, 20.0]], atol=1e-4)
+    with pytest.raises(ValueError):
+        ops.amplitude_to_db(x, top_db=-1.0)

@@ -153,3 +153,11 @@ def test_pipeline_slicing():
     spec_part = mel[:2]
     assert isinstance(spec_part, tac.Pipeline) and len(spec_part) == 2
     assert list(iter(mel))[0] is mel[0]
+
+
+def test_resample_layer(rng):
+    layer = tac.Resample(16000, 8000)
+    x = jnp.asarray(rng.standard_normal((2, 1, 1600)).astype(np.float32))
+    y = layer(x)
+    assert y.shape == (2, 1, 800)
+    assert layer.state_dict() == {}

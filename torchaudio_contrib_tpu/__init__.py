@@ -22,6 +22,7 @@ from .ops import (
     fused_melspectrogram, fused_mel_supported,
     griffin_lim,
     create_inverse_mel_filter, mel_to_linear,
+    resample,
     hann_window, hamming_window, blackman_window, get_window,
 )
 
@@ -32,7 +33,7 @@ from .models import (
     Filterbank, MelFilterbank, ApplyFilterbank,
     AmplitudeToDb, DbToAmplitude,
     MuLawEncoding, MuLawDecoding,
-    StretchSpecTime,
+    StretchSpecTime, Resample,
     Spectrogram, Melspectrogram, FusedMelspectrogram,
     MelFrontendClassifier,
 )
@@ -50,13 +51,14 @@ __all__ = [
     "fused_melspectrogram", "fused_mel_supported",
     "griffin_lim",
     "create_inverse_mel_filter", "mel_to_linear",
+    "resample",
     "hann_window", "hamming_window", "blackman_window", "get_window",
     "Transform", "Pipeline",
     "STFT", "ISTFT", "ComplexNorm",
     "Filterbank", "MelFilterbank", "ApplyFilterbank",
     "AmplitudeToDb", "DbToAmplitude",
     "MuLawEncoding", "MuLawDecoding",
-    "StretchSpecTime",
+    "StretchSpecTime", "Resample",
     "Spectrogram", "Melspectrogram", "FusedMelspectrogram",
     "MelFrontendClassifier",
     "view_as_real", "view_as_complex",

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..ops.stft import stft as _stft_fn, istft as _istft_fn
 from ..ops.fused import fused_melspectrogram as _fused_mel
+from ..ops.resample import resample as _resample
 from ..ops import (
     complex_norm as _complex_norm,
     apply_filterbank as _apply_filterbank,
@@ -49,7 +50,7 @@ __all__ = [
     "Filterbank", "MelFilterbank", "ApplyFilterbank",
     "AmplitudeToDb", "DbToAmplitude",
     "MuLawEncoding", "MuLawDecoding",
-    "StretchSpecTime",
+    "StretchSpecTime", "Resample",
     "Spectrogram", "Melspectrogram", "FusedMelspectrogram",
 ]
 
@@ -286,6 +287,23 @@ class MuLawDecoding(Transform):
 
     def __call__(self, x, params=None):
         return _mu_law_decoding(x, self.n_quantize)
+
+
+class Resample(Transform):
+    """Rational-ratio polyphase resampler layer (rebuild extra; see
+    ops/resample.py — one MXU convolution)."""
+
+    def __init__(self, orig_freq: int, new_freq: int, zeros: int = 24,
+                 beta: float = 14.769656459379492):
+        self.orig_freq = orig_freq
+        self.new_freq = new_freq
+        self.zeros = zeros
+        self.beta = beta
+        self._config = (orig_freq, new_freq, zeros, beta)
+
+    def __call__(self, waveform, params=None):
+        return _resample(waveform, self.orig_freq, self.new_freq,
+                         self.zeros, self.beta)
 
 
 class StretchSpecTime(Transform):

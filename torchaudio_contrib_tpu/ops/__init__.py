@@ -28,6 +28,7 @@ from .phase_vocoder import phase_vocoder, compute_phase_advance
 from .fused import fused_melspectrogram, fused_mel_supported
 from .griffinlim import griffin_lim
 from .melinv import create_inverse_mel_filter, mel_to_linear
+from .resample import resample
 
 __all__ = [
     "hann_window", "hamming_window", "blackman_window", "rectangular_window",
@@ -41,4 +42,5 @@ __all__ = [
     "fused_melspectrogram", "fused_mel_supported",
     "griffin_lim",
     "create_inverse_mel_filter", "mel_to_linear",
+    "resample",
 ]
