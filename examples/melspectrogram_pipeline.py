@@ -55,7 +55,7 @@ def example_trainable(tiny: bool):
     x = jnp.asarray(rng.standard_normal((8, 1, 4000)).astype(np.float32))
     y = jnp.asarray(rng.integers(0, 10, 8))
     for step in range(3 if tiny else 10):
-        params, loss = model.train_step(params, x, y, 1e-2)
+        params, loss = model.train_step(params, x, y, 1e-3)
     print(f"trainable frontend loss after steps: {float(loss):.4f}")
     g = jax.grad(model.loss_fn)(params, x, y)
     print(f"filterbank grad norm: "
