@@ -1,0 +1,46 @@
+"""MFCC: DCT basis vs scipy oracle, shapes, differentiability."""
+import numpy as np
+import scipy.fft
+import jax
+import jax.numpy as jnp
+
+from torchaudio_contrib_tpu import ops
+
+
+def test_dct_matches_scipy(rng):
+    n_in, n_out = 40, 13
+    x = rng.standard_normal((5, n_in))
+    basis = np.asarray(ops.create_dct(n_out, n_in, norm="ortho"),
+                       np.float64)
+    ours = x @ basis
+    ref = scipy.fft.dct(x, type=2, norm="ortho", axis=-1)[:, :n_out]
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_dct_no_norm_matches_scipy(rng):
+    x = rng.standard_normal((3, 16))
+    basis = np.asarray(ops.create_dct(16, 16, norm=None), np.float64)
+    ref = scipy.fft.dct(x, type=2, norm=None, axis=-1)
+    np.testing.assert_allclose(x @ basis, ref, atol=1e-6)
+
+
+def test_mfcc_shapes_and_grad(rng):
+    x = jnp.asarray(rng.standard_normal((2, 1, 8000)).astype(np.float32))
+    out = ops.mfcc(x, sample_rate=16000, n_mfcc=13, num_mels=40,
+                   fft_length=512, hop_length=128)
+    n_frames = ops.num_frames(8000, 512, 128)
+    assert out.shape == (2, 1, 13, n_frames)
+    g = jax.grad(lambda v: jnp.sum(ops.mfcc(
+        v, 16000, 13, 40, 512, 128)))(x)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_mfcc_invariance_to_gain_in_c0_only(rng):
+    """Scaling the waveform shifts only the 0th (DC) coefficient of the
+    dB-domain DCT."""
+    x = jnp.asarray(rng.standard_normal((1, 8000)).astype(np.float32))
+    a = ops.mfcc(x, 16000, 13, 40, 512, 128)
+    b = ops.mfcc(2.0 * x, 16000, 13, 40, 512, 128)
+    d = np.asarray(b - a)
+    assert np.max(np.abs(d[..., 1:, :])) < 1e-2  # higher coeffs unchanged
+    assert np.mean(np.abs(d[..., 0, :])) > 0.1   # c0 carries the gain

@@ -23,6 +23,7 @@ from .ops import (
     griffin_lim,
     create_inverse_mel_filter, mel_to_linear,
     resample,
+    create_dct, mfcc,
     hann_window, hamming_window, blackman_window, get_window,
 )
 
@@ -52,6 +53,7 @@ __all__ = [
     "griffin_lim",
     "create_inverse_mel_filter", "mel_to_linear",
     "resample",
+    "create_dct", "mfcc",
     "hann_window", "hamming_window", "blackman_window", "get_window",
     "Transform", "Pipeline",
     "STFT", "ISTFT", "ComplexNorm",

@@ -29,6 +29,7 @@ from .fused import fused_melspectrogram, fused_mel_supported
 from .griffinlim import griffin_lim
 from .melinv import create_inverse_mel_filter, mel_to_linear
 from .resample import resample
+from .mfcc import create_dct, mfcc
 
 __all__ = [
     "hann_window", "hamming_window", "blackman_window", "rectangular_window",
@@ -43,4 +44,5 @@ __all__ = [
     "griffin_lim",
     "create_inverse_mel_filter", "mel_to_linear",
     "resample",
+    "create_dct", "mfcc",
 ]
