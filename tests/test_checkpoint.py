@@ -2,7 +2,6 @@
 import numpy as np
 import pytest
 import jax
-import jax.numpy as jnp
 
 import torchaudio_contrib_tpu as tac
 from torchaudio_contrib_tpu.models import MelFrontendClassifier

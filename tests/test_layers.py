@@ -2,7 +2,6 @@
 trainable filterbank gradients — mirroring the reference's test_layers.py
 coverage [SURVEY.md §4] plus the JAX-specific static-arg contract."""
 import numpy as np
-import pytest
 import jax
 import jax.numpy as jnp
 

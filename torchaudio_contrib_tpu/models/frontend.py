@@ -13,7 +13,7 @@ with XLA inserting the gradient ``psum`` automatically.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax

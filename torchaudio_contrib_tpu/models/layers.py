@@ -24,7 +24,7 @@ TPU-first redesign (not a port of nn.Module)
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ All windows default to *periodic* (fftbins=True) to match
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 __all__ = [
     "hann_window",

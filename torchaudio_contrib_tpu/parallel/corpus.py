@@ -37,7 +37,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.stft import stft as _stft
-from ..ops.windows import get_window
 from ..ops.filters import create_mel_filter, apply_filterbank
 from ..ops.complexops import complex_norm
 from ..ops.db import amplitude_to_db

@@ -9,7 +9,6 @@ arrays this small; swap in orbax for sharded checkpoints).
 """
 from __future__ import annotations
 
-import io
 import json
 from typing import Any
 
