@@ -159,3 +159,9 @@ def test_corpus_use_fused(rng):
     assert stats.files_done == 8
     n_frames = 1 + (sr - 512) // 128
     assert all(s == (1, 32, n_frames) for s in shapes.values())
+
+
+def test_make_pod_mesh_single_host():
+    mesh = par.make_pod_mesh(n_model=2)
+    assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
+    par.initialize_multihost(num_processes=1)  # no-op path

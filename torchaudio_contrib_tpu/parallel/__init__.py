@@ -4,10 +4,12 @@ from .sharding import (
 from .corpus import (
     StreamingSTFT, chunked_melspectrogram, CorpusPreprocessor, CorpusStats,
 )
+from .multihost import initialize_multihost, make_pod_mesh
 
 __all__ = [
     "make_mesh", "shard_batch", "replicate", "sharded_apply",
     "data_parallel",
     "StreamingSTFT", "chunked_melspectrogram", "CorpusPreprocessor",
     "CorpusStats",
+    "initialize_multihost", "make_pod_mesh",
 ]
