@@ -165,3 +165,30 @@ def test_make_pod_mesh_single_host():
     mesh = par.make_pod_mesh(n_model=2)
     assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
     par.initialize_multihost(num_processes=1)  # no-op path
+
+
+def test_corpus_use_fused_sharded(rng):
+    """use_fused on a multi-device mesh runs under shard_map (pallas is
+    GSPMD-opaque); on the CPU test mesh the per-shard fallback chain runs
+    and results must match the unsharded path."""
+    sr = 8000
+    clips = {i: rng.standard_normal((1, sr)).astype(np.float32)
+             for i in range(16)}
+    outs = {}
+    pre = par.CorpusPreprocessor(
+        lambda i: clips[i], clip_samples=sr, batch_size=16,
+        mesh=par.make_mesh(), use_fused=True,
+        sink=lambda i, m: outs.__setitem__(i, np.asarray(m)),
+        fft_length=512, hop_length=128, num_mels=32, sample_rate=sr)
+    stats = pre.run(range(16))
+    assert stats.files_done == 16
+
+    # reference: unsharded single-device path
+    from torchaudio_contrib_tpu import ops
+    x0 = jnp.asarray(clips[3])
+    spec = ops.stft(x0, 512, 128, center=False)
+    fb = ops.create_mel_filter(32, sr, 0.0, None, 257)
+    ref = ops.amplitude_to_db(
+        ops.apply_filterbank(ops.complex_norm(spec, 2.0), fb), power=2.0)
+    np.testing.assert_allclose(outs[3], np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)

@@ -218,6 +218,14 @@ class CorpusPreprocessor:
                     x, fb, fft_length, mk.get("hop_length", 512),
                     mk.get("window", "hann"), mk.get("power", 2.0),
                     mk.get("to_db", True), precision="fast")
+
+            if self.mesh.size > 1:
+                # pallas_call is opaque to GSPMD (XLA cannot partition a
+                # custom call): run the kernel per-shard under shard_map
+                # instead of relying on sharding propagation
+                features = jax.shard_map(
+                    features, mesh=self.mesh,
+                    in_specs=P("data"), out_specs=P("data"))
         else:
             def features(x):
                 return chunked_melspectrogram(x, **self.mel_kwargs)
