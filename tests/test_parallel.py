@@ -192,3 +192,16 @@ def test_corpus_use_fused_sharded(rng):
         ops.apply_filterbank(ops.complex_norm(spec, 2.0), fb), power=2.0)
     np.testing.assert_allclose(outs[3], np.asarray(ref), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_data_parallel_fused_layer(rng):
+    """data_parallel keeps FusedMelspectrogram partitioned via shard_map."""
+    mesh = par.make_mesh()
+    layer = tac.FusedMelspectrogram(num_mels=32, sample_rate=16000,
+                                    fft_length=512, hop_length=128)
+    x = rng.standard_normal((16, 1, 8000)).astype(np.float32)
+    out_dp = par.data_parallel(layer, mesh)(jnp.asarray(x))
+    out_local = layer(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out_dp), np.asarray(out_local),
+                               rtol=1e-5, atol=1e-5)
+    assert len(out_dp.sharding.device_set) == 8

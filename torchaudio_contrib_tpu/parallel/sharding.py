@@ -79,7 +79,14 @@ def sharded_apply(fn, mesh: Mesh, donate: bool = False):
 
 def data_parallel(transform, mesh: Optional[Mesh] = None):
     """Wrap a :class:`~torchaudio_contrib_tpu.models.Transform` (or any
-    pure fn) so calls shard the leading batch axis over the mesh.
+    pure per-sample fn) so calls shard the leading batch axis over the
+    mesh.
+
+    Uses ``shard_map`` rather than sharding propagation: feature
+    transforms are embarrassingly parallel over the batch, and shard_map
+    also keeps Pallas kernels (``FusedMelspectrogram``) partitioned —
+    custom calls are opaque to GSPMD.  The batch size must divide the
+    mesh's ``data`` axis.
 
     >>> mel = Melspectrogram(num_mels=128, fft_length=2048)
     >>> mel_dp = data_parallel(mel)         # all devices on 'data'
@@ -89,8 +96,13 @@ def data_parallel(transform, mesh: Optional[Mesh] = None):
         mesh = make_mesh()
     sharding = NamedSharding(mesh, P("data"))
 
+    fn = transform
+    if mesh.size > 1:
+        fn = jax.shard_map(lambda x: transform(x), mesh=mesh,
+                           in_specs=P("data"), out_specs=P("data"))
+
     @functools.partial(jax.jit, in_shardings=(sharding,))
     def run(x):
-        return transform(x)
+        return fn(x)
 
     return run
