@@ -93,3 +93,14 @@ def test_bad_filterbank_rows(rng):
     if jax.default_backend() == "tpu":
         with pytest.raises(ValueError):
             ops.fused_melspectrogram(x, fb_bad, 256, 128)
+
+
+def test_win_length_matches_chain(rng):
+    x = jnp.asarray(rng.standard_normal((1, 8192)).astype(np.float32))
+    fb = ops.create_mel_filter(32, 16000, 0.0, None, 257)
+    out = ops.fused_melspectrogram(x, fb, 512, 128, win_length=400)
+    spec = ops.stft(x, 512, 128, win_length=400, center=False)
+    ref = ops.amplitude_to_db(
+        ops.apply_filterbank(ops.complex_norm(spec, 2.0), fb), power=2.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

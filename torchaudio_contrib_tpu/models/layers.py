@@ -375,7 +375,8 @@ class FusedMelspectrogram(Transform):
                  fft_length: int = 2048, hop_length: int = 512,
                  window="hann", power: float = 2.0, to_db: bool = True,
                  db_ref: float = 1.0, amin: float = 1e-7,
-                 precision: str = "split3", trainable: bool = False):
+                 precision: str = "split3", trainable: bool = False,
+                 win_length: Optional[int] = None):
         self.num_mels = num_mels
         self.sample_rate = sample_rate
         self.f_min = f_min
@@ -389,9 +390,11 @@ class FusedMelspectrogram(Transform):
         self.amin = amin
         self.precision = precision
         self.trainable = trainable
+        self.win_length = win_length
         self._config = (num_mels, sample_rate, f_min, self.f_max,
                         fft_length, hop_length, _hashable_window(window),
-                        power, to_db, db_ref, amin, precision, trainable)
+                        power, to_db, db_ref, amin, precision, trainable,
+                        win_length)
 
     def filterbank(self) -> jnp.ndarray:
         return create_mel_filter(self.num_mels, self.sample_rate,
@@ -405,7 +408,8 @@ class FusedMelspectrogram(Transform):
         fb = params if params is not None else self.filterbank()
         return _fused_mel(waveform, fb, self.fft_length, self.hop_length,
                           self.window, self.power, self.to_db,
-                          self.db_ref, self.amin, self.precision)
+                          self.db_ref, self.amin, self.precision,
+                          self.win_length)
 
 
 def Spectrogram(power: float = 1.0, **stft_kwargs) -> Pipeline:

@@ -84,14 +84,21 @@ def _split_bf16(a):
 
 
 @functools.lru_cache(maxsize=16)
-def _basis_and_sizes(fft_length: int, win_key):
+def _basis_and_sizes(fft_length: int, win_key, win_length=None):
     """Windowed onesided DFT basis, freq-padded and tiled: float32
-    ``(fft, FT·2·FBT)`` with tile t columns ``[re_t | im_t]``."""
+    ``(fft, FT·2·FBT)`` with tile t columns ``[re_t | im_t]``.
+    ``win_length < fft_length`` zero-pad-centers the window (torch
+    semantics) — it simply folds into the basis."""
     n_freqs = fft_length // 2 + 1
     ft_count = -(-n_freqs // _FREQ_TILE)
     f_pad = ft_count * _FREQ_TILE
 
-    w = get_window(win_key if win_key is not None else "hann", fft_length)
+    if win_length is None:
+        win_length = fft_length
+    w = get_window(win_key if win_key is not None else "hann", win_length)
+    if win_length < fft_length:
+        left = (fft_length - win_length) // 2
+        w = np.pad(w, (left, fft_length - win_length - left))
     n = np.arange(fft_length, dtype=np.float64)[:, None]
     f = np.arange(f_pad, dtype=np.float64)[None, :]
     ang = 2.0 * np.pi * n * f / fft_length
@@ -206,7 +213,7 @@ def _build_fused_call(fft_length: int, hop_length: int, num_mels: int,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
 def fused_melspectrogram(waveform: jnp.ndarray,
                          filterbank: jnp.ndarray,
                          fft_length: int = 2048,
@@ -216,7 +223,8 @@ def fused_melspectrogram(waveform: jnp.ndarray,
                          to_db: bool = True,
                          db_ref: float = 1.0,
                          amin: float = 1e-7,
-                         precision: str = "split3") -> jnp.ndarray:
+                         precision: str = "split3",
+                         win_length=None) -> jnp.ndarray:
     """Mel (or log-mel) spectrogram of ``waveform (..., T)`` with
     ``center=False`` frame semantics, as one fused TPU kernel.
 
@@ -228,13 +236,16 @@ def fused_melspectrogram(waveform: jnp.ndarray,
     ``power != 2``.  Differentiable: backward runs the XLA chain's VJP.
     """
     return _fused_fwd_impl(waveform, filterbank, fft_length, hop_length,
-                           window, power, to_db, db_ref, amin, precision)
+                           window, power, to_db, db_ref, amin, precision,
+                           win_length)
 
 
 def _jnp_reference(x, fft_length, hop_length, window, fb, power, to_db,
-                   db_ref, amin, method="fft", precision=None):
+                   db_ref, amin, method="fft", precision=None,
+                   win_length=None):
     """The mathematically-identical XLA chain (backward pass + fallback)."""
-    spec = _stft(x, fft_length, hop_length, window=window, center=False,
+    spec = _stft(x, fft_length, hop_length, win_length=win_length,
+                 window=window, center=False,
                  method=method, precision=precision)
     p = complex_norm(spec, power)
     mel = apply_filterbank(p, fb)
@@ -244,19 +255,21 @@ def _jnp_reference(x, fft_length, hop_length, window, fb, power, to_db,
 
 
 def _fused_fwd_impl(waveform, filterbank, fft_length, hop_length, window,
-                    power, to_db, db_ref, amin, precision):
+                    power, to_db, db_ref, amin, precision,
+                    win_length=None):
     on_tpu = jax.default_backend() == "tpu"
     if (not on_tpu or power != 2.0
             or not fused_mel_supported(fft_length, hop_length)):
         return _jnp_reference(waveform, fft_length, hop_length, window,
-                              filterbank, power, to_db, db_ref, amin)
+                              filterbank, power, to_db, db_ref, amin,
+                              win_length=win_length)
     if precision not in ("split3", "fast"):
         raise ValueError(f"unknown precision {precision!r}")
 
     N, HOP, TB = fft_length, hop_length, _TB
     num_mels = filterbank.shape[-1]
     basis, n_freqs, ft_count, f_pad = _basis_and_sizes(
-        N, _hashable_window(window))
+        N, _hashable_window(window), win_length)
     if filterbank.shape[0] != n_freqs:
         raise ValueError(
             f"filterbank must have {n_freqs} rows, got "
@@ -290,14 +303,15 @@ def _fused_fwd_impl(waveform, filterbank, fft_length, hop_length, window,
 
 
 def _fused_vjp_fwd(waveform, filterbank, fft_length, hop_length, window,
-                   power, to_db, db_ref, amin, precision):
+                   power, to_db, db_ref, amin, precision, win_length):
     out = _fused_fwd_impl(waveform, filterbank, fft_length, hop_length,
-                          window, power, to_db, db_ref, amin, precision)
+                          window, power, to_db, db_ref, amin, precision,
+                          win_length)
     return out, (waveform, filterbank)
 
 
 def _fused_vjp_bwd(fft_length, hop_length, window, power, to_db, db_ref,
-                   amin, precision, residuals, g):
+                   amin, precision, win_length, residuals, g):
     waveform, filterbank = residuals
     # the matmul-STFT chain has the cheapest VJP on TPU (GEMM adjoints
     # are GEMMs; measured 32 ms vs 52 ms for the fft chain at batch
@@ -310,7 +324,8 @@ def _fused_vjp_bwd(fft_length, hop_length, window, power, to_db, db_ref,
     _, vjp = jax.vjp(
         lambda x, fb: _jnp_reference(x, fft_length, hop_length, window,
                                      fb, power, to_db, db_ref, amin,
-                                     method=method, precision=prec),
+                                     method=method, precision=prec,
+                                     win_length=win_length),
         waveform, filterbank)
     return vjp(g)
 
