@@ -76,3 +76,19 @@ def test_length_too_long_raises(rng):
                                 .astype(np.float32)), 256, 64)
     with pytest.raises(ValueError, match="length"):
         ops.istft(spec, 64, length=10**6)
+
+
+def test_istft_matmul_method_matches_fft(rng):
+    x = rng.standard_normal((2, 4096)).astype(np.float32)
+    spec = ops.stft(jnp.asarray(x), 512, 128)
+    a = ops.istft(spec, 128, length=4096)
+    b = ops.istft(spec, 128, length=4096, method="matmul")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-5, rtol=0)
+    # odd fft length exercises the Nyquist-weight branch
+    spec2 = ops.stft(jnp.asarray(x[:, :4000]), 250, 125, center=True)
+    c = ops.istft(spec2, 125, length=4000, fft_length=250)
+    d = ops.istft(spec2, 125, length=4000, fft_length=250,
+                  method="matmul")
+    np.testing.assert_allclose(np.asarray(c), np.asarray(d),
+                               atol=2e-5, rtol=0)

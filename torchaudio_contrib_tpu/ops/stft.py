@@ -338,6 +338,22 @@ def stft(waveform: jnp.ndarray,
 # istft
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=32)
+def _idft_matrices(fft_length: int):
+    """Real inverse-DFT basis ``(n_freqs, fft_length)`` pair for the
+    onesided irFFT-as-GEMM: ``frames = Re(X)@ICr + Im(X)@ICi`` with the
+    conjugate-symmetry weights folded in (float64, cast at the edge)."""
+    n_freqs = fft_length // 2 + 1
+    k = np.arange(n_freqs, dtype=np.float64)[:, None]
+    n = np.arange(fft_length, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * k * n / fft_length
+    w = np.full((n_freqs, 1), 2.0 / fft_length)
+    w[0] = 1.0 / fft_length
+    if fft_length % 2 == 0:
+        w[-1] = 1.0 / fft_length
+    return w * np.cos(ang), -w * np.sin(ang)
+
+
 @functools.lru_cache(maxsize=64)
 def _ola_index_map(n_frames: int, fft_length: int, hop_length: int) -> np.ndarray:
     return (np.arange(n_frames, dtype=np.int32)[:, None] * hop_length
@@ -390,7 +406,9 @@ def istft(stft_matrix: jnp.ndarray,
           normalized: bool = False,
           onesided: bool = True,
           length: Optional[int] = None,
-          fft_length: Optional[int] = None) -> jnp.ndarray:
+          fft_length: Optional[int] = None,
+          method: str = "fft",
+          precision=None) -> jnp.ndarray:
     """Inverse STFT of ``stft_matrix (..., n_freqs, n_frames)`` (complex).
 
     Least-squares inverse matching ``torch.istft``: per-frame irFFT →
@@ -398,6 +416,11 @@ def istft(stft_matrix: jnp.ndarray,
     window envelope (NOLA).  Raises at trace time if the window/hop pair
     violates NOLA on the retained samples.  [ref: torchaudio_contrib/
     istft.py — UNVERIFIED; call stack per SURVEY.md §3d]
+
+    ``method="matmul"`` computes the per-frame irDFT as one MXU GEMM
+    against the inverse real basis (onesided only) — the synthesis mirror
+    of ``stft(method="matmul")``; useful in vocoder loops on TPU where
+    GEMMs outrun the XLA FFT custom call.  ``precision`` as in ``stft``.
     """
     n_freqs = stft_matrix.shape[-2]
     n_frames = stft_matrix.shape[-1]
@@ -414,10 +437,23 @@ def istft(stft_matrix: jnp.ndarray,
     if normalized:
         spec = spec * (fft_length ** 0.5)
 
-    if onesided:
-        frames = jnp.fft.irfft(spec, n=fft_length, axis=-1)
+    if method == "matmul":
+        if not onesided:
+            raise ValueError("istft method='matmul' supports onesided only")
+        icr, ici = _idft_matrices(fft_length)
+        re = jnp.real(spec).astype(jnp.float32)
+        im = jnp.imag(spec).astype(jnp.float32)
+        frames = (jnp.matmul(re, jnp.asarray(icr, jnp.float32),
+                             precision=precision)
+                  + jnp.matmul(im, jnp.asarray(ici, jnp.float32),
+                               precision=precision))
+    elif method == "fft":
+        if onesided:
+            frames = jnp.fft.irfft(spec, n=fft_length, axis=-1)
+        else:
+            frames = jnp.real(jnp.fft.ifft(spec, n=fft_length, axis=-1))
     else:
-        frames = jnp.real(jnp.fft.ifft(spec, n=fft_length, axis=-1))
+        raise ValueError(f"unknown istft method {method!r}")
 
     dtype = frames.dtype
     frames = frames * jnp.asarray(w, dtype=dtype)
