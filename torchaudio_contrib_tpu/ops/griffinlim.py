@@ -30,12 +30,16 @@ def griffin_lim(mag_specgrams: jnp.ndarray,
                 momentum: float = 0.99,
                 length: Optional[int] = None,
                 center: bool = True,
-                key: Optional[jax.Array] = None) -> jnp.ndarray:
+                key: Optional[jax.Array] = None,
+                method: str = "fft") -> jnp.ndarray:
     """Reconstruct a waveform from magnitudes ``(..., freq, time)``.
 
     ``mag_specgrams`` is a *magnitude* (power=1) spectrogram.  Returns
     ``(..., samples)``.  ``key`` seeds the initial random phase (zeros
     phase if None — deterministic, converges similarly with momentum).
+    ``method`` selects the stft/istft execution path for the inner loop
+    ("matmul" keeps the whole iteration on the MXU — the faster choice
+    on TPU for vocoder-style serving).
     """
     n_freqs = mag_specgrams.shape[-2]
     n_frames = mag_specgrams.shape[-1]
@@ -60,9 +64,9 @@ def griffin_lim(mag_specgrams: jnp.ndarray,
     def project(s):
         """istft → stft: project onto the set of consistent spectrograms."""
         y = _istft(s, hop_length, window=window, center=center,
-                   length=length, fft_length=fft_length)
+                   length=length, fft_length=fft_length, method=method)
         return _stft(y, fft_length, hop_length, window=window,
-                     center=center)
+                     center=center, method=method)
 
     def body(_, carry):
         spec, prev = carry
@@ -76,4 +80,4 @@ def griffin_lim(mag_specgrams: jnp.ndarray,
     spec, _ = jax.lax.fori_loop(0, n_iter, body,
                                 (spec, jnp.zeros_like(spec)))
     return _istft(spec, hop_length, window=window, center=center,
-                  length=length, fft_length=fft_length)
+                  length=length, fft_length=fft_length, method=method)
