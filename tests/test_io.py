@@ -74,3 +74,26 @@ def test_mono_1d_write(tmp_path):
 def test_invalid_raises():
     with pytest.raises(ValueError):
         wavio.wav_info(b"not a wav file at all........")
+
+
+def test_wav_loader_with_corpus(tmp_path, clip):
+    """io + corpus integration: decode real WAV files through the
+    preprocessor (native codec on the host thread pool)."""
+    import jax.numpy as jnp  # noqa: F401
+    from torchaudio_contrib_tpu import parallel as par
+
+    paths = []
+    for i in range(8):
+        p = str(tmp_path / f"f{i}.wav")
+        wavio.write_wav(p, clip * (0.1 + 0.1 * i), 16000, bits=16)
+        paths.append(p)
+
+    outs = {}
+    pre = par.CorpusPreprocessor(
+        wavio.make_wav_loader(paths, target_channels=1),
+        clip_samples=4801, batch_size=8, num_workers=2,
+        sink=lambda i, m: outs.__setitem__(i, m.shape),
+        fft_length=512, hop_length=128, num_mels=32, sample_rate=16000,
+        frames_per_chunk=8)
+    stats = pre.run(range(8))
+    assert stats.files_done == 8 and len(outs) == 8

@@ -18,7 +18,8 @@ import sys
 
 import numpy as np
 
-__all__ = ["read_wav", "write_wav", "wav_info", "have_native"]
+__all__ = ["read_wav", "write_wav", "wav_info", "have_native",
+           "make_wav_loader"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libwavio.so")
@@ -225,3 +226,23 @@ def _py_encode(path, data, sample_rate, bits):
                          bits) + b"data" + struct.pack("<I", len(payload)))
     with open(path, "wb") as f:
         f.write(hdr + payload)
+
+
+def make_wav_loader(paths, target_channels=None):
+    """Build a ``loader(i)`` for
+    :class:`~torchaudio_contrib_tpu.parallel.CorpusPreprocessor` over a
+    list of WAV paths: decodes with the native codec, optionally
+    downmixes/truncates channels.  Raises on decode failure (the
+    preprocessor's retry/skip handles it)."""
+    paths = list(paths)
+
+    def loader(i):
+        data, _ = read_wav(paths[i])
+        if target_channels is not None and data.shape[0] != target_channels:
+            if target_channels == 1:
+                data = data.mean(axis=0, keepdims=True)
+            else:
+                data = data[:target_channels]
+        return data
+
+    return loader
