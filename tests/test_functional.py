@@ -208,3 +208,23 @@ def test_amplitude_to_db_top_db(rng):
     np.testing.assert_allclose(out, [[-10.0, 0.0, 20.0]], atol=1e-4)
     with pytest.raises(ValueError):
         ops.amplitude_to_db(x, top_db=-1.0)
+
+
+def test_bartlett_kaiser_match_torch():
+    for n in (64, 257):
+        np.testing.assert_allclose(
+            ops.bartlett_window(n),
+            torch.bartlett_window(n, dtype=torch.float64).numpy(),
+            atol=1e-12)
+        np.testing.assert_allclose(
+            ops.kaiser_window(n, beta=12.0),
+            torch.kaiser_window(n, True, 12.0,
+                                dtype=torch.float64).numpy(), atol=1e-9)
+
+
+def test_nuttall_and_named_windows_in_stft(rng):
+    w = ops.nuttall_window(128)
+    assert abs(w[0]) < 1e-3 and abs(np.max(w) - 1.0) < 2e-2
+    x = jnp.asarray(rng.standard_normal(2048).astype(np.float32))
+    s = ops.stft(x, 256, 64, window="nuttall")
+    assert s.shape[0] == 129

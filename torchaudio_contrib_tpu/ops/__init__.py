@@ -9,6 +9,9 @@ from .windows import (
     hann_window,
     hamming_window,
     blackman_window,
+    bartlett_window,
+    kaiser_window,
+    nuttall_window,
     rectangular_window,
     get_window,
     cola_window_sum,
@@ -32,7 +35,9 @@ from .resample import resample
 from .mfcc import create_dct, mfcc
 
 __all__ = [
-    "hann_window", "hamming_window", "blackman_window", "rectangular_window",
+    "hann_window", "hamming_window", "blackman_window",
+    "bartlett_window", "kaiser_window", "nuttall_window",
+    "rectangular_window",
     "get_window", "cola_window_sum", "check_nola",
     "stft", "istft", "frame_signal", "num_frames", "stft_output_length",
     "complex_norm", "angle", "magphase",

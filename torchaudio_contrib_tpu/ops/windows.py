@@ -20,6 +20,9 @@ __all__ = [
     "hann_window",
     "hamming_window",
     "blackman_window",
+    "bartlett_window",
+    "kaiser_window",
+    "nuttall_window",
     "rectangular_window",
     "get_window",
     "cola_window_sum",
@@ -57,10 +60,39 @@ def rectangular_window(win_length: int, periodic: bool = True) -> np.ndarray:
     return np.ones(win_length, dtype=np.float64)
 
 
+def bartlett_window(win_length: int, periodic: bool = True) -> np.ndarray:
+    """Triangular window, matching ``torch.bartlett_window`` semantics."""
+    if win_length == 1:
+        return np.ones(1, dtype=np.float64)
+    denom = win_length if periodic else win_length - 1
+    n = np.arange(win_length, dtype=np.float64)
+    return 1.0 - np.abs(2.0 * n / denom - 1.0)
+
+
+def kaiser_window(win_length: int, periodic: bool = True,
+                  beta: float = 12.0) -> np.ndarray:
+    """Kaiser window, matching ``torch.kaiser_window`` semantics."""
+    if win_length == 1:
+        return np.ones(1, dtype=np.float64)
+    n = win_length + 1 if periodic else win_length
+    w = np.kaiser(n, beta)
+    return w[:-1] if periodic else w
+
+
+def nuttall_window(win_length: int, periodic: bool = True) -> np.ndarray:
+    """Nuttall 4-term window (very low sidelobes)."""
+    return _raised_cosine(
+        win_length, (0.3635819, 0.4891775, 0.1365995, 0.0106411), periodic)
+
+
 _WINDOWS = {
     "hann": hann_window,
     "hamming": hamming_window,
     "blackman": blackman_window,
+    "bartlett": bartlett_window,
+    "triangular": bartlett_window,
+    "kaiser": kaiser_window,
+    "nuttall": nuttall_window,
     "rectangular": rectangular_window,
     "ones": rectangular_window,
     "boxcar": rectangular_window,
