@@ -303,33 +303,45 @@ class CorpusPreprocessor:
     def run(self, indices: Iterable[int]) -> CorpusStats:
         stats = CorpusStats()
         batch, ids = [], []
+        pending = None  # (mel_device_array, ids) — one batch in flight
         t0 = time.perf_counter()
 
-        def flush():
+        def drain(p):
+            mel, p_ids = p
+            # force execution with a scalar fetch: on some backends (axon
+            # TPU tunnel) block_until_ready alone does not demand the value
+            float(jnp.sum(mel[..., -1, -1]))
+            if self.sink is not None:
+                mel_np = np.asarray(jax.device_get(mel))
+                for k, idx in enumerate(p_ids):
+                    self.sink(idx, mel_np[k])
+            stats.frames += mel.shape[-1] * len(p_ids)
+
+        def dispatch():
+            """Launch this batch; drain the PREVIOUS one afterwards so
+            host loading/sinking overlaps device compute (one batch deep)."""
+            nonlocal pending
             if not batch:
                 return
             n = len(batch)
             while len(batch) < self.batch_size:  # pad last batch
                 batch.append(np.zeros_like(batch[0]))
             x = jax.device_put(np.stack(batch), self._sharding)
-            mel = self._features(x)
-            # force execution with a scalar fetch: on some backends (axon
-            # TPU tunnel) block_until_ready alone does not demand the value
-            float(jnp.sum(mel[..., -1, -1]))
-            if self.sink is not None:
-                mel_np = np.asarray(jax.device_get(mel))
-                for k in range(n):
-                    self.sink(ids[k], mel_np[k])
-            stats.frames += int(np.prod(mel.shape[-1:])) * n
+            mel = self._features(x)  # async dispatch
+            prev, pending = pending, (mel, list(ids[:n]))
             batch.clear()
             ids.clear()
+            if prev is not None:
+                drain(prev)
 
         for idx, x in self._iter_loaded(indices, stats):
             batch.append(x)
             ids.append(idx)
             stats.files_done += 1
             if len(batch) == self.batch_size:
-                flush()
-        flush()
+                dispatch()
+        dispatch()
+        if pending is not None:
+            drain(pending)
         stats.seconds = time.perf_counter() - t0
         return stats
