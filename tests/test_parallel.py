@@ -205,3 +205,12 @@ def test_data_parallel_fused_layer(rng):
     np.testing.assert_allclose(np.asarray(out_dp), np.asarray(out_local),
                                rtol=1e-5, atol=1e-5)
     assert len(out_dp.sharding.device_set) == 8
+
+
+def test_sharded_apply(rng):
+    mesh = par.make_mesh()
+    f = par.sharded_apply(lambda x: x * 2.0, mesh)
+    x = jnp.asarray(rng.standard_normal((8, 64)).astype(np.float32))
+    out = f(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2.0)
+    assert len(out.sharding.device_set) == 8
