@@ -24,6 +24,7 @@ from .ops import (
     create_inverse_mel_filter, mel_to_linear,
     resample,
     create_dct, mfcc,
+    mask_along_axis, time_mask, freq_mask,
     hann_window, hamming_window, blackman_window, get_window,
 )
 
@@ -54,6 +55,7 @@ __all__ = [
     "create_inverse_mel_filter", "mel_to_linear",
     "resample",
     "create_dct", "mfcc",
+    "mask_along_axis", "time_mask", "freq_mask",
     "hann_window", "hamming_window", "blackman_window", "get_window",
     "Transform", "Pipeline",
     "STFT", "ISTFT", "ComplexNorm",

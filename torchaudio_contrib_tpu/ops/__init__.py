@@ -33,6 +33,7 @@ from .griffinlim import griffin_lim
 from .melinv import create_inverse_mel_filter, mel_to_linear
 from .resample import resample
 from .mfcc import create_dct, mfcc
+from .augment import mask_along_axis, time_mask, freq_mask
 
 __all__ = [
     "hann_window", "hamming_window", "blackman_window",
@@ -50,4 +51,5 @@ __all__ = [
     "create_inverse_mel_filter", "mel_to_linear",
     "resample",
     "create_dct", "mfcc",
+    "mask_along_axis", "time_mask", "freq_mask",
 ]
