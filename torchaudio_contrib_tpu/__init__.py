@@ -25,6 +25,7 @@ from .ops import (
     resample,
     create_dct, mfcc,
     mask_along_axis, time_mask, freq_mask,
+    pitch_shift,
     hann_window, hamming_window, blackman_window, get_window,
 )
 
@@ -56,6 +57,7 @@ __all__ = [
     "resample",
     "create_dct", "mfcc",
     "mask_along_axis", "time_mask", "freq_mask",
+    "pitch_shift",
     "hann_window", "hamming_window", "blackman_window", "get_window",
     "Transform", "Pipeline",
     "STFT", "ISTFT", "ComplexNorm",

@@ -34,6 +34,7 @@ from .melinv import create_inverse_mel_filter, mel_to_linear
 from .resample import resample
 from .mfcc import create_dct, mfcc
 from .augment import mask_along_axis, time_mask, freq_mask
+from .pitch import pitch_shift
 
 __all__ = [
     "hann_window", "hamming_window", "blackman_window",
@@ -52,4 +53,5 @@ __all__ = [
     "resample",
     "create_dct", "mfcc",
     "mask_along_axis", "time_mask", "freq_mask",
+    "pitch_shift",
 ]
