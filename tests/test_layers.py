@@ -160,3 +160,13 @@ def test_resample_layer(rng):
     y = layer(x)
     assert y.shape == (2, 1, 800)
     assert layer.state_dict() == {}
+
+
+def test_griffinlim_layer(rng):
+    mag = jnp.abs(ops.stft(jnp.asarray(
+        rng.standard_normal(4096).astype(np.float32)), 256, 64))
+    layer = tac.GriffinLim(fft_length=256, hop_length=64, n_iter=4,
+                           length=4096)
+    y = layer(mag, key=jax.random.PRNGKey(0))
+    assert y.shape == (4096,)
+    assert layer.state_dict() == {}

@@ -9,7 +9,7 @@ reference's ``__init__.py`` convention [SURVEY.md §2 #15].
 
 __version__ = "0.1.0"
 
-from . import ops, models, utils
+from . import ops, models, parallel, utils, io
 
 # functional core (flat, reference-style)
 from .ops import (
@@ -36,7 +36,7 @@ from .models import (
     Filterbank, MelFilterbank, ApplyFilterbank,
     AmplitudeToDb, DbToAmplitude,
     MuLawEncoding, MuLawDecoding,
-    StretchSpecTime, Resample,
+    StretchSpecTime, Resample, GriffinLim,
     Spectrogram, Melspectrogram, FusedMelspectrogram,
     MelFrontendClassifier,
 )
@@ -44,7 +44,7 @@ from .models import (
 from .utils import view_as_real, view_as_complex
 
 __all__ = [
-    "ops", "models", "utils",
+    "ops", "models", "parallel", "utils", "io",
     "stft", "istft", "frame_signal", "num_frames", "stft_output_length",
     "complex_norm", "angle", "magphase",
     "hertz_to_mel", "mel_to_hertz", "create_mel_filter", "apply_filterbank",
@@ -64,7 +64,7 @@ __all__ = [
     "Filterbank", "MelFilterbank", "ApplyFilterbank",
     "AmplitudeToDb", "DbToAmplitude",
     "MuLawEncoding", "MuLawDecoding",
-    "StretchSpecTime", "Resample",
+    "StretchSpecTime", "Resample", "GriffinLim",
     "Spectrogram", "Melspectrogram", "FusedMelspectrogram",
     "MelFrontendClassifier",
     "view_as_real", "view_as_complex",

@@ -4,7 +4,7 @@ from .layers import (
     Filterbank, MelFilterbank, ApplyFilterbank,
     AmplitudeToDb, DbToAmplitude,
     MuLawEncoding, MuLawDecoding,
-    StretchSpecTime, Resample,
+    StretchSpecTime, Resample, GriffinLim,
     Spectrogram, Melspectrogram, FusedMelspectrogram,
 )
 from .frontend import MelFrontendClassifier
@@ -15,7 +15,7 @@ __all__ = [
     "Filterbank", "MelFilterbank", "ApplyFilterbank",
     "AmplitudeToDb", "DbToAmplitude",
     "MuLawEncoding", "MuLawDecoding",
-    "StretchSpecTime", "Resample",
+    "StretchSpecTime", "Resample", "GriffinLim",
     "Spectrogram", "Melspectrogram", "FusedMelspectrogram",
     "MelFrontendClassifier",
 ]

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from ..ops.stft import stft as _stft_fn, istft as _istft_fn
 from ..ops.fused import fused_melspectrogram as _fused_mel
 from ..ops.resample import resample as _resample
+from ..ops.griffinlim import griffin_lim as _griffin_lim
 from ..ops import (
     complex_norm as _complex_norm,
     apply_filterbank as _apply_filterbank,
@@ -50,7 +51,7 @@ __all__ = [
     "Filterbank", "MelFilterbank", "ApplyFilterbank",
     "AmplitudeToDb", "DbToAmplitude",
     "MuLawEncoding", "MuLawDecoding",
-    "StretchSpecTime", "Resample",
+    "StretchSpecTime", "Resample", "GriffinLim",
     "Spectrogram", "Melspectrogram", "FusedMelspectrogram",
 ]
 
@@ -321,6 +322,34 @@ class StretchSpecTime(Transform):
         r = rate if rate is not None else self.rate
         adv = compute_phase_advance(self.num_freqs, self.hop_length)
         return _phase_vocoder(spec, r, adv)
+
+
+class GriffinLim(Transform):
+    """Griffin-Lim phase-reconstruction layer (rebuild extra; see
+    ops/griffinlim.py).  ``__call__`` takes a magnitude spectrogram
+    ``(..., freq, time)`` and an optional ``key=`` for random phase init."""
+
+    def __init__(self, fft_length: Optional[int] = None,
+                 hop_length: Optional[int] = None, window="hann",
+                 n_iter: int = 32, momentum: float = 0.99,
+                 length: Optional[int] = None, center: bool = True,
+                 method: str = "fft"):
+        self.fft_length = fft_length
+        self.hop_length = hop_length
+        self.window = window
+        self.n_iter = n_iter
+        self.momentum = momentum
+        self.length = length
+        self.center = center
+        self.method = method
+        self._config = (fft_length, hop_length, _hashable_window(window),
+                        n_iter, momentum, length, center, method)
+
+    def __call__(self, mag_specgrams, params=None, key=None):
+        return _griffin_lim(mag_specgrams, self.fft_length,
+                            self.hop_length, self.window, self.n_iter,
+                            self.momentum, self.length, self.center,
+                            key, self.method)
 
 
 class Pipeline(Transform):
