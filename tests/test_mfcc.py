@@ -44,3 +44,12 @@ def test_mfcc_invariance_to_gain_in_c0_only(rng):
     d = np.asarray(b - a)
     assert np.max(np.abs(d[..., 1:, :])) < 1e-2  # higher coeffs unchanged
     assert np.mean(np.abs(d[..., 0, :])) > 0.1   # c0 carries the gain
+
+
+def test_mfcc_fused_matches_chain(rng):
+    """use_fused (center=False semantics) equals the explicit chain."""
+    x = jnp.asarray(rng.standard_normal((2, 16384)).astype(np.float32))
+    a = ops.mfcc(x, 16000, 13, 40, 512, 128, center=False)
+    b = ops.mfcc(x, 16000, 13, 40, 512, 128, use_fused=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-4)
