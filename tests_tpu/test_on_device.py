@@ -58,3 +58,18 @@ def test_fused_gradient_on_device():
     rel = float(jnp.max(jnp.abs(g_fused - g_ref))
                 / (jnp.max(jnp.abs(g_ref)) + 1e-12))
     assert rel <= 1e-4, f"grad rel err {rel}"
+
+
+def test_resample_and_mfcc_on_device():
+    # small p/q and short clips keep the remote compile fast; numerics
+    # are pinned by the CPU tests — this checks the TPU lowering runs
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 8192)).astype(np.float32))
+    y = ops.resample(x, 16000, 8000)
+    assert y.shape == (2, 4096)
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+    a = ops.mfcc(x, 16000, 13, 64, 512, 128, center=False)
+    b = ops.mfcc(x, 16000, 13, 64, 512, 128, use_fused=True)
+    rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-12))
+    assert rel <= 1e-3, f"fused mfcc rel {rel}"
