@@ -134,8 +134,48 @@ def config5():
          devices=nd)
 
 
+def config6():
+    """Extras: griffin-lim vocoder loop, resample, fused MFCC (tracking
+    numbers for the rebuild-only ops)."""
+    import jax
+    import jax.numpy as jnp
+    from torchaudio_contrib_tpu import ops
+
+    @jax.jit
+    def probe(o):
+        return jnp.sum(jnp.abs(o))
+
+    def timeit(f, x, n=3):
+        float(probe(f(x)))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            o = f(x)
+        float(probe(o))
+        return (time.perf_counter() - t0) / n
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((8, 110250)).astype(np.float32))
+    mag = jnp.abs(ops.stft(x, 1024, 256))
+    gl = jax.jit(lambda m: ops.griffin_lim(m, 1024, 256, n_iter=32,
+                                           length=110250,
+                                           method="matmul"))
+    dt_gl = timeit(gl, mag)
+
+    xb = jnp.asarray(rng.standard_normal((32, 1, 661500))
+                     .astype(np.float32))
+    rs = jax.jit(lambda v: ops.resample(v, 22050, 16000))
+    dt_rs = timeit(rs, xb)
+    mf = jax.jit(lambda v: ops.mfcc(v, 22050, 20, 128, 2048, 512,
+                                    center=False, use_fused=True))
+    dt_mf = timeit(mf, xb)
+    emit("6:extras",
+         griffinlim_ms_batch8=round(dt_gl * 1e3, 1),
+         resample_x_realtime=round(32 * 30 / dt_rs),
+         mfcc_frames_per_sec=round(32 * 1292 / dt_mf))
+
+
 CONFIGS = {"1": config1, "2": config2, "3": config3, "4": config4,
-           "5": config5}
+           "5": config5, "6": config6}
 
 if __name__ == "__main__":
     picks = sys.argv[1:] or list(CONFIGS)
