@@ -1,0 +1,44 @@
+"""Smoke-run the example scripts (tiny settings, CPU) so they can't rot."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args):
+    code = (
+        "import jax;"
+        "jax.config.update('jax_platforms','cpu');"
+        "jax.config.update('jax_num_cpu_devices', 8);"
+        "import runpy, sys;"
+        f"sys.path.insert(0, {ROOT!r});"
+        f"sys.argv = {args!r};"
+        f"runpy.run_path({os.path.join(ROOT, 'examples', args[0])!r},"
+        "run_name='__main__')"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=300, cwd=ROOT)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+def test_melspectrogram_pipeline_example():
+    stdout = _run(["melspectrogram_pipeline.py", "--tiny"])
+    assert "istft round-trip max err" in stdout
+    assert "corpus:" in stdout
+
+
+def test_train_frontend_example():
+    stdout = _run(["train_frontend.py", "--steps", "25", "--batch", "16"])
+    assert "eval accuracy" in stdout
+
+
+def test_vocoder_example(tmp_path):
+    stdout = _run(["vocoder_roundtrip.py"])
+    assert "mel spectral convergence" in stdout
+    wav = os.path.join(ROOT, "examples", "reconstructed.wav")
+    if os.path.exists(wav):
+        os.remove(wav)
