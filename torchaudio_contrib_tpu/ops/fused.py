@@ -115,22 +115,30 @@ def _basis_and_sizes(fft_length: int, win_key, win_length=None):
     return basis, n_freqs, ft_count, f_pad
 
 
-def _stream_stride(fft_length: int, hop_length: int, n_blocks: int) -> int:
+def _stream_stride(fft_length: int, hop_length: int, n_blocks: int,
+                   tb: int = None) -> int:
     """Per-stream length in the flattened waveform: fits every block's
     (1024-rounded) DMA window, itself a 1024-multiple."""
-    blk = -(-((_TB - 1) * hop_length + fft_length) // 1024) * 1024
-    last_start = (n_blocks - 1) * _TB * hop_length
+    if tb is None:
+        tb = _TB
+    blk = -(-((tb - 1) * hop_length + fft_length) // 1024) * 1024
+    last_start = (n_blocks - 1) * tb * hop_length
     return -(-(last_start + blk) // 1024) * 1024
 
 
 @functools.lru_cache(maxsize=16)
 def _build_fused_call(fft_length: int, hop_length: int, num_mels: int,
                       n_blocks: int, bc: int, ft_count: int, to_db: bool,
-                      db_ref: float, amin: float, split: bool):
-    N, HOP, TB = fft_length, hop_length, _TB
+                      db_ref: float, amin: float, split: bool,
+                      tb: int = None, fbt: int = None):
+    # tile sizes participate in the cache key (they are module-level
+    # tunables; a mutated global must not serve stale compiled calls)
+    TB = tb if tb is not None else _TB
+    FBT_ = fbt if fbt is not None else _FREQ_TILE
+    N, HOP = fft_length, hop_length
     BLK = -(-((TB - 1) * HOP + N) // 1024) * 1024
-    FBT = _FREQ_TILE
-    stride = _stream_stride(N, HOP, n_blocks)
+    FBT = FBT_
+    stride = _stream_stride(N, HOP, n_blocks, TB)
 
     def dot3(xhi, xlo, bhi_ref, blo_ref):
         """Split-precision product: hi·hi + hi·lo + lo·hi on the MXU."""
@@ -295,7 +303,7 @@ def _fused_fwd_impl(waveform, filterbank, fft_length, hop_length, window,
 
     call = _build_fused_call(N, HOP, num_mels, n_blocks, bc, ft_count,
                              to_db, float(db_ref), float(amin),
-                             precision == "split3")
+                             precision == "split3", _TB, _FREQ_TILE)
     out = call(x, bhi, blo, fbhi, fblo)         # (bc, n_blocks·TB, M)
     out = out[:, :n_frames, :]
     out = jnp.swapaxes(out, -1, -2)             # (bc, M, n_frames)
