@@ -207,6 +207,32 @@ def test_data_parallel_fused_layer(rng):
     assert len(out_dp.sharding.device_set) == 8
 
 
+def test_dryrun_multichip_hermetic_cpu():
+    """Regression for the round-1 driver failure: dryrun_multichip must
+    never initialize a non-CPU backend, even when the ambient environment
+    points JAX at the axon TPU (a TPU-side fault like a libtpu version
+    skew must not be able to fail the sharding dry run)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)  # keep the ambient JAX_PLATFORMS as-is
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import __graft_entry__\n"
+        "__graft_entry__.dryrun_multichip(8)\n"
+        "from jax._src import xla_bridge\n"
+        "plats = sorted(xla_bridge._backends)\n"
+        "assert plats == ['cpu'], f'non-CPU backend initialized: {plats}'\n"
+        "print('HERMETIC_OK')\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], cwd=repo, env=env,
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "HERMETIC_OK" in proc.stdout, proc.stdout
+
+
 def test_sharded_apply(rng):
     mesh = par.make_mesh()
     f = par.sharded_apply(lambda x: x * 2.0, mesh)
