@@ -40,3 +40,19 @@ def test_mismatch_raises(tmp_path):
     other = tac.Melspectrogram(num_mels=32, fft_length=128, trainable=True)
     with pytest.raises(ValueError):
         load_params(p, other.init_params())
+
+
+def test_treedef_mismatch_raises(tmp_path, rng):
+    """Same leaf count AND shapes but different tree structure must be
+    rejected — leaf-count checking alone would silently mis-restore."""
+    a = rng.standard_normal((4, 4)).astype(np.float32)
+    b = rng.standard_normal((4, 4)).astype(np.float32)
+    p = str(tmp_path / "tree.npz")
+    save_params(p, {"conv": a, "head": b})
+    with pytest.raises(ValueError, match="tree structure"):
+        load_params(p, [a, b])  # list vs dict: same leaves, other treedef
+    with pytest.raises(ValueError, match="tree structure"):
+        load_params(p, {"conv": a, "OTHER": b})  # different dict keys
+    # matching structure still loads
+    restored = load_params(p, {"conv": b, "head": a})
+    np.testing.assert_array_equal(np.asarray(restored["conv"]), a)

@@ -228,3 +228,17 @@ def test_nuttall_and_named_windows_in_stft(rng):
     x = jnp.asarray(rng.standard_normal(2048).astype(np.float32))
     s = ops.stft(x, 256, 64, window="nuttall")
     assert s.shape[0] == 129
+
+
+def test_mu_law_encoding_clamps_out_of_range():
+    """Inputs outside [-1, 1] must clamp, keeping codes in range."""
+    x = jnp.asarray([-5.0, -1.0, 0.0, 1.0, 5.0, np.float32(1.0 + 1e-6)])
+    codes = np.asarray(ops.mu_law_encoding(x, 256))
+    assert codes.min() >= 0 and codes.max() <= 255
+    np.testing.assert_array_equal(codes[0], codes[1])   # -5 == -1
+    np.testing.assert_array_equal(codes[3], codes[4])   # +5 == +1
+    # in-range values unaffected by the clamp
+    y = jnp.asarray(np.linspace(-1, 1, 101, dtype=np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(ops.mu_law_encoding(y)),
+        np.asarray(ops.mu_law_encoding(jnp.clip(y, -1, 1))))

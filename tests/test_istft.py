@@ -71,11 +71,23 @@ def test_istft_gradient_flows(rng):
                                2 * np.asarray(x)[interior], atol=1e-3)
 
 
-def test_length_too_long_raises(rng):
-    spec = ops.stft(jnp.asarray(rng.standard_normal((2048,))
-                                .astype(np.float32)), 256, 64)
-    with pytest.raises(ValueError, match="length"):
-        ops.istft(spec, 64, length=10**6)
+def test_length_beyond_reconstructable_zero_pads(rng):
+    """torch.istft parity: length beyond the reconstructable range
+    zero-pads the output rather than raising."""
+    x = rng.standard_normal((2048,)).astype(np.float32)
+    spec = ops.stft(jnp.asarray(x), 256, 64)
+    out = np.asarray(ops.istft(spec, 64, length=3000))
+    assert out.shape == (3000,)
+    np.testing.assert_allclose(out[:2048], x, atol=1e-4)
+    ref = torch.istft(torch.stft(torch.from_numpy(x), 256, 64,
+                                 window=torch.hann_window(256),
+                                 return_complex=True),
+                      256, 64, window=torch.hann_window(256),
+                      length=3000).numpy()
+    # tail frames divide by a decaying window envelope — float noise is
+    # amplified there, so the whole-range bound is looser
+    np.testing.assert_allclose(out, ref, atol=5e-4)
+    np.testing.assert_array_equal(out[2500:], 0.0)
 
 
 def test_istft_matmul_method_matches_fft(rng):

@@ -170,3 +170,17 @@ def test_griffinlim_layer(rng):
     y = layer(mag, key=jax.random.PRNGKey(0))
     assert y.shape == (4096,)
     assert layer.state_dict() == {}
+
+
+def test_apply_filterbank_config_distinguishes_arrays(rng):
+    """Regression: raw-array filterbanks were keyed by shape + first 8
+    raveled values (~0 for every mel matrix), so two different banks
+    hashed equal — unsafe for jit static args / dict keys."""
+    fb1 = tac.ops.create_mel_filter(16, 16000, 0.0, 8000.0, 257)
+    fb2 = tac.ops.create_mel_filter(16, 16000, 300.0, 6000.0, 257)
+    l1 = tac.ApplyFilterbank(np.asarray(fb1))
+    l2 = tac.ApplyFilterbank(np.asarray(fb2))
+    assert l1 != l2 and hash(l1) != hash(l2)
+    # equal content still compares/hashes equal
+    l3 = tac.ApplyFilterbank(np.asarray(fb1))
+    assert l1 == l3 and hash(l1) == hash(l3)

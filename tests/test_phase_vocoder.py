@@ -65,3 +65,21 @@ def test_stretch_preserves_energy_scale(rng):
     m_in = float(jnp.mean(ops.complex_norm(spec)))
     m_out = float(jnp.mean(ops.complex_norm(out)))
     assert 0.5 < m_out / m_in < 2.0
+
+
+def test_phase_advance_uses_fft_length():
+    """Regression: fft_length was accepted but ignored — the advance is
+    2π·hop·f/N per bin f, which differs from the onesided default
+    whenever fft_length != 2·(n_freqs-1) (e.g. two-sided specs)."""
+    n_freqs, hop = 64, 32
+    # two-sided: n_freqs == fft_length
+    adv = np.asarray(ops.compute_phase_advance(n_freqs, hop, n_freqs))
+    want = 2 * np.pi * hop * np.arange(n_freqs) / n_freqs
+    np.testing.assert_allclose(adv[:, 0], want, rtol=1e-6)
+    # onesided default unchanged: linspace(0, π·hop, n_freqs)
+    adv1 = np.asarray(ops.compute_phase_advance(129, hop))
+    np.testing.assert_allclose(
+        adv1[:, 0], np.linspace(0, np.pi * hop, 129), rtol=1e-6)
+    # and it equals the explicit onesided fft_length
+    adv2 = np.asarray(ops.compute_phase_advance(129, hop, 256))
+    np.testing.assert_allclose(adv1, adv2, rtol=1e-6)

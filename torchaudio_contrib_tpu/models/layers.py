@@ -24,6 +24,7 @@ TPU-first redesign (not a port of nn.Module)
 """
 from __future__ import annotations
 
+import hashlib
 from typing import Optional
 
 import numpy as np
@@ -226,9 +227,14 @@ class ApplyFilterbank(Transform):
         else:
             self._fb_source = None
             self._fb_array = jnp.asarray(filterbank)
-            fb_key = (self._fb_array.shape,
-                      tuple(np.asarray(self._fb_array, np.float64)
-                            .ravel()[:8].tolist()))
+            # key by full content: transforms document themselves as safe
+            # jit static args / dict keys, so two different filterbanks
+            # must never hash equal (mel matrices all start with ~0s — a
+            # prefix sample would collide and serve stale compilations)
+            arr = np.ascontiguousarray(np.asarray(self._fb_array,
+                                                  np.float64))
+            fb_key = (arr.shape,
+                      hashlib.sha256(arr.tobytes()).hexdigest())
         self.trainable = trainable
         self._config = (fb_key, trainable)
 

@@ -293,6 +293,11 @@ def _fused_fwd_impl(waveform, filterbank, fft_length, hop_length, window,
     x = waveform.reshape((-1, T)).astype(jnp.float32)
     if stride > T:
         x = jnp.pad(x, ((0, 0), (0, stride - T)))
+    elif stride < T:
+        # trailing samples beyond the last block's (1024-rounded) DMA
+        # window belong to no full frame — drop them so the flatten below
+        # lands exactly on (bc·stride,)
+        x = x[:, :stride]
     bc = x.shape[0]
     x = x.reshape((bc * stride,))  # 1-D: kernel DMAs 1024-aligned slices
 

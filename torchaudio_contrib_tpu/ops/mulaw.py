@@ -17,8 +17,12 @@ __all__ = ["mu_law_encoding", "mu_law_decoding"]
 
 
 def mu_law_encoding(x: jnp.ndarray, n_quantize: int = 256) -> jnp.ndarray:
-    """Compand ``x ∈ [-1,1]`` to int32 codes in ``[0, n_quantize-1]``."""
+    """Compand ``x ∈ [-1,1]`` to int32 codes in ``[0, n_quantize-1]``.
+
+    Inputs outside [-1, 1] are clamped so codes always stay in range.
+    """
     mu = float(n_quantize - 1)
+    x = jnp.clip(x, -1.0, 1.0)
     x_mu = jnp.sign(x) * jnp.log1p(mu * jnp.abs(x)) / math.log1p(mu)
     return ((x_mu + 1.0) / 2.0 * mu + 0.5).astype(jnp.int32)
 

@@ -29,7 +29,8 @@ def compute_phase_advance(n_freqs: int, hop_length: int,
     """
     if fft_length is None:
         fft_length = 2 * (n_freqs - 1)
-    adv = np.linspace(0.0, np.pi * hop_length, n_freqs, dtype=np.float64)
+    adv = (2.0 * np.pi * hop_length
+           * np.arange(n_freqs, dtype=np.float64) / fft_length)
     return jnp.asarray(adv[:, None], dtype=jnp.float32)
 
 

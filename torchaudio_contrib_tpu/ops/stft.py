@@ -466,11 +466,9 @@ def istft(stft_matrix: jnp.ndarray,
     pad = fft_length // 2 if center else 0
     start = pad
     if length is not None:
-        stop = start + length
-        if stop > full_length:
-            raise ValueError(
-                f"requested length={length} exceeds reconstructable "
-                f"{full_length - 2 * pad if center else full_length} samples")
+        # torch.istft zero-pads when the requested length exceeds the
+        # reconstructable range — normalize the valid part, pad the rest
+        stop = min(start + length, full_length)
     else:
         stop = full_length - pad
 
@@ -480,5 +478,8 @@ def istft(stft_matrix: jnp.ndarray,
             "window/hop pair violates NOLA on the output range; "
             "istft is not invertible for this configuration")
 
-    out = out[..., start:stop]
-    return out / jnp.asarray(env_kept, dtype=dtype)
+    out = out[..., start:stop] / jnp.asarray(env_kept, dtype=dtype)
+    if length is not None and out.shape[-1] < length:
+        out = jnp.pad(out, [(0, 0)] * (out.ndim - 1)
+                      + [(0, length - out.shape[-1])])
+    return out

@@ -25,13 +25,21 @@ def _flatten(params: Any):
     return leaves, treedef
 
 
+_FORMAT_VERSION = 1
+
+
+def _meta_blob(obj: Any) -> np.ndarray:
+    return np.frombuffer(json.dumps(obj).encode(), dtype=np.uint8)
+
+
 def save_params(path: str, params: Any) -> None:
     """Serialize a pytree of arrays (Nones allowed) to ``path`` (.npz)."""
     leaves, treedef = _flatten(params)
     arrays = {f"leaf_{i}": np.asarray(jax.device_get(x))
               for i, x in enumerate(leaves)}
-    arrays["__treedef__"] = np.frombuffer(
-        json.dumps(str(treedef)).encode(), dtype=np.uint8)
+    arrays["__treedef__"] = _meta_blob(str(treedef))
+    arrays["__meta__"] = _meta_blob({"format_version": _FORMAT_VERSION,
+                                     "n_leaves": len(leaves)})
     np.savez(path, **arrays)
 
 
@@ -40,7 +48,8 @@ def load_params(path: str, like: Any) -> Any:
 
     ``like`` provides the tree structure (e.g. ``model.init(key)`` or
     ``pipeline.init_params()``); leaf values are replaced by the stored
-    arrays.  Raises if the leaf count differs (config mismatch).
+    arrays.  Raises if the tree structure, leaf count, or any leaf shape
+    differs (config mismatch).
     """
     data = np.load(path)
     leaves, treedef = _flatten(like)
@@ -49,6 +58,13 @@ def load_params(path: str, like: Any) -> Any:
         raise ValueError(
             f"checkpoint has {n} leaves; expected {len(leaves)} — "
             "was it saved from a different config?")
+    if "__treedef__" in data.files:
+        stored = json.loads(bytes(data["__treedef__"]).decode())
+        if stored != str(treedef):
+            raise ValueError(
+                "checkpoint tree structure mismatch — saved from a "
+                f"different config?\n  checkpoint: {stored}\n"
+                f"  expected:   {treedef}")
     new_leaves = [data[f"leaf_{i}"] for i in range(n)]
     for old, new in zip(leaves, new_leaves):
         if tuple(np.shape(old)) != tuple(new.shape):
