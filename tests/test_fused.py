@@ -63,9 +63,10 @@ def test_filterbank_gradient(rng):
 def test_supported_matrix():
     assert ops.fused_mel_supported(2048, 512)
     assert ops.fused_mel_supported(1024, 256)
+    assert ops.fused_mel_supported(512, 160)         # ASR 10 ms hop
+    assert ops.fused_mel_supported(2048, 500)        # any hop < fft
     assert not ops.fused_mel_supported(2048, 2048)   # no overlap
-    assert not ops.fused_mel_supported(400, 160)     # unaligned
-    assert not ops.fused_mel_supported(2048, 500)    # hop doesn't divide
+    assert not ops.fused_mel_supported(400, 160)     # fft not 128-aligned
 
 
 def test_layer(rng):
@@ -104,3 +105,80 @@ def test_win_length_matches_chain(rng):
         ops.apply_filterbank(ops.complex_norm(spec, 2.0), fb), power=2.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Interpret-mode tests: run the REAL Pallas kernel paths (forward and the
+# backward dframes/dFB kernels) through the Pallas interpreter on CPU.
+# ---------------------------------------------------------------------------
+
+def _chain(x, fft, hop, fb, to_db=True, win_length=None):
+    spec = ops.stft(x, fft, hop, center=False, win_length=win_length)
+    p = ops.complex_norm(spec, 2.0)
+    mel = ops.apply_filterbank(p, fb)
+    return ops.amplitude_to_db(mel, power=2.0) if to_db else mel
+
+
+@pytest.fixture()
+def interpret_kernels(monkeypatch):
+    monkeypatch.setenv("TAC_FUSED_INTERPRET", "1")
+
+
+@pytest.mark.parametrize("fft,hop", [(512, 128), (512, 160), (256, 100)])
+def test_kernel_fwd_interpret(interpret_kernels, rng, fft, hop):
+    """Forward kernel (in-kernel DMA framing for aligned hops, XLA-side
+    framing otherwise) vs the XLA chain, via the Pallas interpreter."""
+    x = jnp.asarray(rng.standard_normal((2, 9000)).astype(np.float32))
+    fb = ops.create_mel_filter(64, 16000, 0.0, None, fft // 2 + 1)
+    out = ops.fused_melspectrogram(x, fb, fft, hop)
+    ref = _chain(x, fft, hop, fb)
+    err = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    assert err <= 5e-5, err
+
+
+@pytest.mark.parametrize("fft,hop", [(512, 128), (512, 160)])
+def test_kernel_bwd_interpret(interpret_kernels, rng, fft, hop):
+    """Backward kernels (dframes + dFB) vs the XLA chain's VJP, with a
+    fixed primal-independent cotangent."""
+    x = jnp.asarray(rng.standard_normal((1, 8192)).astype(np.float32))
+    fb = ops.create_mel_filter(64, 16000, 0.0, None, fft // 2 + 1)
+    n_frames = 1 + (8192 - fft) // hop
+    w = jnp.asarray(rng.standard_normal((1, 64, n_frames))
+                    .astype(np.float32))
+
+    gx, gf = jax.grad(lambda v, f: jnp.sum(
+        ops.fused_melspectrogram(v, f, fft, hop) * w), argnums=(0, 1))(x, fb)
+    rx, rf = jax.grad(lambda v, f: jnp.sum(
+        _chain(v, fft, hop, f) * w), argnums=(0, 1))(x, fb)
+    ex = float(jnp.max(jnp.abs(gx - rx)) / jnp.max(jnp.abs(rx)))
+    ef = float(jnp.max(jnp.abs(gf - rf)) / jnp.max(jnp.abs(rf)))
+    assert ex <= 1e-4, ex
+    assert ef <= 1e-4, ef
+
+
+def test_kernel_fwd_interpret_no_db_fast_win(interpret_kernels, rng):
+    """Kernel-path coverage for to_db=False, precision='fast', and
+    win_length < fft_length."""
+    x = jnp.asarray(rng.standard_normal((1, 8192)).astype(np.float32))
+    fb = ops.create_mel_filter(32, 16000, 0.0, None, 257)
+    out = ops.fused_melspectrogram(x, fb, 512, 128, to_db=False,
+                                   win_length=400)
+    ref = _chain(x, 512, 128, fb, to_db=False, win_length=400)
+    err = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    assert err <= 5e-5, err
+    out_fast = ops.fused_melspectrogram(x, fb, 512, 128, to_db=False,
+                                        win_length=400, precision="fast")
+    err_fast = float(jnp.max(jnp.abs(out_fast - ref))
+                     / jnp.max(jnp.abs(ref)))
+    assert err_fast <= 2e-2, err_fast
+
+
+def test_kernel_interpret_mel_padding(interpret_kernels, rng):
+    """num_mels not a multiple of 128 pads internally and slices back."""
+    x = jnp.asarray(rng.standard_normal((1, 4096)).astype(np.float32))
+    fb = ops.create_mel_filter(40, 16000, 0.0, None, 129)
+    out = ops.fused_melspectrogram(x, fb, 256, 128)
+    ref = _chain(x, 256, 128, fb)
+    assert out.shape == ref.shape
+    err = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    assert err <= 5e-5, err

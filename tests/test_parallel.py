@@ -240,3 +240,28 @@ def test_sharded_apply(rng):
     out = f(x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2.0)
     assert len(out.sharding.device_set) == 8
+
+
+def test_corpus_int16_wire_format(rng):
+    """int16 wire (peak-normalized, on-device dequant) matches the f32
+    pipeline to int16 quantization accuracy."""
+    sr = 8000
+    clips = {i: (rng.standard_normal((1, sr)) * (0.1 + i)).astype(np.float32)
+             for i in range(8)}
+    outs16, outs32 = {}, {}
+    common = dict(clip_samples=sr, batch_size=8,
+                  fft_length=512, hop_length=128, num_mels=32,
+                  sample_rate=sr, frames_per_chunk=16)
+    pre16 = par.CorpusPreprocessor(
+        lambda i: clips[i], wire_format="int16", prefetch_batches=3,
+        sink=lambda i, m: outs16.__setitem__(i, np.asarray(m)), **common)
+    pre32 = par.CorpusPreprocessor(
+        lambda i: clips[i],
+        sink=lambda i, m: outs32.__setitem__(i, np.asarray(m)), **common)
+    s16 = pre16.run(range(8))
+    s32 = pre32.run(range(8))
+    assert s16.files_done == 8 and s32.files_done == 8
+    for i in range(8):
+        # dB-domain comparison: int16 SNR ~96 dB -> tight everywhere the
+        # signal is above the amin clamp
+        np.testing.assert_allclose(outs16[i], outs32[i], atol=3e-2)

@@ -1,20 +1,23 @@
-"""Fused mel-spectrogram Pallas kernel — the whole pipeline in one pass.
+"""Fused mel-spectrogram Pallas kernels — forward AND backward in one pass.
 
 Motivation (measured on TPU v5e, batch 32 × 30 s @ 22.05 kHz): the
 XLA-composed chain costs ~32 ms/iter, dominated by HBM round-trips
-between framing, FFT, power, and mel stages (the framing gather alone was
-~40 % of the original 50 ms).  Fusing everything into one Pallas program
-keeps each tile of frames resident in VMEM from raw samples to log-mel
-output, so HBM traffic drops to "read the waveform once, write the mel
-once" — the SURVEY §7 step-5 "Pallas if XLA leaves HBM round-trips on the
-table" case, and it does.
+between framing, FFT, power, and mel stages.  Fusing everything into one
+Pallas program keeps each tile of frames resident in VMEM from raw
+samples to log-mel output, so HBM traffic drops to "read the waveform
+once, write the mel once" — the SURVEY §7 step-5 "Pallas if XLA leaves
+HBM round-trips on the table" case, and it does.
 
-Kernel structure — grid ``(batch·channel, frame_blocks, freq_tiles)``,
+Forward kernel — grid ``(batch·channel, frame_blocks, freq_tiles)``,
 freq innermost (sequential on-core, enabling accumulation):
 
 1. at ``ft == 0``: async-DMA the block's samples from HBM into VMEM and
    build the ``(TB, fft)`` frame matrix with ``TB`` static row slices
-   (no gather; persists in scratch across freq tiles);
+   (no gather; persists in scratch across freq tiles).  For hops that
+   are not 128-aligned (e.g. the 10 ms ASR hop=160), framing instead
+   happens XLA-side (dense phase-decomposed copies) and the kernel
+   reads pre-split frame blocks — same GEMM pipeline, ~1 extra HBM
+   round-trip of the frames buffer;
 2. MXU GEMMs against this freq-tile's slice of the *windowed DFT basis*
    ``[W·cos | W·sin]`` → ``(TB, 2·FBT)`` re/im;
 3. power ``re²+im²`` (VPU);
@@ -24,31 +27,54 @@ freq innermost (sequential on-core, enabling accumulation):
 
 Precision: the MXU is bf16; a single-pass product costs ~2e-3 relative
 error — far past the parity budget.  ``precision="split3"`` (default)
-splits each operand into bf16 hi+lo parts and sums three GEMMs
-(``hi·hi + hi·lo + lo·hi``), recovering ~4e-6 relative error at 3× the
-MXU work (Pallas exposes no bf16_3x dot; HIGHEST compiles pathologically
-here, so the split is manual).  ``precision="fast"`` keeps the single
-bf16 pass for throughput-over-parity workloads.  Mosaic constraints
-honored throughout: values stay 2-D (3-D reshapes are unsupported shape
-casts) and HBM DMA offsets/lengths are 1024-aligned.
+splits each operand into bf16 hi+lo parts and sums the hi·hi + hi·lo +
+lo·hi products (~4e-6 relative error at 3× the MXU work).  The three
+products are issued as TWO GEMMs via operand concatenation:
+``[hi|lo]·[lo;hi] + hi·hi`` — same FLOPs, better MXU scheduling than
+three separate passes.  (Pallas exposes no bf16_3x dot; HIGHEST compiles
+pathologically here, so the split is manual.)  ``precision="fast"``
+keeps the single bf16 pass for throughput-over-parity workloads.
 
-Gradients: the op carries a ``custom_vjp`` whose backward re-runs the
-mathematically-identical jnp chain under ``jax.vjp`` — forward pays the
-fused-kernel price, backward the (already well-fused) XLA price, and
-parity tests pin the two paths together.
+Backward (training — the reference's trainable-frontend use case): the
+forward saves the re/im spectrum tiles as a residual (one extra HBM
+write, ~0.5 ms — far cheaper than recomputing the DFT GEMMs), and two
+Pallas kernels produce the gradients:
+
+* ``dframes`` kernel, grid ``(row_blocks, freq_tiles)``: dB-gate →
+  ``dmel`` (VPU, recomputed from the saved output), ``dp = dmel·FBᵀ``
+  (MXU), ``dre/dim = 2·re/im·dp`` (VPU), ``dF += [dre|dim]·Bᵀ`` (MXU,
+  accumulated over freq tiles directly in the output block).  The
+  overlap-add of ``dF`` back to the waveform is the exact adjoint of
+  the phase-decomposed framing, done XLA-side via ``jax.vjp`` of
+  :func:`~torchaudio_contrib_tpu.ops.stft.frame_signal` (dense adds).
+* ``dFB`` kernel, grid ``(freq_tiles, row_blocks)`` — freq OUTERMOST so
+  the ``(FBT, mels)`` output block accumulates validly over the
+  row-block dimension: ``dFB_t += p_tᵀ·dmel``.
+
+All backward GEMMs run split-precision regardless of the forward mode
+(gradient parity ≤1e-4 vs the XLA chain's VJP).  Off-TPU and for
+unsupported configs the op transparently runs the jnp chain and its
+AD-derived VJP.
+
+Mosaic constraints honored throughout: values stay 2-D (3-D reshapes are
+unsupported shape casts) and HBM DMA offsets/lengths are 1024-aligned.
+Set ``TAC_FUSED_INTERPRET=1`` to run the kernels through the Pallas
+interpreter (CPU tests of the real kernel paths).
 """
 from __future__ import annotations
 
 import functools
 import math
+import os
 
+import ml_dtypes
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .stft import stft as _stft
+from .stft import stft as _stft, frame_signal as _frame_signal
 from .windows import get_window
 from .complexops import complex_norm
 from .filters import apply_filterbank
@@ -56,16 +82,41 @@ from .db import amplitude_to_db
 
 __all__ = ["fused_melspectrogram", "fused_mel_supported"]
 
-_LN10_INV_10 = 10.0 / math.log(10.0)
-_FREQ_TILE = 256          # onesided bins per grid step
-_TB = 256                 # frames per block
+_LN10_INV_10 = 10.0 / math.log(10.0)   # d(dB)/d(mel) = this / mel
+_DB_TO_LIN = math.log(10.0) / 10.0     # mel = ref·exp(dB·this)
+
+# Tile tunables (TPU v5e, measured — docs/PERFORMANCE.md):
+_FREQ_TILE = 256   # onesided bins per grid step (shared fwd/bwd: the
+                   # residual spectrum layout is tiled by this)
+_TB = 256          # frames per block, forward
+_TB_BWD = 256      # frames per block, backward
+_DBUF = False      # double-buffer the forward waveform DMA
+
+
+def _interpret() -> bool:
+    return os.environ.get("TAC_FUSED_INTERPRET", "0") == "1"
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return _cdiv(x, m) * m
 
 
 def fused_mel_supported(fft_length: int, hop_length: int) -> bool:
-    """The kernel needs hop | fft and 128-aligned sizes (VMEM lane tiling
-    keeps every in-kernel slice aligned; other configs use the XLA chain)."""
-    return (fft_length % hop_length == 0 and fft_length > hop_length
-            and hop_length % 128 == 0 and fft_length % 128 == 0)
+    """True when the Pallas kernel covers this config: 128-aligned fft
+    with overlapping frames.  128-aligned hops use in-kernel framing
+    (fastest); any other hop (e.g. 160) uses XLA-side framing feeding
+    the same kernel."""
+    return (fft_length % 128 == 0 and 0 < hop_length < fft_length)
+
+
+def _hop_aligned(fft_length: int, hop_length: int) -> bool:
+    """In-kernel DMA framing needs lane/DMA-aligned row slices."""
+    return (fft_length % hop_length == 0 and hop_length % 128 == 0
+            and fused_mel_supported(fft_length, hop_length))
 
 
 def _hashable_window(window):
@@ -74,24 +125,26 @@ def _hashable_window(window):
     return tuple(np.asarray(window, dtype=np.float64).ravel().tolist())
 
 
-def _split_bf16(a):
-    """f32 array → (hi, lo) bf16 pair with hi + lo ≈ a to ~2^-17.
-    Works on NumPy constants and traced jnp arrays alike."""
-    a32 = jnp.asarray(a, jnp.float32)
-    hi = a32.astype(jnp.bfloat16)
-    lo = (a32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+# ---------------------------------------------------------------------------
+# constants: windowed DFT basis (static → float64 NumPy, cached)
+# ---------------------------------------------------------------------------
+
+def _np_split_bf16(a):
+    a32 = np.asarray(a, np.float32)
+    hi = a32.astype(ml_dtypes.bfloat16)
+    lo = (a32 - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
     return hi, lo
 
 
 @functools.lru_cache(maxsize=16)
-def _basis_and_sizes(fft_length: int, win_key, win_length=None):
+def _basis_f32(fft_length: int, win_key, win_length, fbt: int):
     """Windowed onesided DFT basis, freq-padded and tiled: float32
     ``(fft, FT·2·FBT)`` with tile t columns ``[re_t | im_t]``.
     ``win_length < fft_length`` zero-pad-centers the window (torch
     semantics) — it simply folds into the basis."""
     n_freqs = fft_length // 2 + 1
-    ft_count = -(-n_freqs // _FREQ_TILE)
-    f_pad = ft_count * _FREQ_TILE
+    ft_count = _cdiv(n_freqs, fbt)
+    f_pad = ft_count * fbt
 
     if win_length is None:
         win_length = fft_length
@@ -109,119 +162,552 @@ def _basis_and_sizes(fft_length: int, win_key, win_length=None):
 
     tiles = []
     for t in range(ft_count):
-        s = slice(t * _FREQ_TILE, (t + 1) * _FREQ_TILE)
+        s = slice(t * fbt, (t + 1) * fbt)
         tiles.append(np.concatenate([wr[:, s], wi[:, s]], axis=1))
     basis = np.concatenate(tiles, axis=1).astype(np.float32)
     return basis, n_freqs, ft_count, f_pad
 
 
-def _stream_stride(fft_length: int, hop_length: int, n_blocks: int,
-                   tb: int = None) -> int:
-    """Per-stream length in the flattened waveform: fits every block's
-    (1024-rounded) DMA window, itself a 1024-multiple."""
-    if tb is None:
-        tb = _TB
-    blk = -(-((tb - 1) * hop_length + fft_length) // 1024) * 1024
-    last_start = (n_blocks - 1) * tb * hop_length
-    return -(-(last_start + blk) // 1024) * 1024
+@functools.lru_cache(maxsize=16)
+def _fwd_basis_stack(fft_length: int, win_key, win_length, fbt: int,
+                     split: bool) -> np.ndarray:
+    """bf16 basis for the forward kernel.  split: ``(2·fft, FT·2FBT)``
+    rows ``[lo; hi]`` so ``[fhi|flo]·this + fhi·this[fft:]`` is the
+    3-product split GEMM; fast: just ``hi`` ``(fft, FT·2FBT)``."""
+    basis, *_ = _basis_f32(fft_length, win_key, win_length, fbt)
+    hi, lo = _np_split_bf16(basis)
+    if split:
+        return np.concatenate([lo, hi], axis=0)
+    return hi
 
 
 @functools.lru_cache(maxsize=16)
-def _build_fused_call(fft_length: int, hop_length: int, num_mels: int,
-                      n_blocks: int, bc: int, ft_count: int, to_db: bool,
-                      db_ref: float, amin: float, split: bool,
-                      tb: int = None, fbt: int = None):
-    # tile sizes participate in the cache key (they are module-level
-    # tunables; a mutated global must not serve stale compiled calls)
-    TB = tb if tb is not None else _TB
-    FBT_ = fbt if fbt is not None else _FREQ_TILE
-    N, HOP = fft_length, hop_length
-    BLK = -(-((TB - 1) * HOP + N) // 1024) * 1024
-    FBT = FBT_
-    stride = _stream_stride(N, HOP, n_blocks, TB)
+def _bwd_basis_stack(fft_length: int, win_key, win_length,
+                     fbt: int) -> np.ndarray:
+    """bf16 transposed basis for the dframes kernel: ``(FT·4FBT, fft)``
+    with tile-t rows ``[Bᵀ_lo_t (2FBT); Bᵀ_hi_t (2FBT)]``."""
+    basis, n_freqs, ft_count, f_pad = _basis_f32(fft_length, win_key,
+                                                 win_length, fbt)
+    hi, lo = _np_split_bf16(basis)
+    rows = []
+    for t in range(ft_count):
+        s = slice(t * 2 * fbt, (t + 1) * 2 * fbt)
+        rows.append(np.concatenate([np.ascontiguousarray(lo[:, s].T),
+                                    np.ascontiguousarray(hi[:, s].T)],
+                                   axis=0))
+    return np.concatenate(rows, axis=0)
 
-    def dot3(xhi, xlo, bhi_ref, blo_ref):
-        """Split-precision product: hi·hi + hi·lo + lo·hi on the MXU."""
-        out = jnp.dot(xhi, bhi_ref[:], preferred_element_type=jnp.float32)
+
+# traced filterbank staging (the filterbank may be a trainable param) ------
+
+def _fb_padded(filterbank, n_freqs: int, f_pad: int, m_pad: int):
+    fb = jnp.asarray(filterbank, jnp.float32)
+    fbp = jnp.zeros((f_pad, m_pad), jnp.float32)
+    return fbp.at[:n_freqs, :fb.shape[1]].set(fb)
+
+
+def _fb_fwd_stack(fbp, ft: int, fbt: int, m_pad: int, split: bool):
+    """(FT·2FBT, M) with tile-t rows [lo_t; hi_t] (split) or hi (FT·FBT, M)."""
+    hi = fbp.astype(jnp.bfloat16)
+    if not split:
+        return hi
+    lo = (fbp - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    lo3 = lo.reshape(ft, fbt, m_pad)
+    hi3 = hi.reshape(ft, fbt, m_pad)
+    return jnp.concatenate([lo3, hi3], axis=1).reshape(ft * 2 * fbt, m_pad)
+
+
+def _fb_bwd_stack(fbp, ft: int, fbt: int, m_pad: int):
+    """(FT·2M, FBT) with tile-t rows [FBᵀ_lo_t (M); FBᵀ_hi_t (M)]."""
+    hi = fbp.astype(jnp.bfloat16)
+    lo = (fbp - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    hiT = hi.reshape(ft, fbt, m_pad).transpose(0, 2, 1)   # (ft, M, FBT)
+    loT = lo.reshape(ft, fbt, m_pad).transpose(0, 2, 1)
+    return jnp.concatenate([loT, hiT], axis=1).reshape(ft * 2 * m_pad, fbt)
+
+
+def _split_cat_cols(a):
+    """f32 (R, C) → bf16 (R, 2C) ``[hi | lo]`` (XLA-side operand split)."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _stream_stride(fft_length: int, hop_length: int, n_blocks: int,
+                   tb: int) -> int:
+    """Per-stream length in the flattened waveform: fits every block's
+    (1024-rounded) DMA window, itself a 1024-multiple."""
+    blk = _round_up((tb - 1) * hop_length + fft_length, 1024)
+    last_start = (n_blocks - 1) * tb * hop_length
+    return _round_up(last_start + blk, 1024)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_fwd_call(N: int, HOP: int, m_pad: int, n_blocks: int, bc: int,
+                    ft_count: int, to_db: bool, db_ref: float, amin: float,
+                    split: bool, tb: int, fbt: int, frames_in: bool,
+                    save_spec: bool, dbuf: bool, interpret: bool):
+    TB, FBT = tb, fbt
+    G = bc * n_blocks
+    if not frames_in:
+        BLK = _round_up((TB - 1) * HOP + N, 1024)
+        stride = _stream_stride(N, HOP, n_blocks, TB)
+        assert (TB * HOP) % 1024 == 0, (TB, HOP)
+    CN = 2 * N if split else N          # frame-cat width
+    db_off = _LN10_INV_10 * math.log(max(amin, db_ref)) if to_db else 0.0
+
+    def dft_mel(fcat, bstack_ref, fbstack_ref):
+        """(TB, CN) bf16 frames → (reim (TB,2FBT) f32, mel partial)."""
         if split:
-            out = out + jnp.dot(xhi, blo_ref[:],
-                                preferred_element_type=jnp.float32)
-            out = out + jnp.dot(xlo, bhi_ref[:],
-                                preferred_element_type=jnp.float32)
-        return out
-
-    def kernel(x_hbm, bhi_ref, blo_ref, fbhi_ref, fblo_ref, o_ref,
-               xbuf, frames, sem):
-        # x_hbm is the flattened (bc·stride,) waveform — 1-D so slices
-        # never fight (sublane, lane) HBM tiling; offsets/lengths are
-        # 1024-aligned by construction.
-        ib = pl.program_id(1)
-        ft = pl.program_id(2)
-
-        @pl.when(ft == 0)
-        def _load():
-            i_bc = pl.program_id(0)
-            start = i_bc * stride + ib * (TB * HOP)
-            dma = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(start, BLK)], xbuf, sem)
-            dma.start()
-            dma.wait()
-            for j in range(TB):  # static row slices — no gather
-                frames[j, :] = xbuf[j * HOP: j * HOP + N]
-
-        fr = frames[:]
-        fhi = fr.astype(jnp.bfloat16)
-        flo = (fr - fhi.astype(jnp.float32)).astype(jnp.bfloat16)
-        reim = dot3(fhi, flo, bhi_ref, blo_ref)          # (TB, 2·FBT)
+            reim = jnp.dot(fcat, bstack_ref[:],
+                           preferred_element_type=jnp.float32)
+            reim = reim + jnp.dot(fcat[:, :N], bstack_ref[N:, :],
+                                  preferred_element_type=jnp.float32)
+        else:
+            reim = jnp.dot(fcat, bstack_ref[:],
+                           preferred_element_type=jnp.float32)
         p = (reim[:, :FBT] * reim[:, :FBT]
              + reim[:, FBT:] * reim[:, FBT:])
-        phi = p.astype(jnp.bfloat16)
-        plo = (p - phi.astype(jnp.float32)).astype(jnp.bfloat16)
-        partial = dot3(phi, plo, fbhi_ref, fblo_ref)     # (TB, M)
+        if split:
+            phi = p.astype(jnp.bfloat16)
+            plo = (p - phi.astype(jnp.float32)).astype(jnp.bfloat16)
+            pcat = jnp.concatenate([phi, plo], axis=1)
+            part = jnp.dot(pcat, fbstack_ref[:],
+                           preferred_element_type=jnp.float32)
+            part = part + jnp.dot(phi, fbstack_ref[FBT:, :],
+                                  preferred_element_type=jnp.float32)
+        else:
+            part = jnp.dot(p.astype(jnp.bfloat16), fbstack_ref[:],
+                           preferred_element_type=jnp.float32)
+        return reim, part
+
+    def epilogue(ft, o_ref, part, reim, reim_ref):
+        if save_spec:
+            reim_ref[0] = reim
 
         @pl.when(ft == 0)
         def _init():
-            o_ref[0] = partial
+            o_ref[0] = part
 
         @pl.when(ft > 0)
         def _acc():
-            o_ref[0] = o_ref[0] + partial
+            o_ref[0] = o_ref[0] + part
 
         if to_db:
             @pl.when(ft == ft_count - 1)
             def _db():
-                o_ref[0] = (_LN10_INV_10 * jnp.log(jnp.maximum(o_ref[0],
-                                                               amin))
-                            - _LN10_INV_10 * math.log(max(amin, db_ref)))
+                o_ref[0] = (_LN10_INV_10
+                            * jnp.log(jnp.maximum(o_ref[0], amin)) - db_off)
 
-    const = pl.BlockSpec  # brevity below
+    if frames_in:
+        def kernel(fcat_ref, bstack_ref, fbstack_ref, *outs):
+            o_ref = outs[0]
+            reim_ref = outs[1] if save_spec else None
+            ft = pl.program_id(2)
+            reim, part = dft_mel(fcat_ref[:], bstack_ref, fbstack_ref)
+            epilogue(ft, o_ref, part, reim, reim_ref)
+
+        in_specs = [
+            pl.BlockSpec((TB, CN), lambda b, i, t: (b * n_blocks + i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CN, 2 * FBT), lambda b, i, t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * FBT if split else FBT, m_pad),
+                         lambda b, i, t: (t, 0), memory_space=pltpu.VMEM),
+        ]
+        scratch_shapes = []
+    else:
+        def kernel(x_hbm, bstack_ref, fbstack_ref, *rest):
+            if save_spec:
+                o_ref, reim_ref = rest[0], rest[1]
+                scr = rest[2:]
+            else:
+                o_ref, reim_ref = rest[0], None
+                scr = rest[1:]
+            if dbuf:
+                xbuf, fcat_s, sem = scr
+            else:
+                xbuf, fcat_s, sem = scr
+            b = pl.program_id(0)
+            ib = pl.program_id(1)
+            ft = pl.program_id(2)
+
+            @pl.when(ft == 0)
+            def _load():
+                if dbuf:
+                    g = b * n_blocks + ib
+                    slot = jax.lax.rem(g, 2)
+                    start = b * stride + ib * (TB * HOP)
+
+                    @pl.when(g == 0)
+                    def _warm():
+                        pltpu.make_async_copy(
+                            x_hbm.at[pl.ds(0, BLK)], xbuf.at[0],
+                            sem.at[0]).start()
+
+                    pltpu.make_async_copy(
+                        x_hbm.at[pl.ds(start, BLK)], xbuf.at[slot],
+                        sem.at[slot]).wait()
+
+                    @pl.when(g + 1 < G)
+                    def _next():
+                        b2 = (g + 1) // n_blocks
+                        i2 = (g + 1) - b2 * n_blocks
+                        start2 = b2 * stride + i2 * (TB * HOP)
+                        pltpu.make_async_copy(
+                            x_hbm.at[pl.ds(start2, BLK)],
+                            xbuf.at[1 - slot], sem.at[1 - slot]).start()
+                else:
+                    start = b * stride + ib * (TB * HOP)
+                    dma = pltpu.make_async_copy(
+                        x_hbm.at[pl.ds(start, BLK)], xbuf, sem)
+                    dma.start()
+                    dma.wait()
+
+                if dbuf:
+                    xb = xbuf.at[jax.lax.rem(b * n_blocks + ib, 2)]
+                else:
+                    xb = xbuf
+                for j in range(TB):  # static row slices — no gather
+                    row = xb[j * HOP: j * HOP + N]
+                    hi = row.astype(jnp.bfloat16)
+                    fcat_s[j, 0:N] = hi
+                    if split:
+                        fcat_s[j, N:] = (
+                            row - hi.astype(jnp.float32)
+                        ).astype(jnp.bfloat16)
+
+            reim, part = dft_mel(fcat_s[:], bstack_ref, fbstack_ref)
+            epilogue(ft, o_ref, part, reim, reim_ref)
+
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.ANY),        # waveform (HBM)
+            pl.BlockSpec((CN, 2 * FBT), lambda b, i, t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * FBT if split else FBT, m_pad),
+                         lambda b, i, t: (t, 0), memory_space=pltpu.VMEM),
+        ]
+        scratch_shapes = [
+            pltpu.VMEM((2, BLK) if dbuf else (BLK,), jnp.float32),
+            pltpu.VMEM((TB, CN), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,) if dbuf else ()),
+        ]
+
+    out_shape = [jax.ShapeDtypeStruct((bc, n_blocks * TB, m_pad),
+                                      jnp.float32)]
+    out_specs = [pl.BlockSpec((1, TB, m_pad), lambda b, i, t: (b, i, 0),
+                              memory_space=pltpu.VMEM)]
+    if save_spec:
+        out_shape.append(jax.ShapeDtypeStruct(
+            (bc, n_blocks * TB, ft_count * 2 * FBT), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, TB, 2 * FBT),
+                                      lambda b, i, t: (b, i, t),
+                                      memory_space=pltpu.VMEM))
+
     return pl.pallas_call(
         kernel,
         grid=(bc, n_blocks, ft_count),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),        # waveform (HBM)
-            const((N, 2 * FBT), lambda b, i, t: (0, t),
-                  memory_space=pltpu.VMEM),               # basis hi
-            const((N, 2 * FBT), lambda b, i, t: (0, t),
-                  memory_space=pltpu.VMEM),               # basis lo
-            const((FBT, num_mels), lambda b, i, t: (t, 0),
-                  memory_space=pltpu.VMEM),               # filterbank hi
-            const((FBT, num_mels), lambda b, i, t: (t, 0),
-                  memory_space=pltpu.VMEM),               # filterbank lo
-        ],
-        out_specs=pl.BlockSpec((1, TB, num_mels), lambda b, i, t: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bc, n_blocks * TB, num_mels),
-                                       jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((BLK,), jnp.float32),
-            pltpu.VMEM((TB, N), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
+        out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
+# ---------------------------------------------------------------------------
+# backward kernels
+# ---------------------------------------------------------------------------
+
+def _dmel_from(g, y, to_db: bool, db_ref: float, amin: float):
+    """d(loss)/d(mel) from the output cotangent, recomputing the dB gate
+    from the saved output: mel_clamped = max(ref,amin)·10^(y/10)."""
+    if not to_db:
+        return g
+    mel_c = max(db_ref, amin) * jnp.exp(y * _DB_TO_LIN)
+    return jnp.where(mel_c > amin, g * (_LN10_INV_10 / mel_c), 0.0)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_bwd_dx_call(N: int, m_pad: int, g_rows: int, ft_count: int,
+                       to_db: bool, db_ref: float, amin: float,
+                       tb: int, fbt: int, interpret: bool):
+    """dframes kernel: grid (row_blocks, freq_tiles), freq innermost so
+    the (TB, N) output block accumulates the per-tile dF partials."""
+    TB, FBT = tb, fbt
+    n_rb = g_rows // TB
+
+    def kernel(g_ref, y_ref, reim_ref, fbT_ref, bT_ref, o_ref, mcat_s):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _dmel():
+            dmel = _dmel_from(g_ref[:], y_ref[:], to_db, db_ref, amin)
+            hi = dmel.astype(jnp.bfloat16)
+            mcat_s[:, 0:m_pad] = hi
+            mcat_s[:, m_pad:] = (dmel - hi.astype(jnp.float32)
+                                 ).astype(jnp.bfloat16)
+
+        mcat = mcat_s[:]
+        dp = jnp.dot(mcat, fbT_ref[:], preferred_element_type=jnp.float32)
+        dp = dp + jnp.dot(mcat[:, :m_pad], fbT_ref[m_pad:, :],
+                          preferred_element_type=jnp.float32)
+        reim = reim_ref[:]                       # (TB, 2FBT) f32
+        dreim = jnp.concatenate(
+            [2.0 * reim[:, :FBT] * dp, 2.0 * reim[:, FBT:] * dp], axis=1)
+        dhi = dreim.astype(jnp.bfloat16)
+        dlo = (dreim - dhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dcat = jnp.concatenate([dhi, dlo], axis=1)   # (TB, 4FBT)
+        part = jnp.dot(dcat, bT_ref[:], preferred_element_type=jnp.float32)
+        part = part + jnp.dot(dhi, bT_ref[2 * FBT:, :],
+                              preferred_element_type=jnp.float32)
+
+        @pl.when(t == 0)
+        def _init():
+            o_ref[:] = part
+
+        @pl.when(t > 0)
+        def _acc():
+            o_ref[:] = o_ref[:] + part
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_rb, ft_count),
+        in_specs=[
+            pl.BlockSpec((TB, m_pad), lambda gi, t: (gi, 0),
+                         memory_space=pltpu.VMEM),        # g
+            pl.BlockSpec((TB, m_pad), lambda gi, t: (gi, 0),
+                         memory_space=pltpu.VMEM),        # y (fwd out)
+            pl.BlockSpec((TB, 2 * FBT), lambda gi, t: (gi, t),
+                         memory_space=pltpu.VMEM),        # reim residual
+            pl.BlockSpec((2 * m_pad, FBT), lambda gi, t: (t, 0),
+                         memory_space=pltpu.VMEM),        # FBᵀ stack
+            pl.BlockSpec((4 * FBT, N), lambda gi, t: (t, 0),
+                         memory_space=pltpu.VMEM),        # Bᵀ stack
+        ],
+        out_specs=pl.BlockSpec((TB, N), lambda gi, t: (gi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g_rows, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TB, 2 * m_pad), jnp.bfloat16)],
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _build_bwd_dfb_call(m_pad: int, g_rows: int, ft_count: int,
+                        to_db: bool, db_ref: float, amin: float,
+                        tb: int, fbt: int, interpret: bool):
+    """dFB kernel: grid (freq_tiles, row_blocks) — freq OUTERMOST so the
+    (FBT, M) output block accumulates over the row blocks (sequential
+    innermost dimension)."""
+    TB, FBT = tb, fbt
+    n_rb = g_rows // TB
+
+    def kernel(g_ref, y_ref, reim_ref, o_ref):
+        gi = pl.program_id(1)
+        dmel = _dmel_from(g_ref[:], y_ref[:], to_db, db_ref, amin)
+        mhi = dmel.astype(jnp.bfloat16)
+        mlo = (dmel - mhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        reim = reim_ref[:]
+        p = (reim[:, :FBT] * reim[:, :FBT]
+             + reim[:, FBT:] * reim[:, FBT:])
+        phi = p.astype(jnp.bfloat16)
+        plo = (p - phi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def dotT(a, b):  # contract the TB axis: (TB,FBT)ᵀ·(TB,M)
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        part = dotT(phi, mhi) + dotT(phi, mlo) + dotT(plo, mhi)
+
+        @pl.when(gi == 0)
+        def _init():
+            o_ref[:] = part
+
+        @pl.when(gi > 0)
+        def _acc():
+            o_ref[:] = o_ref[:] + part
+
+    return pl.pallas_call(
+        kernel,
+        grid=(ft_count, n_rb),
+        in_specs=[
+            pl.BlockSpec((TB, m_pad), lambda t, gi: (gi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, m_pad), lambda t, gi: (gi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 2 * FBT), lambda t, gi: (gi, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((FBT, m_pad), lambda t, gi: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ft_count * FBT, m_pad),
+                                       jnp.float32),
+        interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# dispatch / public op
+# ---------------------------------------------------------------------------
+
+def _kernel_eligible(fft_length, hop_length, power) -> bool:
+    if not (power == 2.0 and fused_mel_supported(fft_length, hop_length)):
+        return False
+    return jax.default_backend() == "tpu" or _interpret()
+
+
+def _jnp_reference(x, fft_length, hop_length, window, fb, power, to_db,
+                   db_ref, amin, method="fft", precision=None,
+                   win_length=None):
+    """The mathematically-identical XLA chain (fallback + fallback VJP)."""
+    spec = _stft(x, fft_length, hop_length, win_length=win_length,
+                 window=window, center=False,
+                 method=method, precision=precision)
+    p = complex_norm(spec, power)
+    mel = apply_filterbank(p, fb)
+    if to_db:
+        mel = amplitude_to_db(mel, ref=db_ref, amin=amin, power=power)
+    return mel
+
+
+def _kernel_forward(waveform, filterbank, fft_length, hop_length, window,
+                    to_db, db_ref, amin, precision, win_length,
+                    save_spec: bool):
+    """Run the forward Pallas kernel.  Assumes :func:`_kernel_eligible`.
+
+    Returns ``(out, aux)``: ``out`` is the public ``(..., mels, frames)``
+    result; ``aux`` is ``(y_raw, reim_raw)`` in the kernel's raw
+    ``(bc, rows, ·)`` layout when ``save_spec`` else ``None``.
+    """
+    if precision not in ("split3", "fast"):
+        raise ValueError(f"unknown precision {precision!r}")
+    split = precision == "split3"
+    N, HOP = fft_length, hop_length
+    num_mels = filterbank.shape[-1]
+    m_pad = _round_up(num_mels, 128)
+    win_key = _hashable_window(window)
+    basis, n_freqs, ft_count, f_pad = _basis_f32(N, win_key, win_length,
+                                                 _FREQ_TILE)
+    if filterbank.shape[0] != n_freqs:
+        raise ValueError(f"filterbank must have {n_freqs} rows, got "
+                         f"{filterbank.shape[0]}")
+
+    lead = waveform.shape[:-1]
+    T = waveform.shape[-1]
+    if T < N:
+        raise ValueError(f"input too short: {T} < fft_length={N}")
+    n_frames = 1 + (T - N) // HOP
+    aligned = _hop_aligned(N, HOP)
+    TB = _TB
+    n_blocks = _cdiv(n_frames, TB)
+    x2 = waveform.reshape((-1, T)).astype(jnp.float32)
+    bc = x2.shape[0]
+
+    fbp = _fb_padded(filterbank, n_freqs, f_pad, m_pad)
+    fbstack = _fb_fwd_stack(fbp, ft_count, _FREQ_TILE, m_pad, split)
+
+    if aligned:
+        stride = _stream_stride(N, HOP, n_blocks, TB)
+        if stride > T:
+            x = jnp.pad(x2, ((0, 0), (0, stride - T)))
+        elif stride < T:
+            # trailing samples beyond the last block's DMA window belong
+            # to no full frame
+            x = x2[:, :stride]
+        else:
+            x = x2
+        x = x.reshape((bc * stride,))  # 1-D: 1024-aligned DMA slices
+        bstack = jnp.asarray(_fwd_basis_stack(N, win_key, win_length,
+                                              _FREQ_TILE, split))
+        call = _build_fwd_call(N, HOP, m_pad, n_blocks, bc, ft_count,
+                               to_db, float(db_ref), float(amin), split,
+                               TB, _FREQ_TILE, False, save_spec, _DBUF,
+                               _interpret())
+        res = call(x, bstack, fbstack)
+    else:
+        frames = _frame_signal(x2, N, HOP)           # (bc, n_frames, N)
+        rows = n_blocks * TB
+        if rows > n_frames:
+            frames = jnp.pad(frames, ((0, 0), (0, rows - n_frames),
+                                      (0, 0)))
+        frames = frames.reshape(bc * rows, N)
+        fcat = _split_cat_cols(frames) if split \
+            else frames.astype(jnp.bfloat16)
+        bstack = jnp.asarray(_fwd_basis_stack(N, win_key, win_length,
+                                              _FREQ_TILE, split))
+        call = _build_fwd_call(N, HOP, m_pad, n_blocks, bc, ft_count,
+                               to_db, float(db_ref), float(amin), split,
+                               TB, _FREQ_TILE, True, save_spec, False,
+                               _interpret())
+        res = call(fcat, bstack, fbstack)
+
+    y_raw, reim_raw = (res if save_spec else (res, None))
+    out = y_raw[:, :n_frames, :num_mels]
+    out = jnp.swapaxes(out, -1, -2)                  # (bc, M, n_frames)
+    out = out.reshape(lead + out.shape[1:])
+    return out, ((y_raw, reim_raw) if save_spec else None)
+
+
+def _kernel_backward(g, waveform, filterbank, y_raw, reim_raw,
+                     fft_length, hop_length, window, to_db, db_ref, amin,
+                     win_length):
+    """Cotangents (dwaveform, dfilterbank) via the backward kernels."""
+    N, HOP = fft_length, hop_length
+    num_mels = filterbank.shape[-1]
+    win_key = _hashable_window(window)
+    _, n_freqs, ft_count, f_pad = _basis_f32(N, win_key, win_length,
+                                             _FREQ_TILE)
+    m_pad = y_raw.shape[-1]
+    bc, rows = y_raw.shape[0], y_raw.shape[1]
+    lead = waveform.shape[:-1]
+    T = waveform.shape[-1]
+    n_frames = 1 + (T - N) // HOP
+    TB = _TB_BWD
+    assert rows % TB == 0, (rows, TB)
+    g_rows = bc * rows
+
+    # cotangent → kernel layout: (..., M, frames) → (rows, m_pad), zero
+    # padding in both frame and mel directions (padded lanes contribute 0)
+    g2 = g.reshape((bc, num_mels, n_frames))
+    g2 = jnp.swapaxes(g2, -1, -2).astype(jnp.float32)
+    g2 = jnp.pad(g2, ((0, 0), (0, rows - n_frames),
+                      (0, m_pad - num_mels)))
+    g2 = g2.reshape(g_rows, m_pad)
+    y2 = y_raw.reshape(g_rows, m_pad)
+    reim2 = reim_raw.reshape(g_rows, ft_count * 2 * _FREQ_TILE)
+
+    fbp = _fb_padded(filterbank, n_freqs, f_pad, m_pad)
+    fbT = _fb_bwd_stack(fbp, ft_count, _FREQ_TILE, m_pad)
+    bT = jnp.asarray(_bwd_basis_stack(N, win_key, win_length, _FREQ_TILE))
+
+    dx_call = _build_bwd_dx_call(N, m_pad, g_rows, ft_count, to_db,
+                                 float(db_ref), float(amin), TB,
+                                 _FREQ_TILE, _interpret())
+    dframes = dx_call(g2, y2, reim2, fbT, bT)        # (g_rows, N)
+    dframes = dframes.reshape(bc, rows, N)[:, :n_frames, :]
+
+    # overlap-add = exact adjoint of the phase-decomposed framing
+    x2 = waveform.reshape((-1, T)).astype(jnp.float32)
+    _, ola = jax.vjp(lambda v: _frame_signal(v, N, HOP), x2)
+    dx2 = ola(dframes)[0]
+    dx = dx2.reshape(lead + (T,)).astype(waveform.dtype)
+
+    dfb_call = _build_bwd_dfb_call(m_pad, g_rows, ft_count, to_db,
+                                   float(db_ref), float(amin), TB,
+                                   _FREQ_TILE, _interpret())
+    dfb = dfb_call(g2, y2, reim2)                    # (f_pad, m_pad)
+    dfb = dfb[:n_freqs, :num_mels].astype(filterbank.dtype)
+    return dx, dfb
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
 def fused_melspectrogram(waveform: jnp.ndarray,
                          filterbank: jnp.ndarray,
                          fft_length: int = 2048,
@@ -241,95 +727,51 @@ def fused_melspectrogram(waveform: jnp.ndarray,
     ``(..., num_mels, n_frames)``.  ``precision``: ``"split3"`` (~4e-6
     relative, default) or ``"fast"`` (single bf16 pass, ~2e-3 relative).
     Falls back to the jnp chain off-TPU, for unsupported configs, and for
-    ``power != 2``.  Differentiable: backward runs the XLA chain's VJP.
+    ``power != 2``.  Differentiable: training runs dedicated backward
+    Pallas kernels fed by a saved-spectrum residual (see module docs).
     """
     return _fused_fwd_impl(waveform, filterbank, fft_length, hop_length,
                            window, power, to_db, db_ref, amin, precision,
                            win_length)
 
 
-def _jnp_reference(x, fft_length, hop_length, window, fb, power, to_db,
-                   db_ref, amin, method="fft", precision=None,
-                   win_length=None):
-    """The mathematically-identical XLA chain (backward pass + fallback)."""
-    spec = _stft(x, fft_length, hop_length, win_length=win_length,
-                 window=window, center=False,
-                 method=method, precision=precision)
-    p = complex_norm(spec, power)
-    mel = apply_filterbank(p, fb)
-    if to_db:
-        mel = amplitude_to_db(mel, ref=db_ref, amin=amin, power=power)
-    return mel
-
-
 def _fused_fwd_impl(waveform, filterbank, fft_length, hop_length, window,
                     power, to_db, db_ref, amin, precision,
                     win_length=None):
-    on_tpu = jax.default_backend() == "tpu"
-    if (not on_tpu or power != 2.0
-            or not fused_mel_supported(fft_length, hop_length)):
+    if not _kernel_eligible(fft_length, hop_length, power):
         return _jnp_reference(waveform, fft_length, hop_length, window,
                               filterbank, power, to_db, db_ref, amin,
                               win_length=win_length)
-    if precision not in ("split3", "fast"):
-        raise ValueError(f"unknown precision {precision!r}")
-
-    N, HOP, TB = fft_length, hop_length, _TB
-    num_mels = filterbank.shape[-1]
-    basis, n_freqs, ft_count, f_pad = _basis_and_sizes(
-        N, _hashable_window(window), win_length)
-    if filterbank.shape[0] != n_freqs:
-        raise ValueError(
-            f"filterbank must have {n_freqs} rows, got "
-            f"{filterbank.shape[0]}")
-
-    lead = waveform.shape[:-1]
-    T = waveform.shape[-1]
-    if T < N:
-        raise ValueError(f"input too short: {T} < fft_length={N}")
-    n_frames = 1 + (T - N) // HOP
-    n_blocks = -(-n_frames // TB)
-    stride = _stream_stride(N, HOP, n_blocks)
-    x = waveform.reshape((-1, T)).astype(jnp.float32)
-    if stride > T:
-        x = jnp.pad(x, ((0, 0), (0, stride - T)))
-    elif stride < T:
-        # trailing samples beyond the last block's (1024-rounded) DMA
-        # window belong to no full frame — drop them so the flatten below
-        # lands exactly on (bc·stride,)
-        x = x[:, :stride]
-    bc = x.shape[0]
-    x = x.reshape((bc * stride,))  # 1-D: kernel DMAs 1024-aligned slices
-
-    bhi, blo = _split_bf16(basis)
-    fbp = jnp.zeros((f_pad, num_mels), jnp.float32)
-    fbp = fbp.at[:n_freqs].set(jnp.asarray(filterbank, jnp.float32))
-    fbhi, fblo = _split_bf16(fbp)
-
-    call = _build_fused_call(N, HOP, num_mels, n_blocks, bc, ft_count,
-                             to_db, float(db_ref), float(amin),
-                             precision == "split3", _TB, _FREQ_TILE)
-    out = call(x, bhi, blo, fbhi, fblo)         # (bc, n_blocks·TB, M)
-    out = out[:, :n_frames, :]
-    out = jnp.swapaxes(out, -1, -2)             # (bc, M, n_frames)
-    return out.reshape(lead + out.shape[1:])
+    out, _ = _kernel_forward(waveform, filterbank, fft_length, hop_length,
+                             window, to_db, db_ref, amin, precision,
+                             win_length, save_spec=False)
+    return out
 
 
 def _fused_vjp_fwd(waveform, filterbank, fft_length, hop_length, window,
                    power, to_db, db_ref, amin, precision, win_length):
-    out = _fused_fwd_impl(waveform, filterbank, fft_length, hop_length,
-                          window, power, to_db, db_ref, amin, precision,
-                          win_length)
-    return out, (waveform, filterbank)
+    if not _kernel_eligible(fft_length, hop_length, power):
+        out = _jnp_reference(waveform, fft_length, hop_length, window,
+                             filterbank, power, to_db, db_ref, amin,
+                             win_length=win_length)
+        return out, (waveform, filterbank, None, None)
+    out, aux = _kernel_forward(waveform, filterbank, fft_length,
+                               hop_length, window, to_db, db_ref, amin,
+                               precision, win_length, save_spec=True)
+    y_raw, reim_raw = aux
+    return out, (waveform, filterbank, y_raw, reim_raw)
 
 
 def _fused_vjp_bwd(fft_length, hop_length, window, power, to_db, db_ref,
                    amin, precision, win_length, residuals, g):
-    waveform, filterbank = residuals
-    # the matmul-STFT chain has the cheapest VJP on TPU (GEMM adjoints
-    # are GEMMs; measured 32 ms vs 52 ms for the fft chain at batch
-    # 32×30 s) at HIGH precision (~2e-5 gradient error); off-TPU the fft
-    # chain is both exact and fastest
+    waveform, filterbank, y_raw, reim_raw = residuals
+    if reim_raw is not None:
+        return _kernel_backward(g, waveform, filterbank, y_raw, reim_raw,
+                                fft_length, hop_length, window, to_db,
+                                db_ref, amin, win_length)
+    # fallback: the matmul-STFT chain has the cheapest VJP on TPU (GEMM
+    # adjoints are GEMMs) at HIGH precision; off-TPU the fft chain is
+    # both exact and fastest
     if jax.default_backend() == "tpu":
         method, prec = "matmul", jax.lax.Precision.HIGH
     else:
