@@ -42,30 +42,30 @@ def main():
     frames_tot = 32 * n_frames
     print(f"config 2: {frames_tot} frames/iter")
 
-    def run_fwd(tb, dbuf, prec):
-        fused._TB, fused._DBUF = tb, dbuf
+    def run_fwd(tb, fbt, prec):
+        fused._TB, fused._FREQ_TILE = tb, fbt
         f = jax.jit(lambda v: fused.fused_melspectrogram(
             v, fb, 2048, 512, precision=prec))
         return timeit(f, x)
 
     results = {}
     for prec in ("split3", "fast"):
-        for tb in (256, 512, 1024):
-            for dbuf in (False, True):
-                key = f"fwd {prec} TB={tb} dbuf={dbuf}"
-                try:
-                    dt, _ = run_fwd(tb, dbuf, prec)
-                    results[key] = dt
-                    print(f"{key}: {dt:.2f} ms "
-                          f"({frames_tot / dt * 1000 / 1e6:.2f} Mframes/s)")
-                except Exception as e:
-                    print(f"{key}: FAILED {type(e).__name__} "
-                          f"{str(e)[:200]}")
+        for tb, fbt in ((256, 256), (256, 320), (384, 256), (512, 128),
+                        (512, 192), (512, 256)):
+            key = f"fwd {prec} TB={tb} FBT={fbt}"
+            try:
+                dt, _ = run_fwd(tb, fbt, prec)
+                results[key] = dt
+                print(f"{key}: {dt:.2f} ms "
+                      f"({frames_tot / dt * 1000 / 1e6:.2f} Mframes/s)")
+            except Exception as e:
+                print(f"{key}: FAILED {type(e).__name__} "
+                      f"{str(e)[:200]}")
 
     # parity probe (dB domain) at the best split3 config
     best = min((k for k in results if "split3" in k), key=results.get)
-    tb = int(best.split("TB=")[1].split()[0])
-    fused._TB, fused._DBUF = tb, "dbuf=True" in best
+    fused._TB = int(best.split("TB=")[1].split()[0])
+    fused._FREQ_TILE = int(best.split("FBT=")[1].split()[0])
     out = fused.fused_melspectrogram(x, fb, 2048, 512)
     spec = ops.stft(x, 2048, 512, center=False)
     ref = ops.amplitude_to_db(

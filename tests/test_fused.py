@@ -182,3 +182,29 @@ def test_kernel_interpret_mel_padding(interpret_kernels, rng):
     assert out.shape == ref.shape
     err = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
     assert err <= 5e-5, err
+
+
+def test_split_hi_lo_survives_jit():
+    """Regression: XLA's allow-excess-precision rewrite folded the naive
+    ``(a - bf16(a).astype(f32))`` lo term to exactly zero under jit on
+    TPU, silently degrading every traced-side split3 GEMM to a single
+    bf16 pass (grad parity 3e-5 -> 1.7e-3).  The bit-rounded split must
+    produce identical, nonzero lo parts under jit and eager, and match
+    the hardware's round-half-to-even bf16 conversion."""
+    import ml_dtypes
+    from torchaudio_contrib_tpu.ops.fused import _split_hi_lo_xla
+
+    a = jnp.asarray(np.random.default_rng(3).standard_normal((64, 64)),
+                    jnp.float32)
+    hi_e, lo_e = _split_hi_lo_xla(a)
+    hi_j, lo_j = jax.jit(_split_hi_lo_xla)(a)
+    assert float(jnp.sum(jnp.abs(lo_j.astype(jnp.float32)))) > 0
+    np.testing.assert_array_equal(np.asarray(hi_e), np.asarray(hi_j))
+    np.testing.assert_array_equal(np.asarray(lo_e), np.asarray(lo_j))
+    # hi matches the native bf16 rounding exactly
+    np.testing.assert_array_equal(
+        np.asarray(hi_e).view(np.uint16),
+        np.asarray(a).astype(ml_dtypes.bfloat16).view(np.uint16))
+    rec = hi_e.astype(jnp.float32) + lo_e.astype(jnp.float32)
+    assert float(jnp.max(jnp.abs(rec - a))) <= \
+        float(jnp.max(jnp.abs(a))) * 2 ** -16

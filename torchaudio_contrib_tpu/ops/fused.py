@@ -90,7 +90,6 @@ _FREQ_TILE = 256   # onesided bins per grid step (shared fwd/bwd: the
                    # residual spectrum layout is tiled by this)
 _TB = 256          # frames per block, forward
 _TB_BWD = 256      # frames per block, backward
-_DBUF = False      # double-buffer the forward waveform DMA
 
 
 def _interpret() -> bool:
@@ -198,6 +197,31 @@ def _bwd_basis_stack(fft_length: int, win_key, win_length,
     return np.concatenate(rows, axis=0)
 
 
+def _split_hi_lo_xla(a):
+    """f32 → (hi, lo) bf16 pair for TRACED (XLA-side) operands.
+
+    The naive ``hi = a.astype(bf16); lo = (a - hi.astype(f32)).astype(bf16)``
+    is silently destroyed under jit on TPU: with
+    ``--xla_allow_excess_precision`` XLA simplifies
+    ``convert_f32(convert_bf16(a)) → a`` and the lo part folds to exactly
+    zero, degrading every split-precision GEMM to a single bf16 pass
+    (verified on v5e: jit'd ``sum(|lo|) == 0``).  Masking the low mantissa
+    bits makes ``hi`` exactly representable in bf16, so any such
+    simplification is value-preserving.  The rounding (round-half-to-even,
+    matching the hardware bf16 convert) is done in integer bits so
+    |lo| ≤ 2⁻⁹|a| as with a native convert.  In-kernel splits are
+    unaffected (Mosaic does not apply this rewrite).
+    """
+    a32 = a.astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(a32, jnp.uint32)
+    rounded = bits + np.uint32(0x7FFF) + ((bits >> 16) & np.uint32(1))
+    hi32 = jax.lax.bitcast_convert_type(
+        rounded & np.uint32(0xFFFF0000), jnp.float32)
+    hi = hi32.astype(jnp.bfloat16)          # exact conversion
+    lo = (a32 - hi32).astype(jnp.bfloat16)
+    return hi, lo
+
+
 # traced filterbank staging (the filterbank may be a trainable param) ------
 
 def _fb_padded(filterbank, n_freqs: int, f_pad: int, m_pad: int):
@@ -208,10 +232,9 @@ def _fb_padded(filterbank, n_freqs: int, f_pad: int, m_pad: int):
 
 def _fb_fwd_stack(fbp, ft: int, fbt: int, m_pad: int, split: bool):
     """(FT·2FBT, M) with tile-t rows [lo_t; hi_t] (split) or hi (FT·FBT, M)."""
-    hi = fbp.astype(jnp.bfloat16)
     if not split:
-        return hi
-    lo = (fbp - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return fbp.astype(jnp.bfloat16)
+    hi, lo = _split_hi_lo_xla(fbp)
     lo3 = lo.reshape(ft, fbt, m_pad)
     hi3 = hi.reshape(ft, fbt, m_pad)
     return jnp.concatenate([lo3, hi3], axis=1).reshape(ft * 2 * fbt, m_pad)
@@ -219,8 +242,7 @@ def _fb_fwd_stack(fbp, ft: int, fbt: int, m_pad: int, split: bool):
 
 def _fb_bwd_stack(fbp, ft: int, fbt: int, m_pad: int):
     """(FT·2M, FBT) with tile-t rows [FBᵀ_lo_t (M); FBᵀ_hi_t (M)]."""
-    hi = fbp.astype(jnp.bfloat16)
-    lo = (fbp - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    hi, lo = _split_hi_lo_xla(fbp)
     hiT = hi.reshape(ft, fbt, m_pad).transpose(0, 2, 1)   # (ft, M, FBT)
     loT = lo.reshape(ft, fbt, m_pad).transpose(0, 2, 1)
     return jnp.concatenate([loT, hiT], axis=1).reshape(ft * 2 * m_pad, fbt)
@@ -228,8 +250,7 @@ def _fb_bwd_stack(fbp, ft: int, fbt: int, m_pad: int):
 
 def _split_cat_cols(a):
     """f32 (R, C) → bf16 (R, 2C) ``[hi | lo]`` (XLA-side operand split)."""
-    hi = a.astype(jnp.bfloat16)
-    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    hi, lo = _split_hi_lo_xla(a)
     return jnp.concatenate([hi, lo], axis=1)
 
 
@@ -250,7 +271,7 @@ def _stream_stride(fft_length: int, hop_length: int, n_blocks: int,
 def _build_fwd_call(N: int, HOP: int, m_pad: int, n_blocks: int, bc: int,
                     ft_count: int, to_db: bool, db_ref: float, amin: float,
                     split: bool, tb: int, fbt: int, frames_in: bool,
-                    save_spec: bool, dbuf: bool, interpret: bool):
+                    save_spec: bool, interpret: bool):
     TB, FBT = tb, fbt
     G = bc * n_blocks
     if not frames_in:
@@ -328,52 +349,21 @@ def _build_fwd_call(N: int, HOP: int, m_pad: int, n_blocks: int, bc: int,
             else:
                 o_ref, reim_ref = rest[0], None
                 scr = rest[1:]
-            if dbuf:
-                xbuf, fcat_s, sem = scr
-            else:
-                xbuf, fcat_s, sem = scr
+            xbuf, fcat_s, sem = scr
             b = pl.program_id(0)
             ib = pl.program_id(1)
             ft = pl.program_id(2)
 
             @pl.when(ft == 0)
             def _load():
-                if dbuf:
-                    g = b * n_blocks + ib
-                    slot = jax.lax.rem(g, 2)
-                    start = b * stride + ib * (TB * HOP)
+                start = b * stride + ib * (TB * HOP)
+                dma = pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(start, BLK)], xbuf, sem)
+                dma.start()
+                dma.wait()
 
-                    @pl.when(g == 0)
-                    def _warm():
-                        pltpu.make_async_copy(
-                            x_hbm.at[pl.ds(0, BLK)], xbuf.at[0],
-                            sem.at[0]).start()
-
-                    pltpu.make_async_copy(
-                        x_hbm.at[pl.ds(start, BLK)], xbuf.at[slot],
-                        sem.at[slot]).wait()
-
-                    @pl.when(g + 1 < G)
-                    def _next():
-                        b2 = (g + 1) // n_blocks
-                        i2 = (g + 1) - b2 * n_blocks
-                        start2 = b2 * stride + i2 * (TB * HOP)
-                        pltpu.make_async_copy(
-                            x_hbm.at[pl.ds(start2, BLK)],
-                            xbuf.at[1 - slot], sem.at[1 - slot]).start()
-                else:
-                    start = b * stride + ib * (TB * HOP)
-                    dma = pltpu.make_async_copy(
-                        x_hbm.at[pl.ds(start, BLK)], xbuf, sem)
-                    dma.start()
-                    dma.wait()
-
-                if dbuf:
-                    xb = xbuf.at[jax.lax.rem(b * n_blocks + ib, 2)]
-                else:
-                    xb = xbuf
                 for j in range(TB):  # static row slices — no gather
-                    row = xb[j * HOP: j * HOP + N]
+                    row = xbuf[j * HOP: j * HOP + N]
                     hi = row.astype(jnp.bfloat16)
                     fcat_s[j, 0:N] = hi
                     if split:
@@ -392,9 +382,9 @@ def _build_fwd_call(N: int, HOP: int, m_pad: int, n_blocks: int, bc: int,
                          lambda b, i, t: (t, 0), memory_space=pltpu.VMEM),
         ]
         scratch_shapes = [
-            pltpu.VMEM((2, BLK) if dbuf else (BLK,), jnp.float32),
+            pltpu.VMEM((BLK,), jnp.float32),
             pltpu.VMEM((TB, CN), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,) if dbuf else ()),
+            pltpu.SemaphoreType.DMA(()),
         ]
 
     out_shape = [jax.ShapeDtypeStruct((bc, n_blocks * TB, m_pad),
@@ -627,7 +617,7 @@ def _kernel_forward(waveform, filterbank, fft_length, hop_length, window,
                                               _FREQ_TILE, split))
         call = _build_fwd_call(N, HOP, m_pad, n_blocks, bc, ft_count,
                                to_db, float(db_ref), float(amin), split,
-                               TB, _FREQ_TILE, False, save_spec, _DBUF,
+                               TB, _FREQ_TILE, False, save_spec,
                                _interpret())
         res = call(x, bstack, fbstack)
     else:
@@ -643,7 +633,7 @@ def _kernel_forward(waveform, filterbank, fft_length, hop_length, window,
                                               _FREQ_TILE, split))
         call = _build_fwd_call(N, HOP, m_pad, n_blocks, bc, ft_count,
                                to_db, float(db_ref), float(amin), split,
-                               TB, _FREQ_TILE, True, save_spec, False,
+                               TB, _FREQ_TILE, True, save_spec,
                                _interpret())
         res = call(fcat, bstack, fbstack)
 
