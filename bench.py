@@ -23,10 +23,18 @@ def log(*a):
 
 
 def torch_cpu_baseline(x_np, fft_length, hop, num_mels, sr, iters=2):
-    """Reference-style melspec+dB in torch (stft → |.|² → mel GEMM → log)."""
+    """Reference-style melspec+dB in torch (stft → |.|² → mel GEMM → log).
+
+    Methodology pin (round deltas must be attributable): threads fixed
+    to the machine's core count, best-of-``iters`` timing (min, not
+    mean) so transient host load cannot deflate the baseline and
+    inflate ``vs_baseline``.
+    """
     import torch
     import torchaudio_contrib_tpu as tac
 
+    torch.set_num_threads(os.cpu_count() or 1)
+    log(f"torch threads: {torch.get_num_threads()}")
     x = torch.as_tensor(x_np.reshape(-1, x_np.shape[-1]))
     w = torch.hann_window(fft_length)
     fb = torch.as_tensor(
@@ -43,12 +51,13 @@ def torch_cpu_baseline(x_np, fft_length, hop, num_mels, sr, iters=2):
         return db
 
     run()  # warmup
-    t0 = time.perf_counter()
+    best = float("inf")
     for _ in range(iters):
+        t0 = time.perf_counter()
         out = run()
-    dt = (time.perf_counter() - t0) / iters
+        best = min(best, time.perf_counter() - t0)
     n_frames_total = int(np.prod(x_np.shape[:-1])) * out.shape[-1]
-    return n_frames_total / dt, out.shape[-1]
+    return n_frames_total / best, out.shape[-1]
 
 
 def main():

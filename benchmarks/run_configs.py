@@ -126,12 +126,14 @@ def config5():
     pre = par.CorpusPreprocessor(
         loader, clip_samples=sr * 10, batch_size=max(nd * 4, 16),
         mesh=par.make_mesh(n_data=nd),
+        num_workers=4, wire_format="int16", prefetch_batches=3,
+        use_fused=True,
         fft_length=2048, hop_length=512, num_mels=128, sample_rate=22050,
         frames_per_chunk=64)
     stats = pre.run(range(n))
     emit("5:corpus", files=stats.files_done, failed=stats.files_failed,
          frames_per_sec=round(stats.frames_per_sec),
-         devices=nd)
+         devices=nd, wire_format="int16")
 
 
 def config6():

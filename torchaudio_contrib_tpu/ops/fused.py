@@ -85,11 +85,47 @@ __all__ = ["fused_melspectrogram", "fused_mel_supported"]
 _LN10_INV_10 = 10.0 / math.log(10.0)   # d(dB)/d(mel) = this / mel
 _DB_TO_LIN = math.log(10.0) / 10.0     # mel = ref·exp(dB·this)
 
-# Tile tunables (TPU v5e, measured — docs/PERFORMANCE.md):
-_FREQ_TILE = 256   # onesided bins per grid step (shared fwd/bwd: the
+# Tile tunables (TPU v5e, measured — docs/PERFORMANCE.md).  These are
+# UPPER BOUNDS: the VMEM estimators below shrink the frame-block sizes
+# per config so every build fits the ~16 MB scoped-VMEM budget.
+_FREQ_TILE = 128   # onesided bins per grid step (shared fwd/bwd: the
                    # residual spectrum layout is tiled by this)
-_TB = 256          # frames per block, forward
-_TB_BWD = 256      # frames per block, backward
+_TB = 512          # frames per block, forward
+_TB_BWD = 512      # frames per block, backward (dframes kernel)
+_TB_DFB = 1024     # frames per block, filterbank-grad kernel
+_VMEM_BUDGET_FWD = 14_000_000   # bytes; empirically, builds estimated
+_VMEM_BUDGET_BWD = 18_000_000   # above these fail Mosaic's 16 MB limit
+                                # (bwd budget is looser because its Bᵀ
+                                # blocks are weighted ×3 below, matching
+                                # observed compile outcomes)
+
+
+def _fwd_vmem_est(N, HOP, TB, FBT, m_pad, split, save_spec, frames_in):
+    """Rough VMEM bytes for one forward program (blocks double-buffered
+    by the Pallas pipeline + scratch + major value temporaries)."""
+    CN = 2 * N if split else N
+    b = CN * 2 * FBT * 2 * 2                     # basis blocks ×2
+    b += (2 * FBT if split else FBT) * m_pad * 2 * 2
+    b += TB * m_pad * 4 * 2                      # out blocks ×2
+    if save_spec:
+        b += TB * 2 * FBT * 4 * 2                # reim blocks ×2
+    if frames_in:
+        b += TB * CN * 2 * 2                     # fcat blocks ×2
+    else:
+        b += TB * CN * 2                         # fcat scratch
+        b += _round_up((TB - 1) * HOP + N, 1024) * 4   # xbuf
+    b += TB * 2 * FBT * 4 + TB * FBT * 4 + TB * 2 * FBT * 2  # temps
+    return b
+
+
+def _bwd_vmem_est(N, TB, FBT, m_pad):
+    b = TB * 2 * m_pad * 2 * 2                   # dmel [hi|lo] blocks
+    b += TB * 2 * FBT * 4 * 2                    # reim blocks
+    b += 2 * m_pad * FBT * 2 * 2                 # FBᵀ blocks
+    b += 4 * FBT * N * 2 * 3                     # Bᵀ blocks (deep-buffered)
+    b += TB * N * 4 * 2                          # out blocks
+    b += TB * FBT * 4 + TB * 2 * FBT * 4 + TB * 4 * FBT * 2  # temps
+    return b
 
 
 def _interpret() -> bool:
@@ -424,25 +460,17 @@ def _dmel_from(g, y, to_db: bool, db_ref: float, amin: float):
 
 @functools.lru_cache(maxsize=32)
 def _build_bwd_dx_call(N: int, m_pad: int, g_rows: int, ft_count: int,
-                       to_db: bool, db_ref: float, amin: float,
                        tb: int, fbt: int, interpret: bool):
     """dframes kernel: grid (row_blocks, freq_tiles), freq innermost so
-    the (TB, N) output block accumulates the per-tile dF partials."""
+    the (TB, N) output block accumulates the per-tile dF partials.
+    ``dmel`` arrives pre-split (XLA-side): blocks (TB, 2M) bf16
+    ``[hi | lo]`` — keeps the kernel pure-GEMM and its VMEM small."""
     TB, FBT = tb, fbt
     n_rb = g_rows // TB
 
-    def kernel(g_ref, y_ref, reim_ref, fbT_ref, bT_ref, o_ref, mcat_s):
+    def kernel(mcat_ref, reim_ref, fbT_ref, bT_ref, o_ref):
         t = pl.program_id(1)
-
-        @pl.when(t == 0)
-        def _dmel():
-            dmel = _dmel_from(g_ref[:], y_ref[:], to_db, db_ref, amin)
-            hi = dmel.astype(jnp.bfloat16)
-            mcat_s[:, 0:m_pad] = hi
-            mcat_s[:, m_pad:] = (dmel - hi.astype(jnp.float32)
-                                 ).astype(jnp.bfloat16)
-
-        mcat = mcat_s[:]
+        mcat = mcat_ref[:]
         dp = jnp.dot(mcat, fbT_ref[:], preferred_element_type=jnp.float32)
         dp = dp + jnp.dot(mcat[:, :m_pad], fbT_ref[m_pad:, :],
                           preferred_element_type=jnp.float32)
@@ -468,10 +496,8 @@ def _build_bwd_dx_call(N: int, m_pad: int, g_rows: int, ft_count: int,
         kernel,
         grid=(n_rb, ft_count),
         in_specs=[
-            pl.BlockSpec((TB, m_pad), lambda gi, t: (gi, 0),
-                         memory_space=pltpu.VMEM),        # g
-            pl.BlockSpec((TB, m_pad), lambda gi, t: (gi, 0),
-                         memory_space=pltpu.VMEM),        # y (fwd out)
+            pl.BlockSpec((TB, 2 * m_pad), lambda gi, t: (gi, 0),
+                         memory_space=pltpu.VMEM),        # dmel [hi|lo]
             pl.BlockSpec((TB, 2 * FBT), lambda gi, t: (gi, t),
                          memory_space=pltpu.VMEM),        # reim residual
             pl.BlockSpec((2 * m_pad, FBT), lambda gi, t: (t, 0),
@@ -482,14 +508,12 @@ def _build_bwd_dx_call(N: int, m_pad: int, g_rows: int, ft_count: int,
         out_specs=pl.BlockSpec((TB, N), lambda gi, t: (gi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((g_rows, N), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TB, 2 * m_pad), jnp.bfloat16)],
         interpret=interpret,
     )
 
 
 @functools.lru_cache(maxsize=32)
 def _build_bwd_dfb_call(m_pad: int, g_rows: int, ft_count: int,
-                        to_db: bool, db_ref: float, amin: float,
                         tb: int, fbt: int, interpret: bool):
     """dFB kernel: grid (freq_tiles, row_blocks) — freq OUTERMOST so the
     (FBT, M) output block accumulates over the row blocks (sequential
@@ -497,11 +521,10 @@ def _build_bwd_dfb_call(m_pad: int, g_rows: int, ft_count: int,
     TB, FBT = tb, fbt
     n_rb = g_rows // TB
 
-    def kernel(g_ref, y_ref, reim_ref, o_ref):
+    def kernel(mcat_ref, reim_ref, o_ref):
         gi = pl.program_id(1)
-        dmel = _dmel_from(g_ref[:], y_ref[:], to_db, db_ref, amin)
-        mhi = dmel.astype(jnp.bfloat16)
-        mlo = (dmel - mhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        mhi = mcat_ref[:, :m_pad]
+        mlo = mcat_ref[:, m_pad:]
         reim = reim_ref[:]
         p = (reim[:, :FBT] * reim[:, :FBT]
              + reim[:, FBT:] * reim[:, FBT:])
@@ -527,9 +550,7 @@ def _build_bwd_dfb_call(m_pad: int, g_rows: int, ft_count: int,
         kernel,
         grid=(ft_count, n_rb),
         in_specs=[
-            pl.BlockSpec((TB, m_pad), lambda t, gi: (gi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, m_pad), lambda t, gi: (gi, 0),
+            pl.BlockSpec((TB, 2 * m_pad), lambda t, gi: (gi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, 2 * FBT), lambda t, gi: (gi, t),
                          memory_space=pltpu.VMEM),
@@ -595,6 +616,10 @@ def _kernel_forward(waveform, filterbank, fft_length, hop_length, window,
     n_frames = 1 + (T - N) // HOP
     aligned = _hop_aligned(N, HOP)
     TB = _TB
+    while TB > 128 and _fwd_vmem_est(N, HOP, TB, _FREQ_TILE, m_pad, split,
+                                     save_spec,
+                                     not aligned) > _VMEM_BUDGET_FWD:
+        TB -= 128
     n_blocks = _cdiv(n_frames, TB)
     x2 = waveform.reshape((-1, T)).astype(jnp.float32)
     bc = x2.shape[0]
@@ -659,39 +684,58 @@ def _kernel_backward(g, waveform, filterbank, y_raw, reim_raw,
     T = waveform.shape[-1]
     n_frames = 1 + (T - N) // HOP
     TB = _TB_BWD
-    assert rows % TB == 0, (rows, TB)
-    g_rows = bc * rows
+    while TB > 128 and _bwd_vmem_est(N, TB, _FREQ_TILE,
+                                     m_pad) > _VMEM_BUDGET_BWD:
+        TB //= 2
+    # pad total rows to the dframes tile; the dFB tile then adapts down
+    # so small inputs don't pad to a huge block (padded rows carry
+    # dmel = 0 and contribute nothing)
+    g_rows = _round_up(bc * rows, TB)
+    TB_DFB = _TB_DFB
+    while g_rows % TB_DFB:
+        TB_DFB //= 2
+    row_pad = g_rows - bc * rows
 
     # cotangent → kernel layout: (..., M, frames) → (rows, m_pad), zero
-    # padding in both frame and mel directions (padded lanes contribute 0)
+    # padding in both frame and mel directions (padded lanes contribute
+    # 0); the dB gate + hi/lo operand split happen here, XLA-side, so
+    # the kernels are pure GEMM pipelines
     g2 = g.reshape((bc, num_mels, n_frames))
     g2 = jnp.swapaxes(g2, -1, -2).astype(jnp.float32)
     g2 = jnp.pad(g2, ((0, 0), (0, rows - n_frames),
                       (0, m_pad - num_mels)))
-    g2 = g2.reshape(g_rows, m_pad)
-    y2 = y_raw.reshape(g_rows, m_pad)
-    reim2 = reim_raw.reshape(g_rows, ft_count * 2 * _FREQ_TILE)
+    g2 = g2.reshape(bc * rows, m_pad)
+    y2 = y_raw.reshape(bc * rows, m_pad)
+    dmel = _dmel_from(g2, y2, to_db, db_ref, amin)
+    mhi, mlo = _split_hi_lo_xla(dmel)
+    mcat = jnp.concatenate([mhi, mlo], axis=1)       # (rows, 2M) bf16
+    reim2 = reim_raw.reshape(bc * rows, ft_count * 2 * _FREQ_TILE)
+    if row_pad:
+        mcat = jnp.pad(mcat, ((0, row_pad), (0, 0)))
+        reim2 = jnp.pad(reim2, ((0, row_pad), (0, 0)))
 
     fbp = _fb_padded(filterbank, n_freqs, f_pad, m_pad)
     fbT = _fb_bwd_stack(fbp, ft_count, _FREQ_TILE, m_pad)
     bT = jnp.asarray(_bwd_basis_stack(N, win_key, win_length, _FREQ_TILE))
 
-    dx_call = _build_bwd_dx_call(N, m_pad, g_rows, ft_count, to_db,
-                                 float(db_ref), float(amin), TB,
+    dx_call = _build_bwd_dx_call(N, m_pad, g_rows, ft_count, TB,
                                  _FREQ_TILE, _interpret())
-    dframes = dx_call(g2, y2, reim2, fbT, bT)        # (g_rows, N)
-    dframes = dframes.reshape(bc, rows, N)[:, :n_frames, :]
+    dframes = dx_call(mcat, reim2, fbT, bT)          # (g_rows, N)
+    dframes = dframes[:bc * rows].reshape(bc, rows, N)[:, :n_frames, :]
 
-    # overlap-add = exact adjoint of the phase-decomposed framing
-    x2 = waveform.reshape((-1, T)).astype(jnp.float32)
-    _, ola = jax.vjp(lambda v: _frame_signal(v, N, HOP), x2)
-    dx2 = ola(dframes)[0]
+    # overlap-add = exact adjoint of the phase-decomposed framing: x[t]
+    # accumulates dF over every frame containing t; samples past the
+    # last full frame get zero gradient
+    from .stft import _overlap_add
+    full = (n_frames - 1) * HOP + N
+    dx2 = _overlap_add(dframes, N, HOP, full)
+    if T > full:
+        dx2 = jnp.pad(dx2, ((0, 0), (0, T - full)))
     dx = dx2.reshape(lead + (T,)).astype(waveform.dtype)
 
-    dfb_call = _build_bwd_dfb_call(m_pad, g_rows, ft_count, to_db,
-                                   float(db_ref), float(amin), TB,
+    dfb_call = _build_bwd_dfb_call(m_pad, g_rows, ft_count, TB_DFB,
                                    _FREQ_TILE, _interpret())
-    dfb = dfb_call(g2, y2, reim2)                    # (f_pad, m_pad)
+    dfb = dfb_call(mcat, reim2)                      # (f_pad, m_pad)
     dfb = dfb[:n_freqs, :num_mels].astype(filterbank.dtype)
     return dx, dfb
 

@@ -57,7 +57,9 @@ def griffin_lim(mag_specgrams: jnp.ndarray,
     if key is not None:
         phase = jax.random.uniform(key, mag.shape, jnp.float32,
                                    -jnp.pi, jnp.pi)
-        spec = mag * jnp.exp(1j * phase).astype(jnp.complex64)
+        # cos/sin instead of exp(1j·phase): no complex scalar crosses the
+        # host→device boundary when run eagerly (axon UNIMPLEMENTED)
+        spec = mag * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
     else:
         spec = mag.astype(jnp.complex64)
 
@@ -77,7 +79,12 @@ def griffin_lim(mag_specgrams: jnp.ndarray,
         update = update / jnp.maximum(norm, 1e-16)
         return mag * update, rebuilt
 
+    # NOT jnp.zeros_like(spec): eagerly (outside jit) that broadcasts a
+    # complex scalar through the host→device path, which the axon TPU
+    # tunnel rejects (UNIMPLEMENTED) — build the complex zero on device
+    # from real zeros instead
+    rz = jnp.zeros(spec.shape, jnp.float32)
     spec, _ = jax.lax.fori_loop(0, n_iter, body,
-                                (spec, jnp.zeros_like(spec)))
+                                (spec, jax.lax.complex(rz, rz)))
     return _istft(spec, hop_length, window=window, center=center,
                   length=length, fft_length=fft_length, method=method)

@@ -353,48 +353,45 @@ def _idft_matrices(fft_length: int):
     return w * np.cos(ang), -w * np.sin(ang)
 
 
-@functools.lru_cache(maxsize=64)
-def _ola_index_map(n_frames: int, fft_length: int, hop_length: int) -> np.ndarray:
-    return (np.arange(n_frames, dtype=np.int32)[:, None] * hop_length
-            + np.arange(fft_length, dtype=np.int32)[None, :])
-
-
 def _overlap_add(frames: jnp.ndarray, fft_length: int, hop_length: int,
                  full_length: int) -> jnp.ndarray:
     """Overlap-add ``frames (..., n_frames, fft_length)`` into
-    ``(..., full_length)``.
+    ``(..., full_length)`` — the exact adjoint of :func:`frame_signal`.
 
-    TPU note: mirrors :func:`frame_signal`'s phase decomposition — when
-    ``hop | fft``, frames of the same phase are non-overlapping, so OLA
-    is ``r = fft/hop`` dense shifted adds (XLA-friendly) instead of the
-    generic scatter-add (slow gather/scatter kernels on TPU).
+    TPU note: mirrors :func:`frame_signal`'s generalized phase
+    decomposition — frames of the same phase (``r = ceil(fft/hop)``) are
+    non-overlapping, so OLA is ``r`` dense shifted adds of contiguous
+    rows (zero-padded from ``fft`` to ``r·hop``) — XLA-friendly instead
+    of the generic scatter-add, for ANY hop.
     """
     n_frames = frames.shape[-2]
     lead = frames.shape[:-2]
     dtype = frames.dtype
-    if (fft_length % hop_length == 0 and n_frames > 1
-            and fft_length != hop_length):
-        r = fft_length // hop_length
-        k = -(-n_frames // r)
-        padf = k * r - n_frames
-        if padf:
-            frames = jnp.pad(frames, [(0, 0)] * len(lead)
-                             + [(0, padf), (0, 0)])
-        # (..., k, r, fft); phase p holds frames m = q·r + p
-        fr = frames.reshape(lead + (k, r, fft_length))
-        pad_len = (r - 1) * hop_length + k * fft_length
-        out = jnp.zeros(lead + (pad_len,), dtype=dtype)
-        for p in range(r):
-            seg = fr[..., :, p, :].reshape(lead + (k * fft_length,))
-            out = out.at[..., p * hop_length:
-                         p * hop_length + k * fft_length].add(seg)
-        return out[..., :full_length]
     if fft_length == hop_length:
         flat = frames.reshape(lead + (n_frames * fft_length,))
+        if full_length > flat.shape[-1]:
+            flat = jnp.pad(flat, [(0, 0)] * len(lead)
+                           + [(0, full_length - flat.shape[-1])])
         return flat[..., :full_length]
-    idx = _ola_index_map(n_frames, fft_length, hop_length)
-    out = jnp.zeros(lead + (full_length,), dtype=dtype)
-    return out.at[..., idx].add(frames)
+    r = -(-fft_length // hop_length)
+    row = r * hop_length
+    k = -(-n_frames // r)
+    padf = k * r - n_frames
+    if padf:
+        frames = jnp.pad(frames, [(0, 0)] * len(lead)
+                         + [(0, padf), (0, 0)])
+    # (..., k, r, row); phase p holds frames m = q·r + p
+    fr = frames.reshape(lead + (k, r, fft_length))
+    if row > fft_length:
+        fr = jnp.pad(fr, [(0, 0)] * len(lead)
+                     + [(0, 0), (0, 0), (0, row - fft_length)])
+    pad_len = max((r - 1) * hop_length + k * row, full_length)
+    out = jnp.zeros(lead + (pad_len,), dtype=dtype)
+    for p in range(r):
+        seg = fr[..., :, p, :].reshape(lead + (k * row,))
+        out = out.at[..., p * hop_length:
+                     p * hop_length + k * row].add(seg)
+    return out[..., :full_length]
 
 
 def istft(stft_matrix: jnp.ndarray,
