@@ -95,6 +95,25 @@ def config3():
     emit("3:trainable-frontend", ms_per_step=round(dt * 1e3, 2),
          frames_per_sec=round(n_frames / dt), loss=float(loss))
 
+    # fused-frontend variants (single-kernel log-mel; 'fast' also runs
+    # the backward kernels single-pass — the SGD-throughput mode)
+    for prec in ("split3", "fast"):
+        m2 = MelFrontendClassifier(num_classes=10, num_mels=64,
+                                   sample_rate=16000, fft_length=512,
+                                   hop_length=128, fused=True,
+                                   precision=prec)
+        p2 = m2.init(jax.random.PRNGKey(0))
+        p2, l2 = m2.train_step(p2, x, y, 1e-3)
+        float(l2)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            p2, l2 = m2.train_step(p2, x, y, 1e-3)
+        float(l2)
+        dt2 = (time.perf_counter() - t0) / 5
+        emit(f"3:trainable-frontend-fused-{prec}",
+             ms_per_step=round(dt2 * 1e3, 2),
+             frames_per_sec=round(n_frames / dt2), loss=float(l2))
+
 
 def config4():
     """ISTFT round-trip, COLA windows, stereo batch."""

@@ -69,3 +69,24 @@ def test_train_step_sharded(rng):
     # params stay replicated (grads all-reduced)
     leaf = jax.tree_util.tree_leaves(params2)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_fused_frontend_variant(rng):
+    """fused=True swaps the frontend for the single-kernel log-mel path
+    (CPU: jnp fallback); gradients still reach the filterbank."""
+    import jax.numpy as jnp
+    from torchaudio_contrib_tpu.models import MelFrontendClassifier
+
+    model = MelFrontendClassifier(num_classes=4, num_mels=16,
+                                  fft_length=256, hop_length=128,
+                                  channels=(4,), fused=True)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.standard_normal((2, 1, 4096)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 4, 2))
+    logits = model.apply(params, x)
+    assert logits.shape == (2, 4)
+    new_params, loss = model.train_step(params, x, y, 1e-2)
+    assert np.isfinite(float(loss))
+    g = jax.tree_util.tree_leaves(
+        jax.grad(model.loss_fn)(params, x, y)["frontend"])
+    assert any(float(jnp.max(jnp.abs(a))) > 0 for a in g)

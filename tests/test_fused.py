@@ -208,3 +208,29 @@ def test_split_hi_lo_survives_jit():
     rec = hi_e.astype(jnp.float32) + lo_e.astype(jnp.float32)
     assert float(jnp.max(jnp.abs(rec - a))) <= \
         float(jnp.max(jnp.abs(a))) * 2 ** -16
+
+
+def test_kernel_bwd_fast_interpret(interpret_kernels, rng):
+    """precision='fast' runs the backward kernels single-pass (bf16-grade,
+    the SGD-throughput mode).  Compared against the split3 backward ON THE
+    SAME forward residuals — comparing against the exact chain instead
+    mixes in dB-gate flips near the amin clamp caused by the fast
+    FORWARD's primal error, which is heavy-tailed and not a property of
+    the backward kernels."""
+    from torchaudio_contrib_tpu.ops import fused
+
+    x = jnp.asarray(rng.standard_normal((1, 8192)).astype(np.float32))
+    fb = ops.create_mel_filter(64, 16000, 0.0, None, 257)
+    n_frames = 1 + (8192 - 512) // 128
+    w = jnp.asarray(rng.standard_normal((1, 64, n_frames))
+                    .astype(np.float32))
+    _, (y_raw, reim_raw) = fused._kernel_forward(
+        x, fb, 512, 128, "hann", True, 1.0, 1e-7, "fast", None,
+        save_spec=True)
+    args = (w, x, fb, y_raw, reim_raw, 512, 128, "hann", True, 1.0, 1e-7)
+    gx_f, gf_f = fused._kernel_backward(*args, "fast", None)
+    gx_s, gf_s = fused._kernel_backward(*args, "split3", None)
+    ex = float(jnp.max(jnp.abs(gx_f - gx_s)) / jnp.max(jnp.abs(gx_s)))
+    ef = float(jnp.max(jnp.abs(gf_f - gf_s)) / jnp.max(jnp.abs(gf_s)))
+    assert ex <= 2e-2, ex
+    assert ef <= 2e-2, ef

@@ -46,17 +46,29 @@ class MelFrontendClassifier:
     def __init__(self, num_classes: int = 10, num_mels: int = 64,
                  sample_rate: float = 16000, fft_length: int = 512,
                  hop_length: int = 128, trainable_frontend: bool = True,
-                 channels: Tuple[int, ...] = (32, 64, 128)):
+                 channels: Tuple[int, ...] = (32, 64, 128),
+                 fused: bool = False, precision: str = "split3"):
         self.num_classes = num_classes
         self.num_mels = num_mels
         self.channels = channels
         self.trainable_frontend = trainable_frontend
-        self.melspec = Melspectrogram(
-            num_mels=num_mels, sample_rate=sample_rate,
-            fft_length=fft_length, hop_length=hop_length,
-            trainable=trainable_frontend)
-        self.to_db = AmplitudeToDb(power=2.0)
-        self.frontend = Pipeline(*self.melspec.transforms, self.to_db)
+        if fused:
+            # single-kernel log-mel frontend (TPU fast path; center=False
+            # frame semantics — the CNN is pooling-invariant to the frame
+            # count).  precision="fast" also runs the backward kernels
+            # single-pass for maximum training throughput.
+            from .layers import FusedMelspectrogram
+            self.frontend = Pipeline(FusedMelspectrogram(
+                num_mels=num_mels, sample_rate=sample_rate,
+                fft_length=fft_length, hop_length=hop_length,
+                trainable=trainable_frontend, precision=precision))
+        else:
+            self.melspec = Melspectrogram(
+                num_mels=num_mels, sample_rate=sample_rate,
+                fft_length=fft_length, hop_length=hop_length,
+                trainable=trainable_frontend)
+            self.to_db = AmplitudeToDb(power=2.0)
+            self.frontend = Pipeline(*self.melspec.transforms, self.to_db)
 
     def init(self, key) -> dict:
         ks = jax.random.split(key, len(self.channels) + 1)

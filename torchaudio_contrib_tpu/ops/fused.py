@@ -51,10 +51,11 @@ Pallas kernels produce the gradients:
   the ``(FBT, mels)`` output block accumulates validly over the
   row-block dimension: ``dFB_t += p_tᵀ·dmel``.
 
-All backward GEMMs run split-precision regardless of the forward mode
-(gradient parity ≤1e-4 vs the XLA chain's VJP).  Off-TPU and for
-unsupported configs the op transparently runs the jnp chain and its
-AD-derived VJP.
+Backward precision mirrors the forward: ``split3`` gradients hold
+≤1e-4 parity vs the XLA chain's VJP; ``precision="fast"`` also runs the
+backward single-pass (bf16-grade gradients at ~3× less backward MXU
+work — the SGD-throughput mode).  Off-TPU and for unsupported configs
+the op transparently runs the jnp chain and its AD-derived VJP.
 
 Mosaic constraints honored throughout: values stay 2-D (3-D reshapes are
 unsupported shape casts) and HBM DMA offsets/lengths are 1024-aligned.
@@ -118,13 +119,17 @@ def _fwd_vmem_est(N, HOP, TB, FBT, m_pad, split, save_spec, frames_in):
     return b
 
 
-def _bwd_vmem_est(N, TB, FBT, m_pad):
-    b = TB * 2 * m_pad * 2 * 2                   # dmel [hi|lo] blocks
+def _bwd_vmem_est(N, TB, FBT, m_pad, split=True):
+    mc = (2 if split else 1) * m_pad
+    bt = (4 if split else 2) * FBT
+    b = TB * mc * 2 * 2                          # dmel [hi|lo] blocks
     b += TB * 2 * FBT * 4 * 2                    # reim blocks
-    b += 2 * m_pad * FBT * 2 * 2                 # FBᵀ blocks
-    b += 4 * FBT * N * 2 * 3                     # Bᵀ blocks (deep-buffered)
+    b += mc * FBT * 2 * 2                        # FBᵀ blocks
+    b += bt * N * 2 * 3                          # Bᵀ blocks (deep-buffered)
     b += TB * N * 4 * 2                          # out blocks
-    b += TB * FBT * 4 + TB * 2 * FBT * 4 + TB * 4 * FBT * 2  # temps
+    b += TB * FBT * 4 + TB * 2 * FBT * 4        # temps: dp, dreim
+    if split:
+        b += TB * 4 * FBT * 2                    # dcat temp
     return b
 
 
@@ -217,19 +222,23 @@ def _fwd_basis_stack(fft_length: int, win_key, win_length, fbt: int,
 
 
 @functools.lru_cache(maxsize=16)
-def _bwd_basis_stack(fft_length: int, win_key, win_length,
-                     fbt: int) -> np.ndarray:
-    """bf16 transposed basis for the dframes kernel: ``(FT·4FBT, fft)``
-    with tile-t rows ``[Bᵀ_lo_t (2FBT); Bᵀ_hi_t (2FBT)]``."""
+def _bwd_basis_stack(fft_length: int, win_key, win_length, fbt: int,
+                     split: bool) -> np.ndarray:
+    """bf16 transposed basis for the dframes kernel.  split:
+    ``(FT·4FBT, fft)`` with tile-t rows ``[Bᵀ_lo_t (2FBT); Bᵀ_hi_t
+    (2FBT)]``; fast: ``(FT·2FBT, fft)`` of hi only."""
     basis, n_freqs, ft_count, f_pad = _basis_f32(fft_length, win_key,
                                                  win_length, fbt)
     hi, lo = _np_split_bf16(basis)
     rows = []
     for t in range(ft_count):
         s = slice(t * 2 * fbt, (t + 1) * 2 * fbt)
-        rows.append(np.concatenate([np.ascontiguousarray(lo[:, s].T),
-                                    np.ascontiguousarray(hi[:, s].T)],
-                                   axis=0))
+        hiT = np.ascontiguousarray(hi[:, s].T)
+        if split:
+            rows.append(np.concatenate(
+                [np.ascontiguousarray(lo[:, s].T), hiT], axis=0))
+        else:
+            rows.append(hiT)
     return np.concatenate(rows, axis=0)
 
 
@@ -276,10 +285,13 @@ def _fb_fwd_stack(fbp, ft: int, fbt: int, m_pad: int, split: bool):
     return jnp.concatenate([lo3, hi3], axis=1).reshape(ft * 2 * fbt, m_pad)
 
 
-def _fb_bwd_stack(fbp, ft: int, fbt: int, m_pad: int):
-    """(FT·2M, FBT) with tile-t rows [FBᵀ_lo_t (M); FBᵀ_hi_t (M)]."""
+def _fb_bwd_stack(fbp, ft: int, fbt: int, m_pad: int, split: bool):
+    """split: (FT·2M, FBT) with tile-t rows [FBᵀ_lo_t (M); FBᵀ_hi_t (M)];
+    fast: (FT·M, FBT) of hi only."""
     hi, lo = _split_hi_lo_xla(fbp)
     hiT = hi.reshape(ft, fbt, m_pad).transpose(0, 2, 1)   # (ft, M, FBT)
+    if not split:
+        return hiT.reshape(ft * m_pad, fbt)
     loT = lo.reshape(ft, fbt, m_pad).transpose(0, 2, 1)
     return jnp.concatenate([loT, hiT], axis=1).reshape(ft * 2 * m_pad, fbt)
 
@@ -460,29 +472,37 @@ def _dmel_from(g, y, to_db: bool, db_ref: float, amin: float):
 
 @functools.lru_cache(maxsize=32)
 def _build_bwd_dx_call(N: int, m_pad: int, g_rows: int, ft_count: int,
-                       tb: int, fbt: int, interpret: bool):
+                       tb: int, fbt: int, split: bool, interpret: bool):
     """dframes kernel: grid (row_blocks, freq_tiles), freq innermost so
     the (TB, N) output block accumulates the per-tile dF partials.
     ``dmel`` arrives pre-split (XLA-side): blocks (TB, 2M) bf16
-    ``[hi | lo]`` — keeps the kernel pure-GEMM and its VMEM small."""
+    ``[hi | lo]`` (just hi for ``split=False``) — keeps the kernel
+    pure-GEMM and its VMEM small."""
     TB, FBT = tb, fbt
     n_rb = g_rows // TB
+    MC = 2 * m_pad if split else m_pad
 
     def kernel(mcat_ref, reim_ref, fbT_ref, bT_ref, o_ref):
         t = pl.program_id(1)
         mcat = mcat_ref[:]
         dp = jnp.dot(mcat, fbT_ref[:], preferred_element_type=jnp.float32)
-        dp = dp + jnp.dot(mcat[:, :m_pad], fbT_ref[m_pad:, :],
-                          preferred_element_type=jnp.float32)
+        if split:
+            dp = dp + jnp.dot(mcat[:, :m_pad], fbT_ref[m_pad:, :],
+                              preferred_element_type=jnp.float32)
         reim = reim_ref[:]                       # (TB, 2FBT) f32
         dreim = jnp.concatenate(
             [2.0 * reim[:, :FBT] * dp, 2.0 * reim[:, FBT:] * dp], axis=1)
         dhi = dreim.astype(jnp.bfloat16)
-        dlo = (dreim - dhi.astype(jnp.float32)).astype(jnp.bfloat16)
-        dcat = jnp.concatenate([dhi, dlo], axis=1)   # (TB, 4FBT)
-        part = jnp.dot(dcat, bT_ref[:], preferred_element_type=jnp.float32)
-        part = part + jnp.dot(dhi, bT_ref[2 * FBT:, :],
-                              preferred_element_type=jnp.float32)
+        if split:
+            dlo = (dreim - dhi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dcat = jnp.concatenate([dhi, dlo], axis=1)   # (TB, 4FBT)
+            part = jnp.dot(dcat, bT_ref[:],
+                           preferred_element_type=jnp.float32)
+            part = part + jnp.dot(dhi, bT_ref[2 * FBT:, :],
+                                  preferred_element_type=jnp.float32)
+        else:
+            part = jnp.dot(dhi, bT_ref[:],
+                           preferred_element_type=jnp.float32)
 
         @pl.when(t == 0)
         def _init():
@@ -496,13 +516,14 @@ def _build_bwd_dx_call(N: int, m_pad: int, g_rows: int, ft_count: int,
         kernel,
         grid=(n_rb, ft_count),
         in_specs=[
-            pl.BlockSpec((TB, 2 * m_pad), lambda gi, t: (gi, 0),
+            pl.BlockSpec((TB, MC), lambda gi, t: (gi, 0),
                          memory_space=pltpu.VMEM),        # dmel [hi|lo]
             pl.BlockSpec((TB, 2 * FBT), lambda gi, t: (gi, t),
                          memory_space=pltpu.VMEM),        # reim residual
-            pl.BlockSpec((2 * m_pad, FBT), lambda gi, t: (t, 0),
+            pl.BlockSpec((MC, FBT), lambda gi, t: (t, 0),
                          memory_space=pltpu.VMEM),        # FBᵀ stack
-            pl.BlockSpec((4 * FBT, N), lambda gi, t: (t, 0),
+            pl.BlockSpec(((4 if split else 2) * FBT, N),
+                         lambda gi, t: (t, 0),
                          memory_space=pltpu.VMEM),        # Bᵀ stack
         ],
         out_specs=pl.BlockSpec((TB, N), lambda gi, t: (gi, 0),
@@ -514,29 +535,32 @@ def _build_bwd_dx_call(N: int, m_pad: int, g_rows: int, ft_count: int,
 
 @functools.lru_cache(maxsize=32)
 def _build_bwd_dfb_call(m_pad: int, g_rows: int, ft_count: int,
-                        tb: int, fbt: int, interpret: bool):
+                        tb: int, fbt: int, split: bool, interpret: bool):
     """dFB kernel: grid (freq_tiles, row_blocks) — freq OUTERMOST so the
     (FBT, M) output block accumulates over the row blocks (sequential
     innermost dimension)."""
     TB, FBT = tb, fbt
     n_rb = g_rows // TB
+    MC = 2 * m_pad if split else m_pad
 
     def kernel(mcat_ref, reim_ref, o_ref):
         gi = pl.program_id(1)
         mhi = mcat_ref[:, :m_pad]
-        mlo = mcat_ref[:, m_pad:]
         reim = reim_ref[:]
         p = (reim[:, :FBT] * reim[:, :FBT]
              + reim[:, FBT:] * reim[:, FBT:])
         phi = p.astype(jnp.bfloat16)
-        plo = (p - phi.astype(jnp.float32)).astype(jnp.bfloat16)
 
         def dotT(a, b):  # contract the TB axis: (TB,FBT)ᵀ·(TB,M)
             return jax.lax.dot_general(
                 a, b, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-        part = dotT(phi, mhi) + dotT(phi, mlo) + dotT(plo, mhi)
+        part = dotT(phi, mhi)
+        if split:
+            mlo = mcat_ref[:, m_pad:]
+            plo = (p - phi.astype(jnp.float32)).astype(jnp.bfloat16)
+            part = part + dotT(phi, mlo) + dotT(plo, mhi)
 
         @pl.when(gi == 0)
         def _init():
@@ -550,7 +574,7 @@ def _build_bwd_dfb_call(m_pad: int, g_rows: int, ft_count: int,
         kernel,
         grid=(ft_count, n_rb),
         in_specs=[
-            pl.BlockSpec((TB, 2 * m_pad), lambda t, gi: (gi, 0),
+            pl.BlockSpec((TB, MC), lambda t, gi: (gi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, 2 * FBT), lambda t, gi: (gi, t),
                          memory_space=pltpu.VMEM),
@@ -671,8 +695,14 @@ def _kernel_forward(waveform, filterbank, fft_length, hop_length, window,
 
 def _kernel_backward(g, waveform, filterbank, y_raw, reim_raw,
                      fft_length, hop_length, window, to_db, db_ref, amin,
-                     win_length):
-    """Cotangents (dwaveform, dfilterbank) via the backward kernels."""
+                     precision, win_length):
+    """Cotangents (dwaveform, dfilterbank) via the backward kernels.
+
+    ``precision`` mirrors the forward: "split3" (default; grad parity
+    ≤1e-4 vs the XLA chain's VJP) or "fast" (single bf16 pass per GEMM,
+    ~2e-3 — fine for SGD-style training at ~3× less backward MXU work).
+    """
+    split = precision == "split3"
     N, HOP = fft_length, hop_length
     num_mels = filterbank.shape[-1]
     win_key = _hashable_window(window)
@@ -684,8 +714,8 @@ def _kernel_backward(g, waveform, filterbank, y_raw, reim_raw,
     T = waveform.shape[-1]
     n_frames = 1 + (T - N) // HOP
     TB = _TB_BWD
-    while TB > 128 and _bwd_vmem_est(N, TB, _FREQ_TILE,
-                                     m_pad) > _VMEM_BUDGET_BWD:
+    while TB > 128 and _bwd_vmem_est(N, TB, _FREQ_TILE, m_pad,
+                                     split) > _VMEM_BUDGET_BWD:
         TB //= 2
     # pad total rows to the dframes tile; the dFB tile then adapts down
     # so small inputs don't pad to a huge block (padded rows carry
@@ -708,18 +738,20 @@ def _kernel_backward(g, waveform, filterbank, y_raw, reim_raw,
     y2 = y_raw.reshape(bc * rows, m_pad)
     dmel = _dmel_from(g2, y2, to_db, db_ref, amin)
     mhi, mlo = _split_hi_lo_xla(dmel)
-    mcat = jnp.concatenate([mhi, mlo], axis=1)       # (rows, 2M) bf16
+    mcat = (jnp.concatenate([mhi, mlo], axis=1)      # (rows, 2M) bf16
+            if split else mhi)
     reim2 = reim_raw.reshape(bc * rows, ft_count * 2 * _FREQ_TILE)
     if row_pad:
         mcat = jnp.pad(mcat, ((0, row_pad), (0, 0)))
         reim2 = jnp.pad(reim2, ((0, row_pad), (0, 0)))
 
     fbp = _fb_padded(filterbank, n_freqs, f_pad, m_pad)
-    fbT = _fb_bwd_stack(fbp, ft_count, _FREQ_TILE, m_pad)
-    bT = jnp.asarray(_bwd_basis_stack(N, win_key, win_length, _FREQ_TILE))
+    fbT = _fb_bwd_stack(fbp, ft_count, _FREQ_TILE, m_pad, split)
+    bT = jnp.asarray(_bwd_basis_stack(N, win_key, win_length, _FREQ_TILE,
+                                      split))
 
     dx_call = _build_bwd_dx_call(N, m_pad, g_rows, ft_count, TB,
-                                 _FREQ_TILE, _interpret())
+                                 _FREQ_TILE, split, _interpret())
     dframes = dx_call(mcat, reim2, fbT, bT)          # (g_rows, N)
     dframes = dframes[:bc * rows].reshape(bc, rows, N)[:, :n_frames, :]
 
@@ -734,7 +766,7 @@ def _kernel_backward(g, waveform, filterbank, y_raw, reim_raw,
     dx = dx2.reshape(lead + (T,)).astype(waveform.dtype)
 
     dfb_call = _build_bwd_dfb_call(m_pad, g_rows, ft_count, TB_DFB,
-                                   _FREQ_TILE, _interpret())
+                                   _FREQ_TILE, split, _interpret())
     dfb = dfb_call(mcat, reim2)                      # (f_pad, m_pad)
     dfb = dfb[:n_freqs, :num_mels].astype(filterbank.dtype)
     return dx, dfb
@@ -802,7 +834,7 @@ def _fused_vjp_bwd(fft_length, hop_length, window, power, to_db, db_ref,
     if reim_raw is not None:
         return _kernel_backward(g, waveform, filterbank, y_raw, reim_raw,
                                 fft_length, hop_length, window, to_db,
-                                db_ref, amin, win_length)
+                                db_ref, amin, precision, win_length)
     # fallback: the matmul-STFT chain has the cheapest VJP on TPU (GEMM
     # adjoints are GEMMs) at HIGH precision; off-TPU the fft chain is
     # both exact and fastest
