@@ -142,15 +142,16 @@ def config5():
         return clips[i % 8]
 
     nd = jax.device_count()
-    # batch 64: the axon tunnel's per-dispatch latency dominates on this
+    # batch 256: the axon tunnel's per-dispatch latency dominates on this
     # 1-core host, so fewer/larger transfers win over thread parallelism
     pre = par.CorpusPreprocessor(
-        loader, clip_samples=sr * 10, batch_size=max(nd * 4, 64),
+        loader, clip_samples=sr * 10, batch_size=max(nd * 4, 256),
         mesh=par.make_mesh(n_data=nd),
         num_workers=2, wire_format="int16", prefetch_batches=3,
         use_fused=True,
         fft_length=2048, hop_length=512, num_mels=128, sample_rate=22050,
         frames_per_chunk=64)
+    pre.run(range(pre.batch_size))  # warm-up: compile outside the timing
     stats = pre.run(range(n))
     emit("5:corpus", files=stats.files_done, failed=stats.files_failed,
          frames_per_sec=round(stats.frames_per_sec),

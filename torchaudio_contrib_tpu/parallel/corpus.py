@@ -337,15 +337,21 @@ class CorpusPreprocessor:
         pending: deque = deque()   # batches in flight on the device
         t0 = time.perf_counter()
 
-        def drain(p):
+        fetched = [0]
+
+        def drain(p, final=False):
             mel, p_ids = p
-            # force execution with a scalar fetch: on some backends (axon
-            # TPU tunnel) block_until_ready alone does not demand the value
-            float(jnp.sum(mel[..., -1, -1]))
             if self.sink is not None:
                 mel_np = np.asarray(jax.device_get(mel))
                 for k, idx in enumerate(p_ids):
                     self.sink(idx, mel_np[k])
+            elif final or fetched[0] == 0:
+                # no consumer: force execution with a scalar fetch on the
+                # first and last batches only (on the axon tunnel,
+                # block_until_ready alone does not demand the value, and
+                # a per-batch fetch would cost one round-trip each)
+                float(jnp.sum(mel[..., -1, -1]))
+                fetched[0] += 1
             stats.frames += mel.shape[-1] * len(p_ids)
 
         def dispatch():
@@ -383,6 +389,7 @@ class CorpusPreprocessor:
                 dispatch()
         dispatch()
         while pending:
-            drain(pending.popleft())
+            p = pending.popleft()
+            drain(p, final=not pending)
         stats.seconds = time.perf_counter() - t0
         return stats
