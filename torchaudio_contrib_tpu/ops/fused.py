@@ -40,13 +40,14 @@ forward saves the re/im spectrum tiles as a residual (one extra HBM
 write, ~0.5 ms — far cheaper than recomputing the DFT GEMMs), and two
 Pallas kernels produce the gradients:
 
-* ``dframes`` kernel, grid ``(row_blocks, freq_tiles)``: dB-gate →
-  ``dmel`` (VPU, recomputed from the saved output), ``dp = dmel·FBᵀ``
-  (MXU), ``dre/dim = 2·re/im·dp`` (VPU), ``dF += [dre|dim]·Bᵀ`` (MXU,
-  accumulated over freq tiles directly in the output block).  The
-  overlap-add of ``dF`` back to the waveform is the exact adjoint of
-  the phase-decomposed framing, done XLA-side via ``jax.vjp`` of
-  :func:`~torchaudio_contrib_tpu.ops.stft.frame_signal` (dense adds).
+* ``dframes`` kernel, grid ``(row_blocks, freq_tiles)``:
+  ``dp = dmel·FBᵀ`` (MXU), ``dre/dim = 2·re/im·dp`` (VPU),
+  ``dF += [dre|dim]·Bᵀ`` (MXU, accumulated over freq tiles directly in
+  the output block).  The dB gate → ``dmel`` recompute (from the saved
+  output) and its hi/lo operand split happen XLA-side, keeping the
+  kernel a pure GEMM pipeline; the overlap-add of ``dF`` back to the
+  waveform is the hand-written adjoint of the phase-decomposed framing
+  (``stft._overlap_add`` — r dense shifted adds, any hop).
 * ``dFB`` kernel, grid ``(freq_tiles, row_blocks)`` — freq OUTERMOST so
   the ``(FBT, mels)`` output block accumulates validly over the
   row-block dimension: ``dFB_t += p_tᵀ·dmel``.
