@@ -151,14 +151,21 @@ def main():
         float(probe(fwd(x)))
     log(f"fwd compile+run: {time.perf_counter() - t0:.1f}s")
 
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = fwd(x)
-    float(probe(out))
-    dt_fwd = (time.perf_counter() - t0) / args.iters
+    # best-of-3 groups: host dispatch jitter on the 1-core tunnel host
+    # adds 1-4 ms/iter of noise; the best group reflects device time
+    # (mirrors the pinned best-of-N CPU-baseline methodology)
+    group = max(args.iters // 3, 1)
+    dt_fwd = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(group):
+            out = fwd(x)
+        float(probe(out))
+        dt_fwd = min(dt_fwd, (time.perf_counter() - t0) / group)
     n_frames_total = args.batch * args.channels * out.shape[-1]
     fps_fwd = n_frames_total / dt_fwd
-    log(f"fwd: {dt_fwd * 1e3:.2f} ms/iter, {fps_fwd:,.0f} frames/s "
+    log(f"fwd: {dt_fwd * 1e3:.2f} ms/iter (best of 3 groups), "
+        f"{fps_fwd:,.0f} frames/s "
         f"({out.shape[-1]} frames x {args.batch * args.channels} streams)")
 
     try:

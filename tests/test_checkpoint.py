@@ -56,3 +56,35 @@ def test_treedef_mismatch_raises(tmp_path, rng):
     # matching structure still loads
     restored = load_params(p, {"conv": b, "head": a})
     np.testing.assert_array_equal(np.asarray(restored["conv"]), a)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax-backed path for large/sharded pytrees: round-trips values
+    and restores directly onto a sharded target layout."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from torchaudio_contrib_tpu.parallel import make_mesh
+    from torchaudio_contrib_tpu.utils import save_checkpoint, \
+        load_checkpoint
+
+    model = MelFrontendClassifier(num_classes=3, num_mels=8,
+                                  fft_length=64, hop_length=16,
+                                  channels=(4,))
+    params = model.init(jax.random.PRNGKey(0))
+    p = str(tmp_path / "orbax_ck")
+    save_checkpoint(p, params)
+    restored = load_checkpoint(p, model.init(jax.random.PRNGKey(1)))
+    np.testing.assert_array_equal(
+        np.asarray(restored["head"]["w"]), np.asarray(params["head"]["w"]))
+
+    # restore directly onto a mesh-sharded target
+    mesh = make_mesh()
+    import jax.numpy as jnp
+    sharded_like = jax.tree_util.tree_map(
+        lambda a: jax.device_put(
+            jnp.zeros_like(a),
+            NamedSharding(mesh, P())), params)
+    restored2 = load_checkpoint(p, sharded_like)
+    leaf = jax.tree_util.tree_leaves(restored2)[0]
+    assert len(leaf.devices()) == 8
+    np.testing.assert_array_equal(
+        np.asarray(restored2["head"]["b"]), np.asarray(params["head"]["b"]))

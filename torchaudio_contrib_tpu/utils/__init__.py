@@ -1,4 +1,6 @@
 from .compat import view_as_real, view_as_complex
-from .checkpoint import save_params, load_params
+from .checkpoint import (save_params, load_params,
+                         save_checkpoint, load_checkpoint)
 
-__all__ = ["view_as_real", "view_as_complex", "save_params", "load_params"]
+__all__ = ["view_as_real", "view_as_complex", "save_params",
+           "load_params", "save_checkpoint", "load_checkpoint"]

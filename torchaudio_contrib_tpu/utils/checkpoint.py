@@ -15,7 +15,8 @@ from typing import Any
 import numpy as np
 import jax
 
-__all__ = ["save_params", "load_params"]
+__all__ = ["save_params", "load_params",
+           "save_checkpoint", "load_checkpoint"]
 
 _NONE = "__none__"
 
@@ -72,3 +73,36 @@ def load_params(path: str, like: Any) -> Any:
                 f"leaf shape mismatch: checkpoint {new.shape} vs model "
                 f"{np.shape(old)}")
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+# -- orbax-backed sharded checkpoints ---------------------------------------
+
+def save_checkpoint(path: str, params: Any) -> None:
+    """Orbax-backed checkpoint of a param pytree (directory format).
+
+    Use for LARGE or mesh-sharded pytrees: each leaf is written with its
+    sharding (multi-host safe, async-capable under the hood).  For the
+    small single-host pytrees this library typically produces,
+    :func:`save_params` (.npz single file) is lighter.
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()   # StandardCheckpointer saves async
+
+
+def load_checkpoint(path: str, like: Any) -> Any:
+    """Restore an orbax checkpoint saved by :func:`save_checkpoint`.
+
+    ``like`` provides the target tree (shapes/dtypes — and shardings:
+    pass a pytree of sharded arrays or ShapeDtypeStructs with
+    ``sharding`` set to restore each leaf directly onto a mesh).
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer().restore(os.path.abspath(path), like)
