@@ -69,7 +69,7 @@ def main():
     ap.add_argument("--fft", type=int, default=2048)
     ap.add_argument("--hop", type=int, default=512)
     ap.add_argument("--mels", type=int, default=128)
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--baseline-iters", type=int, default=2)
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--profile", default=None,
@@ -173,10 +173,10 @@ def main():
         float(probe(fwd_bwd(x)))
         log(f"fwd+bwd compile+run: {time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
-        for _ in range(max(args.iters // 2, 1)):
+        for _ in range(max(args.iters // 3, 1)):
             g = fwd_bwd(x)
         float(probe(g))
-        dt_bwd = (time.perf_counter() - t0) / max(args.iters // 2, 1)
+        dt_bwd = (time.perf_counter() - t0) / max(args.iters // 3, 1)
         log(f"fwd+bwd: {dt_bwd * 1e3:.2f} ms/iter, "
             f"{n_frames_total / dt_bwd:,.0f} frames/s")
     except Exception as e:  # keep the headline metric alive
