@@ -234,3 +234,46 @@ def test_kernel_bwd_fast_interpret(interpret_kernels, rng):
     ef = float(jnp.max(jnp.abs(gf_f - gf_s)) / jnp.max(jnp.abs(gf_s)))
     assert ex <= 2e-2, ex
     assert ef <= 2e-2, ef
+
+
+def test_kernel_bwd_interpret_win_length_no_db(interpret_kernels, rng):
+    """Backward kernels with win_length < fft (window folded into the
+    basis and its transpose) and to_db=False (identity dmel gate)."""
+    x = jnp.asarray(rng.standard_normal((1, 8192)).astype(np.float32))
+    fb = ops.create_mel_filter(32, 16000, 0.0, None, 257)
+    n_frames = 1 + (8192 - 512) // 128
+    w = jnp.asarray(rng.standard_normal((1, 32, n_frames))
+                    .astype(np.float32))
+
+    gx, gf = jax.grad(lambda v, f: jnp.sum(
+        ops.fused_melspectrogram(v, f, 512, 128, to_db=False,
+                                 win_length=400) * w),
+        argnums=(0, 1))(x, fb)
+    rx, rf = jax.grad(lambda v, f: jnp.sum(
+        _chain(v, 512, 128, f, to_db=False, win_length=400) * w),
+        argnums=(0, 1))(x, fb)
+    ex = float(jnp.max(jnp.abs(gx - rx)) / jnp.max(jnp.abs(rx)))
+    ef = float(jnp.max(jnp.abs(gf - rf)) / jnp.max(jnp.abs(rf)))
+    assert ex <= 1e-4, ex
+    assert ef <= 1e-4, ef
+
+
+def test_kernel_bwd_interpret_multi_lead_dims(interpret_kernels, rng):
+    """(B, C, T) leading dims flatten/restore correctly through the
+    kernel forward AND the backward glue."""
+    x = jnp.asarray(rng.standard_normal((2, 2, 4096)).astype(np.float32))
+    fb = ops.create_mel_filter(32, 16000, 0.0, None, 129)
+    n_frames = 1 + (4096 - 256) // 128
+    w = jnp.asarray(rng.standard_normal((2, 2, 32, n_frames))
+                    .astype(np.float32))
+    gx, gf = jax.grad(lambda v, f: jnp.sum(
+        ops.fused_melspectrogram(v, f, 256, 128) * w), argnums=(0, 1))(x, fb)
+    rx, rf = jax.grad(lambda v, f: jnp.sum(
+        _chain(v, 256, 128, f) * w), argnums=(0, 1))(x, fb)
+    assert gx.shape == x.shape
+    # a layout/flattening bug would be O(1); 2e-4 is split3 precision at
+    # this small fft (short contractions average less rounding out)
+    ex = float(jnp.max(jnp.abs(gx - rx)) / jnp.max(jnp.abs(rx)))
+    ef = float(jnp.max(jnp.abs(gf - rf)) / jnp.max(jnp.abs(rf)))
+    assert ex <= 2e-4, ex
+    assert ef <= 2e-4, ef
