@@ -38,6 +38,9 @@ def make_batch(rng, n, sr, num_classes):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--fused", action="store_true",
+                    help="single-kernel log-mel frontend (TPU fast path; "
+                         "fwd AND bwd run as Pallas kernels)")
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--batch", type=int, default=32)
     args = ap.parse_args()
@@ -45,7 +48,8 @@ def main():
     sr, num_classes = 8000, 4
     model = MelFrontendClassifier(num_classes=num_classes, num_mels=32,
                                   sample_rate=sr, fft_length=256,
-                                  hop_length=128, channels=(16, 32))
+                                  hop_length=128, channels=(16, 32),
+                                  fused=args.fused)
     params = model.init(jax.random.PRNGKey(0))
     mesh = par.make_mesh(n_data=jax.device_count())
     params = par.replicate(params, mesh)
