@@ -265,3 +265,42 @@ def test_corpus_int16_wire_format(rng):
         # dB-domain comparison: int16 SNR ~96 dB -> tight everywhere the
         # signal is above the amin clamp
         np.testing.assert_allclose(outs16[i], outs32[i], atol=3e-2)
+
+
+def test_time_sharded_stft_matches_oneshot(rng):
+    """Sequence-parallel STFT: time axis over 8 shards with a ppermute
+    halo exchange == one-shot center=False STFT."""
+    fft_length, hop = 512, 128
+    mesh = par.make_mesh()                       # 8 on 'data'
+    T = 8 * hop * 16                             # 16 frames per shard
+    x = jnp.asarray(rng.standard_normal((2, T)).astype(np.float32))
+    got = par.time_sharded_stft(x, mesh, "data", fft_length, hop)
+    ref = ops.stft(x, fft_length, hop, center=False)
+    assert got.shape == ref.shape
+    assert len(got.sharding.device_set) == 8
+    err = float(jnp.max(jnp.abs(got - ref)))
+    assert err <= 1e-5, err
+
+
+def test_time_sharded_mel_2d_mesh(rng):
+    """Time over 'model' while batch stays on 'data' (2-axis mesh)."""
+    mesh = par.make_mesh(n_data=4, n_model=2)
+    fft_length, hop = 256, 64
+    T = 2 * hop * 32
+    x = jnp.asarray(rng.standard_normal((4, 1, T)).astype(np.float32))
+    got = par.time_sharded_melspectrogram(
+        x, mesh, "model", num_mels=32, sample_rate=16000,
+        fft_length=fft_length, hop_length=hop)
+    spec = ops.stft(x, fft_length, hop, center=False)
+    fb = ops.create_mel_filter(32, 16000, 0.0, None, fft_length // 2 + 1)
+    ref = ops.amplitude_to_db(
+        ops.apply_filterbank(ops.complex_norm(spec, 2.0), fb), power=2.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_time_sharded_validation(rng):
+    mesh = par.make_mesh()
+    x = jnp.zeros((2, 1000), jnp.float32)        # not hop-aligned over 8
+    with pytest.raises(ValueError, match="hop-aligned"):
+        par.time_sharded_stft(x, mesh, "data", 256, 64)

@@ -5,6 +5,7 @@ from .corpus import (
     StreamingSTFT, chunked_melspectrogram, CorpusPreprocessor, CorpusStats,
 )
 from .multihost import initialize_multihost, make_pod_mesh
+from .timeshard import time_sharded_stft, time_sharded_melspectrogram
 
 __all__ = [
     "make_mesh", "shard_batch", "replicate", "sharded_apply",
@@ -12,4 +13,5 @@ __all__ = [
     "StreamingSTFT", "chunked_melspectrogram", "CorpusPreprocessor",
     "CorpusStats",
     "initialize_multihost", "make_pod_mesh",
+    "time_sharded_stft", "time_sharded_melspectrogram",
 ]

@@ -1,0 +1,120 @@
+"""Time(sequence)-sharded STFT/mel — split the TIME axis over the mesh.
+
+The library's batch data-parallelism (`sharding.py`) covers corpora of
+clips; for a SINGLE very long recording the scaling axis is time.  Here
+the waveform's time axis lives on a mesh axis and each shard computes
+the frames that START in its chunk.  Frames straddling a shard boundary
+need the next shard's leading ``fft − hop`` samples — one
+``jax.lax.ppermute`` halo exchange per call, riding the ICI.  Everything
+else (window, DFT, mel GEMM, dB) is frame-local, so this scales a
+multi-hour recording across a pod slice with a single tiny collective.
+
+This is the sequence-parallel analog for audio (SURVEY.md §5: the
+"long-context" axis here is long audio); ring attention/Ulysses do not
+apply — the STFT's dependency footprint is exactly the ``fft − hop``
+halo.
+
+Semantics: ``center=False`` framing (matching the streaming/fused
+paths); the time length must divide evenly into hop-aligned shards
+(pad the tail up front — the trailing frames are sliced off exactly as
+a one-shot ``stft`` would).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.stft import stft as _stft
+from ..ops.filters import create_mel_filter, apply_filterbank
+from ..ops.complexops import complex_norm
+from ..ops.db import amplitude_to_db
+
+__all__ = ["time_sharded_stft", "time_sharded_melspectrogram"]
+
+
+def _halo_from_right(xl: jnp.ndarray, axis_name: str,
+                     halo: int) -> jnp.ndarray:
+    """Each shard receives the leading ``halo`` samples of its RIGHT
+    neighbor (the last shard receives zeros — ppermute's fill)."""
+    n = jax.lax.axis_size(axis_name)
+    perm = [(i, i - 1) for i in range(1, n)]
+    return jax.lax.ppermute(xl[..., :halo], axis_name, perm)
+
+
+def _shard_frames(xl, axis_name, fft_length, hop_length, window,
+                  win_length, fb, to_db, power):
+    halo = _halo_from_right(xl, axis_name, fft_length - hop_length)
+    xbuf = jnp.concatenate([xl, halo], axis=-1)
+    spec = _stft(xbuf, fft_length, hop_length, win_length=win_length,
+                 window=window, center=False)   # (..., F, T_loc/hop)
+    if fb is None:
+        return spec
+    mel = apply_filterbank(complex_norm(spec, power), fb)
+    if to_db:
+        mel = amplitude_to_db(mel, power=power)
+    return mel
+
+
+def _run(waveform, mesh, axis, fft_length, hop_length, window, win_length,
+         fb, to_db, power):
+    S = mesh.shape[axis]
+    T = waveform.shape[-1]
+    if T % (S * hop_length) != 0:
+        raise ValueError(
+            f"time length {T} must divide into {S} hop-aligned shards "
+            f"(multiple of {S * hop_length}); zero-pad the tail")
+    n_frames = 1 + (T - fft_length) // hop_length
+
+    nd = waveform.ndim
+    in_spec = P(*([None] * (nd - 1) + [axis]))
+    out_spec = P(*([None] * nd + [axis]))  # (..., F/mels, frames)
+
+    fn = jax.shard_map(
+        lambda xl: _shard_frames(xl, axis, fft_length, hop_length,
+                                 window, win_length, fb, to_db, power),
+        mesh=mesh, in_specs=in_spec, out_specs=out_spec)
+
+    x = jax.device_put(waveform, NamedSharding(mesh, in_spec))
+    out = jax.jit(fn)(x)
+    # the last shard's tail frames used a zero halo — exactly the frames
+    # a one-shot center=False stft would not produce
+    return out[..., :n_frames]
+
+
+def time_sharded_stft(waveform: jnp.ndarray, mesh: Mesh,
+                      axis: str = "data",
+                      fft_length: int = 2048,
+                      hop_length: int = 512,
+                      window="hann",
+                      win_length: Optional[int] = None) -> jnp.ndarray:
+    """STFT of ``waveform (..., T)`` with TIME sharded over ``mesh[axis]``.
+
+    Returns complex ``(..., n_freqs, n_frames)`` with the frame axis
+    sharded over the same mesh axis; one ``ppermute`` halo exchange is
+    the only collective.  ``center=False`` semantics.
+    """
+    return _run(waveform, mesh, axis, fft_length, hop_length, window,
+                win_length, None, False, 2.0)
+
+
+def time_sharded_melspectrogram(waveform: jnp.ndarray, mesh: Mesh,
+                                axis: str = "data",
+                                num_mels: int = 128,
+                                sample_rate: float = 22050,
+                                f_min: float = 0.0,
+                                f_max: Optional[float] = None,
+                                fft_length: int = 2048,
+                                hop_length: int = 512,
+                                window="hann",
+                                to_db: bool = True,
+                                power: float = 2.0) -> jnp.ndarray:
+    """Log-mel of a long ``(..., T)`` recording with time sharded over
+    ``mesh[axis]`` — the whole chain (halo → frames → DFT → mel → dB)
+    runs shard-local after the single halo exchange."""
+    fb = create_mel_filter(num_mels, sample_rate, f_min, f_max,
+                           fft_length // 2 + 1)
+    return _run(waveform, mesh, axis, fft_length, hop_length, window,
+                None, fb, to_db, power)
