@@ -61,11 +61,16 @@ def config2():
     f = jax.jit(fused)
     probe = jax.jit(lambda o: jnp.sum(o))
     _sync(probe, f(x))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        o = f(x)
-    _sync(probe, o)
-    dt = (time.perf_counter() - t0) / 5
+    # best-of-3 groups of 10: the 1-core tunnel host adds 1-4 ms/iter of
+    # dispatch jitter; long async groups amortize it (same methodology
+    # as bench.py)
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            o = f(x)
+        _sync(probe, o)
+        dt = min(dt, (time.perf_counter() - t0) / 10)
     emit("2:melspec-batch", ms_per_iter=round(dt * 1e3, 2),
          frames_per_sec=round(32 * o.shape[-1] / dt))
 
