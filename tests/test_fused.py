@@ -63,10 +63,13 @@ def test_filterbank_gradient(rng):
 def test_supported_matrix():
     assert ops.fused_mel_supported(2048, 512)
     assert ops.fused_mel_supported(1024, 256)
-    assert ops.fused_mel_supported(512, 160)         # ASR 10 ms hop
-    assert ops.fused_mel_supported(2048, 500)        # any hop < fft
-    assert not ops.fused_mel_supported(2048, 2048)   # no overlap
-    assert not ops.fused_mel_supported(400, 160)     # fft not 128-aligned
+    assert ops.fused_mel_supported(512, 160)      # ASR 10 ms hop
+    assert ops.fused_mel_supported(2048, 500)     # any hop
+    assert ops.fused_mel_supported(2048, 2048)    # no overlap
+    assert ops.fused_mel_supported(400, 160)      # Whisper fft (pads->512)
+    assert ops.fused_mel_supported(250, 125)      # odd-ball fft
+    assert not ops.fused_mel_supported(512, 0)    # degenerate hop
+    assert not ops.fused_mel_supported(1, 1)      # degenerate fft
 
 
 def test_layer(rng):
@@ -124,7 +127,8 @@ def interpret_kernels(monkeypatch):
     monkeypatch.setenv("TAC_FUSED_INTERPRET", "1")
 
 
-@pytest.mark.parametrize("fft,hop", [(512, 128), (512, 160), (256, 100)])
+@pytest.mark.parametrize("fft,hop", [(512, 128), (512, 160), (256, 100),
+                                     (400, 160), (250, 125), (512, 512)])
 def test_kernel_fwd_interpret(interpret_kernels, rng, fft, hop):
     """Forward kernel (in-kernel DMA framing for aligned hops, XLA-side
     framing otherwise) vs the XLA chain, via the Pallas interpreter."""
@@ -136,7 +140,7 @@ def test_kernel_fwd_interpret(interpret_kernels, rng, fft, hop):
     assert err <= 5e-5, err
 
 
-@pytest.mark.parametrize("fft,hop", [(512, 128), (512, 160)])
+@pytest.mark.parametrize("fft,hop", [(512, 128), (512, 160), (400, 160)])
 def test_kernel_bwd_interpret(interpret_kernels, rng, fft, hop):
     """Backward kernels (dframes + dFB) vs the XLA chain's VJP, with a
     fixed primal-independent cotangent."""
@@ -277,3 +281,18 @@ def test_kernel_bwd_interpret_multi_lead_dims(interpret_kernels, rng):
     ef = float(jnp.max(jnp.abs(gf - rf)) / jnp.max(jnp.abs(rf)))
     assert ex <= 2e-4, ex
     assert ef <= 2e-4, ef
+
+
+def test_kernel_bwd_silence_clamp_gate(interpret_kernels):
+    """Regression: entries clamped to ``amin`` in the forward must get
+    exactly zero gradient.  The backward reconstructs the dB gate from
+    the saved output via exp∘log; f32 round-trip error made clamped
+    entries reconstruct as slightly above ``amin``, leaking
+    ``g/amin ~ 1e7``-scale gradients (silent audio exploded).  The gate
+    now carries a 1e-4 relative tolerance."""
+    xz = jnp.zeros((1, 4096), jnp.float32)
+    fb = ops.create_mel_filter(32, 16000, 0.0, None, 257)
+    gx, gf = jax.grad(lambda v, f: jnp.sum(
+        ops.fused_melspectrogram(v, f, 512, 128)), argnums=(0, 1))(xz, fb)
+    assert float(jnp.max(jnp.abs(gx))) == 0.0
+    assert float(jnp.max(jnp.abs(gf))) == 0.0

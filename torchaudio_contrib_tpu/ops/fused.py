@@ -17,7 +17,9 @@ freq innermost (sequential on-core, enabling accumulation):
    are not 128-aligned (e.g. the 10 ms ASR hop=160), framing instead
    happens XLA-side (dense phase-decomposed copies) and the kernel
    reads pre-split frame blocks — same GEMM pipeline, ~1 extra HBM
-   round-trip of the frames buffer;
+   round-trip of the frames buffer.  Non-128-multiple ``fft_length``
+   (e.g. Whisper's 400) zero-pads the frame axis to the next 128
+   multiple with matching zero basis rows;
 2. MXU GEMMs against this freq-tile's slice of the *windowed DFT basis*
    ``[W·cos | W·sin]`` → ``(TB, 2·FBT)`` re/im;
 3. power ``re²+im²`` (VPU);
@@ -147,11 +149,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 def fused_mel_supported(fft_length: int, hop_length: int) -> bool:
-    """True when the Pallas kernel covers this config: 128-aligned fft
-    with overlapping frames.  128-aligned hops use in-kernel framing
-    (fastest); any other hop (e.g. 160) uses XLA-side framing feeding
-    the same kernel."""
-    return (fft_length % 128 == 0 and 0 < hop_length < fft_length)
+    """True when the Pallas kernel covers this config — any ``fft_length
+    >= 2`` and any positive hop.  128-aligned fft/hop pairs use in-kernel
+    framing (fastest); any other config (e.g. the Whisper-style fft=400 /
+    hop=160) uses XLA-side framing feeding the same kernel, with the
+    frame axis zero-padded to the next 128 multiple (the padded basis
+    rows are zero, so padded lanes contribute nothing)."""
+    return fft_length >= 2 and hop_length > 0
 
 
 def _hop_aligned(fft_length: int, hop_length: int) -> bool:
@@ -200,6 +204,13 @@ def _basis_f32(fft_length: int, win_key, win_length, fbt: int):
     wi = (w[:, None] * -np.sin(ang))
     wr[:, n_freqs:] = 0.0  # padded bins contribute nothing
     wi[:, n_freqs:] = 0.0
+    n_pad = _round_up(fft_length, 128)
+    if n_pad > fft_length:
+        # sublane-pad the frame axis so any fft_length (e.g. Whisper's
+        # 400) maps onto 128-tiled MXU GEMMs; zero rows match the zero
+        # padding of the frame matrix columns
+        wr = np.pad(wr, ((0, n_pad - fft_length), (0, 0)))
+        wi = np.pad(wi, ((0, n_pad - fft_length), (0, 0)))
 
     tiles = []
     for t in range(ft_count):
@@ -464,11 +475,21 @@ def _build_fwd_call(N: int, HOP: int, m_pad: int, n_blocks: int, bc: int,
 
 def _dmel_from(g, y, to_db: bool, db_ref: float, amin: float):
     """d(loss)/d(mel) from the output cotangent, recomputing the dB gate
-    from the saved output: mel_clamped = max(ref,amin)·10^(y/10)."""
+    from the saved output: mel_clamped = max(ref,amin)·10^(y/10).
+
+    The gate carries a 1e-4 relative tolerance: entries clamped to
+    ``amin`` in the forward (silence, zero-weight mel bins) reconstruct
+    through the f32 exp∘log round trip as ``amin·(1 ± ~4e-6)`` — a
+    strict ``> amin`` test then leaks ``g/amin ≈ 1e7``-scale garbage
+    gradients into clamped entries (the chain's VJP gives exactly 0
+    there).  Values genuinely within 1e-4 of the clamp are zeroed too;
+    their true gradient is the knife-edge of the clamp and zero is the
+    conservative side."""
     if not to_db:
         return g
     mel_c = max(db_ref, amin) * jnp.exp(y * _DB_TO_LIN)
-    return jnp.where(mel_c > amin, g * (_LN10_INV_10 / mel_c), 0.0)
+    return jnp.where(mel_c > amin * (1.0 + 1e-4),
+                     g * (_LN10_INV_10 / mel_c), 0.0)
 
 
 @functools.lru_cache(maxsize=32)
@@ -640,9 +661,10 @@ def _kernel_forward(waveform, filterbank, fft_length, hop_length, window,
         raise ValueError(f"input too short: {T} < fft_length={N}")
     n_frames = 1 + (T - N) // HOP
     aligned = _hop_aligned(N, HOP)
+    N_pad = N if aligned else _round_up(N, 128)  # kernel frame width
     TB = _TB
-    while TB > 128 and _fwd_vmem_est(N, HOP, TB, _FREQ_TILE, m_pad, split,
-                                     save_spec,
+    while TB > 128 and _fwd_vmem_est(N_pad, HOP, TB, _FREQ_TILE, m_pad,
+                                     split, save_spec,
                                      not aligned) > _VMEM_BUDGET_FWD:
         TB -= 128
     n_blocks = _cdiv(n_frames, TB)
@@ -673,15 +695,14 @@ def _kernel_forward(waveform, filterbank, fft_length, hop_length, window,
     else:
         frames = _frame_signal(x2, N, HOP)           # (bc, n_frames, N)
         rows = n_blocks * TB
-        if rows > n_frames:
-            frames = jnp.pad(frames, ((0, 0), (0, rows - n_frames),
-                                      (0, 0)))
-        frames = frames.reshape(bc * rows, N)
+        frames = jnp.pad(frames, ((0, 0), (0, rows - n_frames),
+                                  (0, N_pad - N)))
+        frames = frames.reshape(bc * rows, N_pad)
         fcat = _split_cat_cols(frames) if split \
             else frames.astype(jnp.bfloat16)
         bstack = jnp.asarray(_fwd_basis_stack(N, win_key, win_length,
                                               _FREQ_TILE, split))
-        call = _build_fwd_call(N, HOP, m_pad, n_blocks, bc, ft_count,
+        call = _build_fwd_call(N_pad, HOP, m_pad, n_blocks, bc, ft_count,
                                to_db, float(db_ref), float(amin), split,
                                TB, _FREQ_TILE, True, save_spec,
                                _interpret())
@@ -714,8 +735,9 @@ def _kernel_backward(g, waveform, filterbank, y_raw, reim_raw,
     lead = waveform.shape[:-1]
     T = waveform.shape[-1]
     n_frames = 1 + (T - N) // HOP
+    N_pad = _round_up(N, 128)           # kernel frame width (basis rows)
     TB = _TB_BWD
-    while TB > 128 and _bwd_vmem_est(N, TB, _FREQ_TILE, m_pad,
+    while TB > 128 and _bwd_vmem_est(N_pad, TB, _FREQ_TILE, m_pad,
                                      split) > _VMEM_BUDGET_BWD:
         TB //= 2
     # pad total rows to the dframes tile; the dFB tile then adapts down
@@ -751,10 +773,11 @@ def _kernel_backward(g, waveform, filterbank, y_raw, reim_raw,
     bT = jnp.asarray(_bwd_basis_stack(N, win_key, win_length, _FREQ_TILE,
                                       split))
 
-    dx_call = _build_bwd_dx_call(N, m_pad, g_rows, ft_count, TB,
+    dx_call = _build_bwd_dx_call(N_pad, m_pad, g_rows, ft_count, TB,
                                  _FREQ_TILE, split, _interpret())
-    dframes = dx_call(mcat, reim2, fbT, bT)          # (g_rows, N)
-    dframes = dframes[:bc * rows].reshape(bc, rows, N)[:, :n_frames, :]
+    dframes = dx_call(mcat, reim2, fbT, bT)          # (g_rows, N_pad)
+    dframes = (dframes[:bc * rows]
+               .reshape(bc, rows, N_pad)[:, :n_frames, :N])
 
     # overlap-add = exact adjoint of the phase-decomposed framing: x[t]
     # accumulates dF over every frame containing t; samples past the
@@ -793,8 +816,8 @@ def fused_melspectrogram(waveform: jnp.ndarray,
     :func:`~torchaudio_contrib_tpu.ops.create_mel_filter`).  Returns
     ``(..., num_mels, n_frames)``.  ``precision``: ``"split3"`` (~4e-6
     relative, default) or ``"fast"`` (single bf16 pass, ~2e-3 relative).
-    Falls back to the jnp chain off-TPU, for unsupported configs, and for
-    ``power != 2``.  Differentiable: training runs dedicated backward
+    Any ``fft_length >= 2`` / ``hop_length > 0`` runs the kernel on TPU;
+    falls back to the jnp chain off-TPU and for ``power != 2``.  Differentiable: training runs dedicated backward
     Pallas kernels fed by a saved-spectrum residual (see module docs).
     """
     return _fused_fwd_impl(waveform, filterbank, fft_length, hop_length,
