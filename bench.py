@@ -135,6 +135,24 @@ def main():
     def probe(o):
         return jnp.sum(o)
 
+    # device-resident timing loop: K applications chained inside ONE jit
+    # dispatch via a scalar accumulator, so the per-dispatch tunnel
+    # latency (1-4 ms on this 1-core dev host — an artifact of the axon
+    # tunnel, not the chip) is amortized away.  The (1 + 1e-30·i) input
+    # scale is loop-varying, defeating XLA's loop-invariant code motion,
+    # while 1+1e-30 rounds to exactly 1.0f so the computation is
+    # unchanged.
+    K_LOOP = 16
+
+    def _make_loop(f):
+        @jax.jit
+        def looped(x):
+            def body(i, acc):
+                out = f(x * (1.0 + 1e-30 * i.astype(jnp.float32)))
+                return acc + jnp.sum(out)
+            return jax.lax.fori_loop(0, K_LOOP, body, jnp.float32(0.0))
+        return looped
+
     x = jnp.asarray(x_np)
 
     # compile + warmup.  NOTE: on the axon TPU tunnel, block_until_ready
@@ -168,6 +186,23 @@ def main():
         f"{fps_fwd:,.0f} frames/s "
         f"({out.shape[-1]} frames x {args.batch * args.channels} streams)")
 
+    # headline: device-resident loop (pure chip throughput; see _make_loop)
+    try:
+        fwd_loop = _make_loop(fwd)
+        float(fwd_loop(x))  # compile + warmup
+        dt_loop = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fwd_loop(x))
+            dt_loop = min(dt_loop, (time.perf_counter() - t0) / K_LOOP)
+        log(f"fwd device-loop: {dt_loop * 1e3:.2f} ms/iter "
+            f"({K_LOOP} iters/dispatch), "
+            f"{n_frames_total / dt_loop:,.0f} frames/s")
+        if dt_loop < dt_fwd:
+            dt_fwd, fps_fwd = dt_loop, n_frames_total / dt_loop
+    except Exception as e:
+        log(f"device-loop timing failed ({e}); keeping dispatch timing")
+
     try:
         t0 = time.perf_counter()
         float(probe(fwd_bwd(x)))
@@ -179,6 +214,15 @@ def main():
         dt_bwd = (time.perf_counter() - t0) / max(args.iters // 3, 1)
         log(f"fwd+bwd: {dt_bwd * 1e3:.2f} ms/iter, "
             f"{n_frames_total / dt_bwd:,.0f} frames/s")
+        bwd_loop = _make_loop(fwd_bwd)
+        float(bwd_loop(x))
+        dt_bl = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(bwd_loop(x))
+            dt_bl = min(dt_bl, (time.perf_counter() - t0) / K_LOOP)
+        log(f"fwd+bwd device-loop: {dt_bl * 1e3:.2f} ms/iter, "
+            f"{n_frames_total / dt_bl:,.0f} frames/s")
     except Exception as e:  # keep the headline metric alive
         log(f"fwd+bwd failed: {e}")
 

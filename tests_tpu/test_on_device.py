@@ -105,6 +105,44 @@ def test_fused_hop160_parity_on_device():
     assert rel <= 5e-4, f"hop160 rel err {rel}"
 
 
+def test_fused_fft400_whisper_parity_on_device():
+    """Non-128-multiple fft (Whisper's 400/160) pads the frame axis to
+    512 inside the kernel; forward + grads vs the XLA chain.  The input
+    is scaled x10 away from the amin clamp so the comparison measures
+    kernel numerics, not clamp-edge gate semantics (split3's dB-domain
+    tails grow at small ffts — few bins per mel; see PERFORMANCE.md)."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(10.0 * rng.standard_normal((2, 48000))
+                    .astype(np.float32))
+    fb = ops.create_mel_filter(80, 16000, 0.0, None, 201)
+    out = ops.fused_melspectrogram(x, fb, 400, 160)
+    spec = ops.stft(x, 400, 160, center=False)
+    ref = ops.amplitude_to_db(
+        ops.apply_filterbank(ops.complex_norm(spec, 2.0), fb), power=2.0)
+    rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel <= 1e-3, f"fft400 fwd rel err {rel}"
+
+    gx = jax.grad(lambda v: jnp.sum(
+        ops.fused_melspectrogram(v, fb, 400, 160)))(x)
+    rx = jax.grad(lambda v: jnp.sum(ops.amplitude_to_db(
+        ops.apply_filterbank(ops.complex_norm(
+            ops.stft(v, 400, 160, center=False), 2.0), fb),
+        power=2.0)))(x)
+    rel_g = float(jnp.max(jnp.abs(gx - rx)) / jnp.max(jnp.abs(rx)))
+    assert rel_g <= 5e-3, f"fft400 grad rel err {rel_g}"
+
+
+def test_fused_silence_zero_grads_on_device():
+    """amin-clamped outputs must give exactly zero gradients (the
+    exp∘log gate round-trip regression)."""
+    xz = jnp.zeros((1, 4096), jnp.float32)
+    fb = ops.create_mel_filter(32, 16000, 0.0, None, 257)
+    gx, gf = jax.grad(lambda v, f: jnp.sum(
+        ops.fused_melspectrogram(v, f, 512, 128)), argnums=(0, 1))(xz, fb)
+    assert float(jnp.max(jnp.abs(gx))) == 0.0
+    assert float(jnp.max(jnp.abs(gf))) == 0.0
+
+
 def test_griffin_lim_on_device():
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.standard_normal((1, 8192)).astype(np.float32))
