@@ -296,3 +296,55 @@ def test_kernel_bwd_silence_clamp_gate(interpret_kernels):
         ops.fused_melspectrogram(v, f, 512, 128)), argnums=(0, 1))(xz, fb)
     assert float(jnp.max(jnp.abs(gx))) == 0.0
     assert float(jnp.max(jnp.abs(gf))) == 0.0
+
+
+def test_center_true_matches_pipeline(rng):
+    """fused(center=True) is frame-for-frame the Melspectrogram()+dB
+    pipeline (torch-style reflect padding), including gradients."""
+    x = jnp.asarray(rng.standard_normal((2, 1, 8192)).astype(np.float32))
+    fb = ops.create_mel_filter(32, 16000, 0.0, None, 257)
+    out = ops.fused_melspectrogram(x, fb, 512, 128, center=True)
+    spec = ops.stft(x, 512, 128, center=True, pad_mode="reflect")
+    ref = ops.amplitude_to_db(
+        ops.apply_filterbank(ops.complex_norm(spec, 2.0), fb), power=2.0)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    layer = tac.FusedMelspectrogram(num_mels=32, sample_rate=16000,
+                                    fft_length=512, hop_length=128,
+                                    center=True)
+    np.testing.assert_allclose(np.asarray(layer(x)), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    gx = jax.grad(lambda v: jnp.sum(
+        ops.fused_melspectrogram(v, fb, 512, 128, center=True)))(x)
+    rx = jax.grad(lambda v: jnp.sum(ops.amplitude_to_db(
+        ops.apply_filterbank(ops.complex_norm(
+            ops.stft(v, 512, 128, center=True), 2.0), fb),
+        power=2.0)))(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_kernel_center_true_interpret(interpret_kernels, rng):
+    """center=True through the REAL kernel path (padding composed with
+    the in-kernel pipeline)."""
+    x = jnp.asarray(rng.standard_normal((1, 8192)).astype(np.float32))
+    fb = ops.create_mel_filter(32, 16000, 0.0, None, 257)
+    out = ops.fused_melspectrogram(x, fb, 512, 128, center=True)
+    ref = ops.amplitude_to_db(
+        ops.apply_filterbank(ops.complex_norm(
+            ops.stft(x, 512, 128, center=True), 2.0), fb), power=2.0)
+    err = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    assert err <= 5e-5, err
+
+
+def test_mfcc_fused_center(rng):
+    """use_fused MFCC now honors center=True (matches the chain)."""
+    from torchaudio_contrib_tpu.ops import mfcc
+    x = jnp.asarray(rng.standard_normal((1, 8192)).astype(np.float32))
+    a = mfcc(x, n_mfcc=13, sample_rate=16000, num_mels=32,
+             fft_length=512, hop_length=128, center=True, use_fused=True)
+    b = mfcc(x, n_mfcc=13, sample_rate=16000, num_mels=32,
+             fft_length=512, hop_length=128, center=True, use_fused=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-4)

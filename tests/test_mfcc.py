@@ -47,9 +47,13 @@ def test_mfcc_invariance_to_gain_in_c0_only(rng):
 
 
 def test_mfcc_fused_matches_chain(rng):
-    """use_fused (center=False semantics) equals the explicit chain."""
+    """use_fused equals the explicit chain for BOTH center semantics
+    (the fused path honors ``center`` since it gained center=True)."""
     x = jnp.asarray(rng.standard_normal((2, 16384)).astype(np.float32))
-    a = ops.mfcc(x, 16000, 13, 40, 512, 128, center=False)
-    b = ops.mfcc(x, 16000, 13, 40, 512, 128, use_fused=True)
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                               rtol=1e-4, atol=1e-4)
+    for center in (False, True):
+        a = ops.mfcc(x, 16000, 13, 40, 512, 128, center=center)
+        b = ops.mfcc(x, 16000, 13, 40, 512, 128, center=center,
+                     use_fused=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"center={center}")

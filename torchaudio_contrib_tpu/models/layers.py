@@ -400,8 +400,10 @@ class FusedMelspectrogram(Transform):
     Computes the same STFT→|·|²→mel[→dB] chain as
     ``Melspectrogram(...)`` + ``AmplitudeToDb`` but as ONE fused Pallas
     program on TPU (see ops/fused.py; ~2.5× the jitted XLA chain at
-    parity precision, ~4.4× in ``precision="fast"``).  ``center=False``
-    frame semantics (streaming-compatible).  Off-TPU or for unsupported
+    parity precision, ~4.4× in ``precision="fast"``).  Default
+    ``center=False`` frame semantics (streaming-compatible);
+    ``center=True`` reflect-pads XLA-side for frame-for-frame parity
+    with the ``Melspectrogram()`` pipeline.  Off-TPU or for unsupported
     configs it transparently runs the XLA chain.  Differentiable.
     """
 
@@ -411,7 +413,8 @@ class FusedMelspectrogram(Transform):
                  window="hann", power: float = 2.0, to_db: bool = True,
                  db_ref: float = 1.0, amin: float = 1e-7,
                  precision: str = "split3", trainable: bool = False,
-                 win_length: Optional[int] = None):
+                 win_length: Optional[int] = None, center: bool = False,
+                 pad_mode: str = "reflect"):
         self.num_mels = num_mels
         self.sample_rate = sample_rate
         self.f_min = f_min
@@ -426,10 +429,12 @@ class FusedMelspectrogram(Transform):
         self.precision = precision
         self.trainable = trainable
         self.win_length = win_length
+        self.center = center
+        self.pad_mode = pad_mode
         self._config = (num_mels, sample_rate, f_min, self.f_max,
                         fft_length, hop_length, _hashable_window(window),
                         power, to_db, db_ref, amin, precision, trainable,
-                        win_length)
+                        win_length, center, pad_mode)
 
     def filterbank(self) -> jnp.ndarray:
         return create_mel_filter(self.num_mels, self.sample_rate,
@@ -444,7 +449,8 @@ class FusedMelspectrogram(Transform):
         return _fused_mel(waveform, fb, self.fft_length, self.hop_length,
                           self.window, self.power, self.to_db,
                           self.db_ref, self.amin, self.precision,
-                          self.win_length)
+                          self.win_length, center=self.center,
+                          pad_mode=self.pad_mode)
 
 
 def Spectrogram(power: float = 1.0, **stft_kwargs) -> Pipeline:

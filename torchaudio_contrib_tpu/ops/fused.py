@@ -39,20 +39,23 @@ keeps the single bf16 pass for throughput-over-parity workloads.
 
 Backward (training — the reference's trainable-frontend use case): the
 forward saves the re/im spectrum tiles as a residual (one extra HBM
-write, ~0.5 ms — far cheaper than recomputing the DFT GEMMs), and two
-Pallas kernels produce the gradients:
+write, ~0.5 ms — far cheaper than recomputing the DFT GEMMs), and ONE
+merged Pallas kernel (grid ``(row_blocks, freq_tiles)``) produces both
+gradients:
 
-* ``dframes`` kernel, grid ``(row_blocks, freq_tiles)``:
-  ``dp = dmel·FBᵀ`` (MXU), ``dre/dim = 2·re/im·dp`` (VPU),
+* frames grad: ``dp = dmel·FBᵀ`` (MXU), ``dre/dim = 2·re/im·dp`` (VPU),
   ``dF += [dre|dim]·Bᵀ`` (MXU, accumulated over freq tiles directly in
   the output block).  The dB gate → ``dmel`` recompute (from the saved
   output) and its hi/lo operand split happen XLA-side, keeping the
   kernel a pure GEMM pipeline; the overlap-add of ``dF`` back to the
   waveform is the hand-written adjoint of the phase-decomposed framing
   (``stft._overlap_add`` — r dense shifted adds, any hop).
-* ``dFB`` kernel, grid ``(freq_tiles, row_blocks)`` — freq OUTERMOST so
-  the ``(FBT, mels)`` output block accumulates validly over the
-  row-block dimension: ``dFB_t += p_tᵀ·dmel``.
+* filterbank grad, fused into the same kernel (its operands — dmel and
+  the reim tile — are already resident): ``dFB_t += p_tᵀ·dmel``
+  accumulates into a ``(freq_tiles, FBT, mels)`` output whose constant
+  index map keeps it in VMEM across the whole grid.  Fusing removes a
+  second full pass over the dmel/reim residuals (~0.5 GB at config 2)
+  and a second grid of program overheads.
 
 Backward precision mirrors the forward: ``split3`` gradients hold
 ≤1e-4 parity vs the XLA chain's VJP; ``precision="fast"`` also runs the
@@ -95,8 +98,7 @@ _DB_TO_LIN = math.log(10.0) / 10.0     # mel = ref·exp(dB·this)
 _FREQ_TILE = 128   # onesided bins per grid step (shared fwd/bwd: the
                    # residual spectrum layout is tiled by this)
 _TB = 512          # frames per block, forward
-_TB_BWD = 512      # frames per block, backward (dframes kernel)
-_TB_DFB = 1024     # frames per block, filterbank-grad kernel
+_TB_BWD = 512      # frames per block, backward kernel
 _VMEM_BUDGET_FWD = 14_000_000   # bytes; empirically, builds estimated
 _VMEM_BUDGET_BWD = 18_000_000   # above these fail Mosaic's 16 MB limit
                                 # (bwd budget is looser because its Bᵀ
@@ -122,7 +124,7 @@ def _fwd_vmem_est(N, HOP, TB, FBT, m_pad, split, save_spec, frames_in):
     return b
 
 
-def _bwd_vmem_est(N, TB, FBT, m_pad, split=True):
+def _bwd_vmem_est(N, TB, FBT, m_pad, split=True, ft_count=0):
     mc = (2 if split else 1) * m_pad
     bt = (4 if split else 2) * FBT
     b = TB * mc * 2 * 2                          # dmel [hi|lo] blocks
@@ -133,6 +135,10 @@ def _bwd_vmem_est(N, TB, FBT, m_pad, split=True):
     b += TB * FBT * 4 + TB * 2 * FBT * 4        # temps: dp, dreim
     if split:
         b += TB * 4 * FBT * 2                    # dcat temp
+    # fused-dFB extras: the (ft, FBT, M) accumulator block (constant
+    # index map — single-buffered for the whole grid) + p/phi/plo temps
+    b += ft_count * FBT * m_pad * 4
+    b += TB * FBT * (4 + 2 + (2 if split else 0))
     return b
 
 
@@ -493,18 +499,27 @@ def _dmel_from(g, y, to_db: bool, db_ref: float, amin: float):
 
 
 @functools.lru_cache(maxsize=32)
-def _build_bwd_dx_call(N: int, m_pad: int, g_rows: int, ft_count: int,
-                       tb: int, fbt: int, split: bool, interpret: bool):
-    """dframes kernel: grid (row_blocks, freq_tiles), freq innermost so
-    the (TB, N) output block accumulates the per-tile dF partials.
-    ``dmel`` arrives pre-split (XLA-side): blocks (TB, 2M) bf16
-    ``[hi | lo]`` (just hi for ``split=False``) — keeps the kernel
-    pure-GEMM and its VMEM small."""
+def _build_bwd_call(N: int, m_pad: int, g_rows: int, ft_count: int,
+                    tb: int, fbt: int, split: bool, interpret: bool):
+    """Merged backward kernel: grid (row_blocks, freq_tiles), freq
+    innermost so the (TB, N) dframes output block accumulates the
+    per-tile dF partials.  ``dmel`` arrives pre-split (XLA-side): blocks
+    (TB, 2M) bf16 ``[hi | lo]`` (just hi for ``split=False``) — keeps
+    the kernel pure-GEMM and its VMEM small.
+
+    The filterbank gradient is fused in (it needs exactly the operands
+    already resident: dmel and the reim tile): a second output
+    ``(ft, FBT, M)`` with a CONSTANT index map stays in VMEM across the
+    whole grid, each step accumulating ``p_tᵀ·dmel`` into its tile-t
+    slab — one kernel instead of two, saving a full second pass over
+    the mcat/reim residuals (~0.5 GB at config 2) plus a grid of
+    program overheads."""
     TB, FBT = tb, fbt
     n_rb = g_rows // TB
     MC = 2 * m_pad if split else m_pad
 
-    def kernel(mcat_ref, reim_ref, fbT_ref, bT_ref, o_ref):
+    def kernel(mcat_ref, reim_ref, fbT_ref, bT_ref, o_ref, o2_ref):
+        gi = pl.program_id(0)
         t = pl.program_id(1)
         mcat = mcat_ref[:]
         dp = jnp.dot(mcat, fbT_ref[:], preferred_element_type=jnp.float32)
@@ -534,6 +549,30 @@ def _build_bwd_dx_call(N: int, m_pad: int, g_rows: int, ft_count: int,
         def _acc():
             o_ref[:] = o_ref[:] + part
 
+        # fused dFB: p_tᵀ·dmel accumulated into the tile-t slab
+        p = (reim[:, :FBT] * reim[:, :FBT]
+             + reim[:, FBT:] * reim[:, FBT:])
+        phi = p.astype(jnp.bfloat16)
+
+        def dotT(a, b):  # contract the TB axis: (TB,FBT)ᵀ·(TB,M)
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        part2 = dotT(phi, mcat[:, :m_pad])
+        if split:
+            plo = (p - phi.astype(jnp.float32)).astype(jnp.bfloat16)
+            part2 = part2 + dotT(phi, mcat[:, m_pad:]) \
+                + dotT(plo, mcat[:, :m_pad])
+
+        @pl.when(gi == 0)
+        def _init2():
+            o2_ref[t] = part2
+
+        @pl.when(gi > 0)
+        def _acc2():
+            o2_ref[t] = o2_ref[t] + part2
+
     return pl.pallas_call(
         kernel,
         grid=(n_rb, ft_count),
@@ -548,63 +587,16 @@ def _build_bwd_dx_call(N: int, m_pad: int, g_rows: int, ft_count: int,
                          lambda gi, t: (t, 0),
                          memory_space=pltpu.VMEM),        # Bᵀ stack
         ],
-        out_specs=pl.BlockSpec((TB, N), lambda gi, t: (gi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g_rows, N), jnp.float32),
-        interpret=interpret,
-    )
-
-
-@functools.lru_cache(maxsize=32)
-def _build_bwd_dfb_call(m_pad: int, g_rows: int, ft_count: int,
-                        tb: int, fbt: int, split: bool, interpret: bool):
-    """dFB kernel: grid (freq_tiles, row_blocks) — freq OUTERMOST so the
-    (FBT, M) output block accumulates over the row blocks (sequential
-    innermost dimension)."""
-    TB, FBT = tb, fbt
-    n_rb = g_rows // TB
-    MC = 2 * m_pad if split else m_pad
-
-    def kernel(mcat_ref, reim_ref, o_ref):
-        gi = pl.program_id(1)
-        mhi = mcat_ref[:, :m_pad]
-        reim = reim_ref[:]
-        p = (reim[:, :FBT] * reim[:, :FBT]
-             + reim[:, FBT:] * reim[:, FBT:])
-        phi = p.astype(jnp.bfloat16)
-
-        def dotT(a, b):  # contract the TB axis: (TB,FBT)ᵀ·(TB,M)
-            return jax.lax.dot_general(
-                a, b, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        part = dotT(phi, mhi)
-        if split:
-            mlo = mcat_ref[:, m_pad:]
-            plo = (p - phi.astype(jnp.float32)).astype(jnp.bfloat16)
-            part = part + dotT(phi, mlo) + dotT(plo, mhi)
-
-        @pl.when(gi == 0)
-        def _init():
-            o_ref[:] = part
-
-        @pl.when(gi > 0)
-        def _acc():
-            o_ref[:] = o_ref[:] + part
-
-    return pl.pallas_call(
-        kernel,
-        grid=(ft_count, n_rb),
-        in_specs=[
-            pl.BlockSpec((TB, MC), lambda t, gi: (gi, 0),
+        out_specs=[
+            pl.BlockSpec((TB, N), lambda gi, t: (gi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 2 * FBT), lambda t, gi: (gi, t),
+            pl.BlockSpec((ft_count, FBT, m_pad), lambda gi, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((FBT, m_pad), lambda t, gi: (t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ft_count * FBT, m_pad),
-                                       jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((g_rows, N), jnp.float32),
+            jax.ShapeDtypeStruct((ft_count, FBT, m_pad), jnp.float32),
+        ],
         interpret=interpret,
     )
 
@@ -737,16 +729,12 @@ def _kernel_backward(g, waveform, filterbank, y_raw, reim_raw,
     n_frames = 1 + (T - N) // HOP
     N_pad = _round_up(N, 128)           # kernel frame width (basis rows)
     TB = _TB_BWD
-    while TB > 128 and _bwd_vmem_est(N_pad, TB, _FREQ_TILE, m_pad,
-                                     split) > _VMEM_BUDGET_BWD:
+    while TB > 128 and _bwd_vmem_est(N_pad, TB, _FREQ_TILE, m_pad, split,
+                                     ft_count) > _VMEM_BUDGET_BWD:
         TB //= 2
-    # pad total rows to the dframes tile; the dFB tile then adapts down
-    # so small inputs don't pad to a huge block (padded rows carry
-    # dmel = 0 and contribute nothing)
+    # pad total rows to the kernel tile (padded rows carry dmel = 0 and
+    # contribute nothing)
     g_rows = _round_up(bc * rows, TB)
-    TB_DFB = _TB_DFB
-    while g_rows % TB_DFB:
-        TB_DFB //= 2
     row_pad = g_rows - bc * rows
 
     # cotangent → kernel layout: (..., M, frames) → (rows, m_pad), zero
@@ -773,9 +761,9 @@ def _kernel_backward(g, waveform, filterbank, y_raw, reim_raw,
     bT = jnp.asarray(_bwd_basis_stack(N, win_key, win_length, _FREQ_TILE,
                                       split))
 
-    dx_call = _build_bwd_dx_call(N_pad, m_pad, g_rows, ft_count, TB,
-                                 _FREQ_TILE, split, _interpret())
-    dframes = dx_call(mcat, reim2, fbT, bT)          # (g_rows, N_pad)
+    bwd_call = _build_bwd_call(N_pad, m_pad, g_rows, ft_count, TB,
+                               _FREQ_TILE, split, _interpret())
+    dframes, dfb3 = bwd_call(mcat, reim2, fbT, bT)   # (g_rows, N_pad)
     dframes = (dframes[:bc * rows]
                .reshape(bc, rows, N_pad)[:, :n_frames, :N])
 
@@ -789,15 +777,11 @@ def _kernel_backward(g, waveform, filterbank, y_raw, reim_raw,
         dx2 = jnp.pad(dx2, ((0, 0), (0, T - full)))
     dx = dx2.reshape(lead + (T,)).astype(waveform.dtype)
 
-    dfb_call = _build_bwd_dfb_call(m_pad, g_rows, ft_count, TB_DFB,
-                                   _FREQ_TILE, split, _interpret())
-    dfb = dfb_call(mcat, reim2)                      # (f_pad, m_pad)
+    dfb = dfb3.reshape(ft_count * _FREQ_TILE, m_pad)  # (f_pad, m_pad)
     dfb = dfb[:n_freqs, :num_mels].astype(filterbank.dtype)
     return dx, dfb
 
 
-@functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
 def fused_melspectrogram(waveform: jnp.ndarray,
                          filterbank: jnp.ndarray,
                          fft_length: int = 2048,
@@ -808,18 +792,41 @@ def fused_melspectrogram(waveform: jnp.ndarray,
                          db_ref: float = 1.0,
                          amin: float = 1e-7,
                          precision: str = "split3",
-                         win_length=None) -> jnp.ndarray:
-    """Mel (or log-mel) spectrogram of ``waveform (..., T)`` with
-    ``center=False`` frame semantics, as one fused TPU kernel.
+                         win_length=None,
+                         center: bool = False,
+                         pad_mode: str = "reflect") -> jnp.ndarray:
+    """Mel (or log-mel) spectrogram of ``waveform (..., T)`` as one
+    fused TPU kernel.
 
     ``filterbank`` is ``(fft_length//2+1, num_mels)`` (e.g. from
     :func:`~torchaudio_contrib_tpu.ops.create_mel_filter`).  Returns
     ``(..., num_mels, n_frames)``.  ``precision``: ``"split3"`` (~4e-6
     relative, default) or ``"fast"`` (single bf16 pass, ~2e-3 relative).
     Any ``fft_length >= 2`` / ``hop_length > 0`` runs the kernel on TPU;
-    falls back to the jnp chain off-TPU and for ``power != 2``.  Differentiable: training runs dedicated backward
-    Pallas kernels fed by a saved-spectrum residual (see module docs).
+    falls back to the jnp chain off-TPU and for ``power != 2``.
+    Differentiable: training runs dedicated backward Pallas kernels fed
+    by a saved-spectrum residual (see module docs).
+
+    ``center=True`` applies the torch-style ``fft_length//2`` symmetric
+    ``pad_mode`` padding XLA-side (one fused elementwise copy, its
+    adjoint handled by JAX AD) so the output matches
+    ``Melspectrogram()(x)`` frame-for-frame; ``center=False`` (default)
+    keeps streaming-compatible semantics.
     """
+    if center:
+        pad = fft_length // 2
+        cfg = [(0, 0)] * (waveform.ndim - 1) + [(pad, pad)]
+        waveform = jnp.pad(waveform, cfg, mode=pad_mode)
+    return _fused_core(waveform, filterbank, fft_length, hop_length,
+                       window, power, to_db, db_ref, amin, precision,
+                       win_length)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
+def _fused_core(waveform, filterbank, fft_length, hop_length, window,
+                power, to_db, db_ref, amin, precision, win_length):
+    """center=False kernel core (custom_vjp boundary)."""
     return _fused_fwd_impl(waveform, filterbank, fft_length, hop_length,
                            window, power, to_db, db_ref, amin, precision,
                            win_length)
@@ -875,4 +882,4 @@ def _fused_vjp_bwd(fft_length, hop_length, window, power, to_db, db_ref,
     return vjp(g)
 
 
-fused_melspectrogram.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+_fused_core.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)

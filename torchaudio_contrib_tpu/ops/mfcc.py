@@ -64,16 +64,16 @@ def mfcc(waveform: jnp.ndarray,
     differentiable end-to-end.
 
     ``use_fused=True`` computes the log-mel through the single-kernel
-    Pallas path (``center=False`` frame semantics, no ``top_db``;
-    ~2× faster on TPU — the trailing DCT is one extra GEMM over the
-    already-tiny mel output).
+    Pallas path (no ``top_db``; ~2× faster on TPU — the trailing DCT is
+    one extra GEMM over the already-tiny mel output).
     """
     fb = create_mel_filter(num_mels, sample_rate, f_min, f_max,
                            fft_length // 2 + 1)
     if use_fused and top_db is None:
         from .fused import fused_melspectrogram
         mel_db = fused_melspectrogram(waveform, fb, fft_length,
-                                      hop_length, window, 2.0, True)
+                                      hop_length, window, 2.0, True,
+                                      center=center)
     else:
         spec = _stft(waveform, fft_length, hop_length, window=window,
                      center=center)
