@@ -731,7 +731,7 @@ def _kernel_backward(g, waveform, filterbank, y_raw, reim_raw,
     TB = _TB_BWD
     while TB > 128 and _bwd_vmem_est(N_pad, TB, _FREQ_TILE, m_pad, split,
                                      ft_count) > _VMEM_BUDGET_BWD:
-        TB //= 2
+        TB -= 128  # 128-step, not halving: TB=384 fits configs 512 won't
     # pad total rows to the kernel tile (padded rows carry dmel = 0 and
     # contribute nothing)
     g_rows = _round_up(bc * rows, TB)
