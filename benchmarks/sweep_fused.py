@@ -43,7 +43,7 @@ def main():
     print(f"config 2: {frames_tot} frames/iter")
 
     def run_fwd(tb, fbt, prec):
-        fused._TB, fused._FREQ_TILE = tb, fbt
+        fused._TB, fused._TB_FAST, fused._FREQ_TILE = tb, tb, fbt
         f = jax.jit(lambda v: fused.fused_melspectrogram(
             v, fb, 2048, 512, precision=prec))
         return timeit(f, x)
