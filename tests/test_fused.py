@@ -348,3 +348,34 @@ def test_mfcc_fused_center(rng):
              fft_length=512, hop_length=128, center=True, use_fused=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_melspectrogram_factory_fused(rng):
+    """Melspectrogram(fused=True) is a drop-in for the 3-stage pipeline:
+    same output (center=True semantics), trainable params thread through
+    the single-stage Pipeline, invalid configs raise."""
+    x = jnp.asarray(rng.standard_normal((2, 1, 8192)).astype(np.float32))
+    ref = tac.Melspectrogram(num_mels=32, sample_rate=16000,
+                             fft_length=512, hop_length=128)(x)
+    fused_pipe = tac.Melspectrogram(num_mels=32, sample_rate=16000,
+                                    fft_length=512, hop_length=128,
+                                    fused=True)
+    np.testing.assert_allclose(np.asarray(fused_pipe(x)), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    assert len(fused_pipe) == 1
+
+    t = tac.Melspectrogram(num_mels=32, sample_rate=16000,
+                           fft_length=512, hop_length=128, fused=True,
+                           trainable=True)
+    params = t.init_params()
+    assert params is not None
+    g = jax.grad(lambda p: jnp.sum(t(x, params=p)))(params)
+    assert float(jnp.max(jnp.abs(jnp.asarray(g[0])))) > 0
+
+    with pytest.raises(ValueError):
+        tac.Melspectrogram(power=1.0, fused=True)
+    with pytest.raises(ValueError):
+        tac.Melspectrogram(fused=True,
+                           filterbank=tac.MelFilterbank(num_bins=1025))
+    with pytest.raises(ValueError):
+        tac.Melspectrogram(fused=True, normalized=True)
