@@ -30,6 +30,30 @@ def _sync(probe, x):
     return float(probe(x))
 
 
+def _devloop(f, x, k=16, reps=3):
+    """Device-resident timing: k applications chained inside ONE jit
+    dispatch via a scalar accumulator (bench.py methodology) — excludes
+    the 1-4 ms/dispatch tunnel latency of the 1-core dev host.  The
+    (1 + 1e-30·i) input scale defeats XLA loop-invariant code motion
+    while rounding to exactly 1.0f."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def looped(v):
+        def body(i, acc):
+            return acc + jnp.sum(f(v * (1.0 + 1e-30 * i.astype(jnp.float32))))
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    float(looped(x))  # compile + warmup
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(looped(x))
+        best = min(best, (time.perf_counter() - t0) / k)
+    return best
+
+
 def config1():
     """1 s 16 kHz mono wav → STFT magnitude (n_fft=512, hop=128), CPU
     parity vs torch float64."""
@@ -58,21 +82,19 @@ def config2():
                     .standard_normal((32, 1, 661500)).astype(np.float32))
     fused = tac.FusedMelspectrogram(num_mels=128, sample_rate=22050,
                                     fft_length=2048, hop_length=512)
-    f = jax.jit(fused)
-    probe = jax.jit(lambda o: jnp.sum(o))
-    _sync(probe, f(x))
-    # best-of-3 groups of 10: the 1-core tunnel host adds 1-4 ms/iter of
-    # dispatch jitter; long async groups amortize it (same methodology
-    # as bench.py)
-    dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(10):
-            o = f(x)
-        _sync(probe, o)
-        dt = min(dt, (time.perf_counter() - t0) / 10)
+    fast = tac.FusedMelspectrogram(num_mels=128, sample_rate=22050,
+                                   fft_length=2048, hop_length=512,
+                                   precision="fast")
+    n_frames = 1 + (661500 - 2048) // 512
+    dt = _devloop(fused, x)
+    dt_fast = _devloop(fast, x)
+    dt_bwd = _devloop(
+        jax.grad(lambda v: jnp.sum(fused(v))), x, k=8)
     emit("2:melspec-batch", ms_per_iter=round(dt * 1e3, 2),
-         frames_per_sec=round(32 * o.shape[-1] / dt))
+         frames_per_sec=round(32 * n_frames / dt),
+         fast_ms=round(dt_fast * 1e3, 2),
+         fwd_bwd_ms=round(dt_bwd * 1e3, 2),
+         timing="device-loop")
 
 
 def config3():
@@ -89,16 +111,31 @@ def config3():
     x = jnp.asarray(rng.standard_normal((32, 1, 160000)).astype(np.float32))
     y = jnp.asarray(rng.integers(0, 10, 32))
 
-    params, loss = model.train_step(params, x, y, 1e-3)  # compile
-    float(loss)  # axon defers compile+exec until a value is demanded
     n_frames = 32 * (1 + 160000 // 128)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        params, loss = model.train_step(params, x, y, 1e-3)
-    float(loss)
-    dt = (time.perf_counter() - t0) / 5
+
+    def time_train(m, p0, k=8, reps=3):
+        """Device-resident loop of REAL sequential train steps (params
+        chain through the carry — nothing for XLA to hoist)."""
+        @jax.jit
+        def looped(p):
+            def body(i, carry):
+                pp, _ = carry
+                return m.train_step(pp, x, y, 1e-3)
+            return jax.lax.fori_loop(0, k, body, (p, jnp.float32(0.0)))
+        p1, l1 = looped(p0)
+        float(l1)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _, l1 = looped(p0)
+            float(l1)
+            best = min(best, (time.perf_counter() - t0) / k)
+        return best, float(l1)
+
+    dt, loss = time_train(model, params)
     emit("3:trainable-frontend", ms_per_step=round(dt * 1e3, 2),
-         frames_per_sec=round(n_frames / dt), loss=float(loss))
+         frames_per_sec=round(n_frames / dt), loss=loss,
+         timing="device-loop")
 
     # fused-frontend variants (single-kernel log-mel; 'fast' also runs
     # the backward kernels single-pass — the SGD-throughput mode)
@@ -108,16 +145,11 @@ def config3():
                                    hop_length=128, fused=True,
                                    precision=prec)
         p2 = m2.init(jax.random.PRNGKey(0))
-        p2, l2 = m2.train_step(p2, x, y, 1e-3)
-        float(l2)
-        t0 = time.perf_counter()
-        for _ in range(5):
-            p2, l2 = m2.train_step(p2, x, y, 1e-3)
-        float(l2)
-        dt2 = (time.perf_counter() - t0) / 5
+        dt2, l2 = time_train(m2, p2)
         emit(f"3:trainable-frontend-fused-{prec}",
              ms_per_step=round(dt2 * 1e3, 2),
-             frames_per_sec=round(n_frames / dt2), loss=float(l2))
+             frames_per_sec=round(n_frames / dt2), loss=l2,
+             timing="device-loop")
 
 
 def config4():
@@ -203,8 +235,42 @@ def config6():
          mfcc_frames_per_sec=round(32 * 1292 / dt_mf))
 
 
+def config7():
+    """Whisper-style ASR frontend: fft=400, hop=160, 80 mels, 16 kHz,
+    batch 32 x 30 s — the non-128-multiple-fft kernel path."""
+    import jax
+    import jax.numpy as jnp
+    from torchaudio_contrib_tpu import ops
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((32, 480000)).astype(np.float32))
+    fb = ops.create_mel_filter(80, 16000, 0.0, None, 201)
+    n_frames = 1 + (480000 - 400) // 160
+
+    def chain(v):
+        spec = ops.stft(v, 400, 160, center=False)
+        return ops.amplitude_to_db(ops.apply_filterbank(
+            ops.complex_norm(spec, 2.0), fb), power=2.0)
+
+    dt = _devloop(lambda v: ops.fused_melspectrogram(v, fb, 400, 160), x)
+    dt_fast = _devloop(lambda v: ops.fused_melspectrogram(
+        v, fb, 400, 160, precision="fast"), x)
+    dt_bwd = _devloop(jax.grad(lambda v: jnp.sum(
+        ops.fused_melspectrogram(v, fb, 400, 160))), x, k=8)
+    dt_chain = _devloop(chain, x, k=8)
+    out = ops.fused_melspectrogram(x[:4], fb, 400, 160)
+    ref = chain(x[:4])
+    rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    emit("7:whisper-fft400", ms_per_iter=round(dt * 1e3, 2),
+         frames_per_sec=round(32 * n_frames / dt),
+         fast_ms=round(dt_fast * 1e3, 2),
+         fwd_bwd_ms=round(dt_bwd * 1e3, 2),
+         xla_chain_ms=round(dt_chain * 1e3, 2),
+         parity_rel_db=rel, timing="device-loop")
+
+
 CONFIGS = {"1": config1, "2": config2, "3": config3, "4": config4,
-           "5": config5, "6": config6}
+           "5": config5, "6": config6, "7": config7}
 
 if __name__ == "__main__":
     picks = sys.argv[1:] or list(CONFIGS)
