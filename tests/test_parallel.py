@@ -267,6 +267,43 @@ def test_corpus_int16_wire_format(rng):
         np.testing.assert_allclose(outs16[i], outs32[i], atol=3e-2)
 
 
+def test_corpus_mulaw8_wire_format(rng):
+    """mulaw8 wire (peak-normalized μ-law uint8, on-device expand via the
+    library's own codec) quarters the wire bytes; LOSSY by design —
+    features must stay within μ-law (~38 dB SNR) tolerance of the f32
+    pipeline, and the round-trip must use the exact ops.mulaw inverse."""
+    sr = 8000
+    clips = {i: (rng.standard_normal((1, sr)) * (0.1 + i)).astype(np.float32)
+             for i in range(8)}
+    outs8, outs32 = {}, {}
+    common = dict(clip_samples=sr, batch_size=8,
+                  fft_length=512, hop_length=128, num_mels=32,
+                  sample_rate=sr, frames_per_chunk=16, to_db=False)
+    pre8 = par.CorpusPreprocessor(
+        lambda i: clips[i], wire_format="mulaw8", prefetch_batches=3,
+        sink=lambda i, m: outs8.__setitem__(i, np.asarray(m)), **common)
+    pre32 = par.CorpusPreprocessor(
+        lambda i: clips[i],
+        sink=lambda i, m: outs32.__setitem__(i, np.asarray(m)), **common)
+    s8 = pre8.run(range(8))
+    s32 = pre32.run(range(8))
+    assert s8.files_done == 8 and s32.files_done == 8
+    for i in range(8):
+        # linear-power domain, relative to each clip's peak mel energy:
+        # μ-law quantization error is signal-proportional
+        scale = np.max(outs32[i])
+        err = np.max(np.abs(outs8[i] - outs32[i])) / scale
+        assert err <= 2e-2, (i, err)
+
+    # host-side encoder is the exact inverse of ops.mu_law_decoding
+    from torchaudio_contrib_tpu import ops as _ops
+    x = np.linspace(-1, 1, 513, dtype=np.float32)
+    y = np.sign(x) * np.log1p(255.0 * np.abs(x)) / np.log1p(255.0)
+    code = ((y + 1.0) / 2.0 * 255.0 + 0.5).astype(np.uint8)
+    ref_code = np.asarray(_ops.mu_law_encoding(jnp.asarray(x)))
+    np.testing.assert_array_equal(code, ref_code.astype(np.uint8))
+
+
 def test_time_sharded_stft_matches_oneshot(rng):
     """Sequence-parallel STFT: time axis over 8 shards with a ppermute
     halo exchange == one-shot center=False STFT."""
