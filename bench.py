@@ -136,22 +136,14 @@ def main():
         return jnp.sum(o)
 
     # device-resident timing loop: K applications chained inside ONE jit
-    # dispatch via a scalar accumulator, so the per-dispatch tunnel
-    # latency (1-4 ms on this 1-core dev host — an artifact of the axon
-    # tunnel, not the chip) is amortized away.  The (1 + 1e-30·i) input
-    # scale is loop-varying, defeating XLA's loop-invariant code motion,
-    # while 1+1e-30 rounds to exactly 1.0f so the computation is
-    # unchanged.
+    # dispatch, so the per-dispatch tunnel latency (1-4 ms on this
+    # 1-core dev host — an artifact of the axon tunnel, not the chip) is
+    # amortized away.  Single shared implementation: utils/timing.py.
+    from torchaudio_contrib_tpu.utils.timing import device_loop
     K_LOOP = 16
 
     def _make_loop(f):
-        @jax.jit
-        def looped(x):
-            def body(i, acc):
-                out = f(x * (1.0 + 1e-30 * i.astype(jnp.float32)))
-                return acc + jnp.sum(out)
-            return jax.lax.fori_loop(0, K_LOOP, body, jnp.float32(0.0))
-        return looped
+        return device_loop(f, K_LOOP)
 
     x = jnp.asarray(x_np)
 

@@ -31,27 +31,10 @@ def _sync(probe, x):
 
 
 def _devloop(f, x, k=16, reps=3):
-    """Device-resident timing: k applications chained inside ONE jit
-    dispatch via a scalar accumulator (bench.py methodology) — excludes
-    the 1-4 ms/dispatch tunnel latency of the 1-core dev host.  The
-    (1 + 1e-30·i) input scale defeats XLA loop-invariant code motion
-    while rounding to exactly 1.0f."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def looped(v):
-        def body(i, acc):
-            return acc + jnp.sum(f(v * (1.0 + 1e-30 * i.astype(jnp.float32))))
-        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
-
-    float(looped(x))  # compile + warmup
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(looped(x))
-        best = min(best, (time.perf_counter() - t0) / k)
-    return best
+    """Device-resident timing (shared implementation: utils/timing.py —
+    excludes the 1-4 ms/dispatch tunnel latency of the 1-core host)."""
+    from torchaudio_contrib_tpu.utils.timing import time_device_loop
+    return time_device_loop(f, x, k=k, reps=reps)
 
 
 def config1():

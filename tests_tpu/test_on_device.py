@@ -69,8 +69,11 @@ def test_resample_and_mfcc_on_device():
     assert y.shape == (2, 4096)
     assert bool(jnp.all(jnp.isfinite(y)))
 
+    # use_fused honors center (it used to force center=False); compare
+    # both paths at matching semantics
     a = ops.mfcc(x, 16000, 13, 64, 512, 128, center=False)
-    b = ops.mfcc(x, 16000, 13, 64, 512, 128, use_fused=True)
+    b = ops.mfcc(x, 16000, 13, 64, 512, 128, center=False,
+                 use_fused=True)
     rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-12))
     assert rel <= 1e-3, f"fused mfcc rel {rel}"
 

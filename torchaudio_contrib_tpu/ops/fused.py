@@ -103,10 +103,16 @@ _TB_FAST = 768     # forward, precision="fast": half the scratch (no lo
                    # (measured 6.0 -> 5.75 ms at config 2)
 _TB_BWD = 512      # frames per block, backward kernel
 _VMEM_BUDGET_FWD = 14_000_000   # bytes; empirically, builds estimated
-_VMEM_BUDGET_BWD = 18_000_000   # above these fail Mosaic's 16 MB limit
-                                # (bwd budget is looser because its Bᵀ
-                                # blocks are weighted ×3 below, matching
-                                # observed compile outcomes)
+_VMEM_BUDGET_BWD = 15_000_000   # above these fail Mosaic's 16 MB limit.
+                                # Calibrated against observed compile
+                                # outcomes of the MERGED backward kernel:
+                                # Mosaic's real scoped-vmem is grid-size
+                                # dependent (config 2 at TB=384 compiled
+                                # on a (128,9) grid but OOM'd at 18.57 MB
+                                # on a (2,9) grid), so the budget is set
+                                # to the conservative side: TB=256 for
+                                # config 2 (costs ~0.3 ms vs TB=384 but
+                                # compiles at every input size).
 
 
 def _fwd_vmem_est(N, HOP, TB, FBT, m_pad, split, save_spec, frames_in):
@@ -734,7 +740,7 @@ def _kernel_backward(g, waveform, filterbank, y_raw, reim_raw,
     TB = _TB_BWD
     while TB > 128 and _bwd_vmem_est(N_pad, TB, _FREQ_TILE, m_pad, split,
                                      ft_count) > _VMEM_BUDGET_BWD:
-        TB -= 128  # 128-step, not halving: TB=384 fits configs 512 won't
+        TB -= 128  # 128-step search (finer than halving)
     # pad total rows to the kernel tile (padded rows carry dmel = 0 and
     # contribute nothing)
     g_rows = _round_up(bc * rows, TB)
@@ -817,9 +823,8 @@ def fused_melspectrogram(waveform: jnp.ndarray,
     keeps streaming-compatible semantics.
     """
     if center:
-        pad = fft_length // 2
-        cfg = [(0, 0)] * (waveform.ndim - 1) + [(pad, pad)]
-        waveform = jnp.pad(waveform, cfg, mode=pad_mode)
+        from .stft import _pad_center
+        waveform = _pad_center(waveform, fft_length // 2, pad_mode)
     return _fused_core(waveform, filterbank, fft_length, hop_length,
                        window, power, to_db, db_ref, amin, precision,
                        win_length)
