@@ -26,6 +26,7 @@ from .ops import (
     create_dct, mfcc,
     mask_along_axis, time_mask, freq_mask,
     pitch_shift,
+    compute_deltas, preemphasis, deemphasis,
     hann_window, hamming_window, blackman_window, get_window,
 )
 
@@ -58,6 +59,7 @@ __all__ = [
     "create_dct", "mfcc",
     "mask_along_axis", "time_mask", "freq_mask",
     "pitch_shift",
+    "compute_deltas", "preemphasis", "deemphasis",
     "hann_window", "hamming_window", "blackman_window", "get_window",
     "Transform", "Pipeline",
     "STFT", "ISTFT", "ComplexNorm",

@@ -35,6 +35,7 @@ from .resample import resample
 from .mfcc import create_dct, mfcc
 from .augment import mask_along_axis, time_mask, freq_mask
 from .pitch import pitch_shift
+from .features import compute_deltas, preemphasis, deemphasis
 
 __all__ = [
     "hann_window", "hamming_window", "blackman_window",
@@ -54,4 +55,5 @@ __all__ = [
     "create_dct", "mfcc",
     "mask_along_axis", "time_mask", "freq_mask",
     "pitch_shift",
+    "compute_deltas", "preemphasis", "deemphasis",
 ]
