@@ -341,3 +341,25 @@ def test_time_sharded_validation(rng):
     x = jnp.zeros((2, 1000), jnp.float32)        # not hop-aligned over 8
     with pytest.raises(ValueError, match="hop-aligned"):
         par.time_sharded_stft(x, mesh, "data", 256, 64)
+
+
+def test_time_sharded_mel_fused_kernel(rng, monkeypatch):
+    """Sequence parallelism x the fused kernel: each shard runs the REAL
+    Pallas program (interpret mode) under shard_map after the halo
+    exchange — output equals the one-shot XLA chain."""
+    monkeypatch.setenv("TAC_FUSED_INTERPRET", "1")
+    fft_length, hop = 256, 128
+    mesh = par.make_mesh()                       # 8 on 'data'
+    T = 8 * hop * 8
+    x = jnp.asarray(rng.standard_normal((2, T)).astype(np.float32))
+    got = par.time_sharded_melspectrogram(
+        x, mesh, "data", num_mels=32, sample_rate=16000,
+        fft_length=fft_length, hop_length=hop, use_fused=True,
+        precision="split3")
+    spec = ops.stft(x, fft_length, hop, center=False)
+    fb = ops.create_mel_filter(32, 16000, 0.0, None, fft_length // 2 + 1)
+    ref = ops.amplitude_to_db(
+        ops.apply_filterbank(ops.complex_norm(spec, 2.0), fb), power=2.0)
+    assert got.shape == ref.shape
+    err = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
+    assert err <= 5e-5, err

@@ -241,7 +241,8 @@ class CorpusPreprocessor:
                 # instead of relying on sharding propagation
                 features = jax.shard_map(
                     features, mesh=self.mesh,
-                    in_specs=P("data"), out_specs=P("data"))
+                    in_specs=P("data"), out_specs=P("data"),
+                    check_vma=False)  # pallas_call declares no vma
         else:
             def features(x):
                 return chunked_melspectrogram(x, **self.mel_kwargs)

@@ -99,7 +99,9 @@ def data_parallel(transform, mesh: Optional[Mesh] = None):
     fn = transform
     if mesh.size > 1:
         fn = jax.shard_map(lambda x: transform(x), mesh=mesh,
-                           in_specs=P("data"), out_specs=P("data"))
+                           in_specs=P("data"), out_specs=P("data"),
+                           check_vma=False)  # transform may wrap a
+                                             # pallas_call (no vma)
 
     @functools.partial(jax.jit, in_shardings=(sharding,))
     def run(x):

@@ -45,9 +45,19 @@ def _halo_from_right(xl: jnp.ndarray, axis_name: str,
 
 
 def _shard_frames(xl, axis_name, fft_length, hop_length, window,
-                  win_length, fb, to_db, power):
+                  win_length, fb, to_db, power, use_fused=False,
+                  precision="fast"):
     halo = _halo_from_right(xl, axis_name, fft_length - hop_length)
     xbuf = jnp.concatenate([xl, halo], axis=-1)
+    if fb is not None and use_fused:
+        # shard-local single-kernel path: same frames as the chain (the
+        # halo'd buffer IS the center=False input), Pallas under
+        # shard_map exactly as the corpus driver composes it
+        from ..ops.fused import fused_melspectrogram
+        return fused_melspectrogram(xbuf, fb, fft_length, hop_length,
+                                    window, power, to_db,
+                                    precision=precision,
+                                    win_length=win_length)
     spec = _stft(xbuf, fft_length, hop_length, win_length=win_length,
                  window=window, center=False)   # (..., F, T_loc/hop)
     if fb is None:
@@ -59,7 +69,7 @@ def _shard_frames(xl, axis_name, fft_length, hop_length, window,
 
 
 def _run(waveform, mesh, axis, fft_length, hop_length, window, win_length,
-         fb, to_db, power):
+         fb, to_db, power, use_fused=False, precision="fast"):
     S = mesh.shape[axis]
     T = waveform.shape[-1]
     if T % (S * hop_length) != 0:
@@ -72,10 +82,14 @@ def _run(waveform, mesh, axis, fft_length, hop_length, window, win_length,
     in_spec = P(*([None] * (nd - 1) + [axis]))
     out_spec = P(*([None] * nd + [axis]))  # (..., F/mels, frames)
 
+    # check_vma=False: pallas_call (the use_fused path) cannot declare
+    # varying-mesh-axes metadata, and every output here is trivially
+    # sharded exactly as out_spec says
     fn = jax.shard_map(
         lambda xl: _shard_frames(xl, axis, fft_length, hop_length,
-                                 window, win_length, fb, to_db, power),
-        mesh=mesh, in_specs=in_spec, out_specs=out_spec)
+                                 window, win_length, fb, to_db, power,
+                                 use_fused, precision),
+        mesh=mesh, in_specs=in_spec, out_specs=out_spec, check_vma=False)
 
     x = jax.device_put(waveform, NamedSharding(mesh, in_spec))
     out = jax.jit(fn)(x)
@@ -110,11 +124,18 @@ def time_sharded_melspectrogram(waveform: jnp.ndarray, mesh: Mesh,
                                 hop_length: int = 512,
                                 window="hann",
                                 to_db: bool = True,
-                                power: float = 2.0) -> jnp.ndarray:
+                                power: float = 2.0,
+                                use_fused: bool = False,
+                                precision: str = "fast") -> jnp.ndarray:
     """Log-mel of a long ``(..., T)`` recording with time sharded over
     ``mesh[axis]`` — the whole chain (halo → frames → DFT → mel → dB)
-    runs shard-local after the single halo exchange."""
+    runs shard-local after the single halo exchange.
+
+    ``use_fused=True`` runs each shard through the single Pallas kernel
+    (sequence parallelism × the fused fast path; ``precision`` as in
+    :func:`~torchaudio_contrib_tpu.ops.fused_melspectrogram`).  Off-TPU
+    it transparently falls back to the shard-local XLA chain."""
     fb = create_mel_filter(num_mels, sample_rate, f_min, f_max,
                            fft_length // 2 + 1)
     return _run(waveform, mesh, axis, fft_length, hop_length, window,
-                None, fb, to_db, power)
+                None, fb, to_db, power, use_fused, precision)
