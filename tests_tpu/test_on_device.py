@@ -227,3 +227,45 @@ def test_corpus_preprocessor_on_device():
     # int16 wire + 'fast' bf16 kernel precision: dB-domain tolerance
     # (~0.25 dB worst-case on low-energy bins; guards gross corruption)
     np.testing.assert_allclose(outs[0], np.asarray(ref), atol=0.5)
+
+
+def test_corpus_mulaw8_wire_on_device():
+    """μ-law uint8 wire (quarter bytes) decodes on the real chip; mel
+    output within μ-law (~38 dB SNR) tolerance of the exact chain."""
+    from jax.sharding import Mesh
+    from torchaudio_contrib_tpu import parallel as par
+
+    rng = np.random.default_rng(11)
+    sr = 16000
+    clips = {i: rng.standard_normal((1, sr)).astype(np.float32)
+             for i in range(4)}
+    outs = {}
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                axis_names=("data", "model"))
+    pre = par.CorpusPreprocessor(
+        lambda i: clips[i], clip_samples=sr, batch_size=4, mesh=mesh,
+        use_fused=True, wire_format="mulaw8", to_db=False,
+        sink=lambda i, m: outs.__setitem__(i, np.asarray(m)),
+        fft_length=512, hop_length=128, num_mels=64, sample_rate=sr)
+    stats = pre.run(range(4))
+    assert stats.files_done == 4
+    spec = ops.stft(jnp.asarray(clips[1]), 512, 128, center=False)
+    fb = ops.create_mel_filter(64, sr, 0.0, None, 257)
+    ref = np.asarray(ops.apply_filterbank(ops.complex_norm(spec, 2.0),
+                                          fb))
+    rel = np.max(np.abs(outs[1] - ref)) / np.max(ref)
+    assert rel <= 3e-2, rel
+
+
+def test_deltas_and_emphasis_on_device():
+    """compute_deltas conv + the associative-scan de-emphasis IIR lower
+    and run on the chip; round-trip holds."""
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((2, 32768)).astype(np.float32))
+    y = ops.deemphasis(ops.preemphasis(x, 0.97), 0.97)
+    err = float(jnp.max(jnp.abs(y - x)))
+    assert err <= 1e-3, err
+    m = jnp.asarray(rng.standard_normal((2, 13, 256)).astype(np.float32))
+    d = ops.compute_deltas(m)
+    assert d.shape == m.shape
+    assert bool(jnp.all(jnp.isfinite(d)))
