@@ -56,7 +56,8 @@ def mfcc(waveform: jnp.ndarray,
          norm: Optional[str] = "ortho",
          top_db: Optional[float] = None,
          center: bool = True,
-         use_fused: bool = False) -> jnp.ndarray:
+         use_fused: bool = False,
+         precision: str = "split3") -> jnp.ndarray:
     """MFCCs of ``waveform (..., time)`` → ``(..., n_mfcc, frames)``.
 
     Chain: STFT → power → mel → dB(power) → DCT-II.  Every stage is the
@@ -64,8 +65,11 @@ def mfcc(waveform: jnp.ndarray,
     differentiable end-to-end.
 
     ``use_fused=True`` computes the log-mel through the single-kernel
-    Pallas path (no ``top_db``; ~2× faster on TPU — the trailing DCT is
-    one extra GEMM over the already-tiny mel output).
+    Pallas path (no ``top_db``; ~3× faster on TPU — the trailing DCT is
+    one extra GEMM over the already-tiny mel output, measured free under
+    device-loop timing).  ``precision`` selects the kernel mode:
+    ``"split3"`` (parity, 11.2 ms at config 2) or ``"fast"`` (bf16,
+    6.0 ms — 6.9 M frames/s).
     """
     fb = create_mel_filter(num_mels, sample_rate, f_min, f_max,
                            fft_length // 2 + 1)
@@ -73,6 +77,7 @@ def mfcc(waveform: jnp.ndarray,
         from .fused import fused_melspectrogram
         mel_db = fused_melspectrogram(waveform, fb, fft_length,
                                       hop_length, window, 2.0, True,
+                                      precision=precision,
                                       center=center)
     else:
         spec = _stft(waveform, fft_length, hop_length, window=window,
