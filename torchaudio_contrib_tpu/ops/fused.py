@@ -102,7 +102,12 @@ _TB_FAST = 768     # forward, precision="fast": half the scratch (no lo
                    # columns) affords a bigger block -> fewer programs
                    # (measured 6.0 -> 5.75 ms at config 2)
 _TB_BWD = 512      # frames per block, backward kernel
-_VMEM_BUDGET_FWD = 14_000_000   # bytes; empirically, builds estimated
+_VMEM_BUDGET_FWD = 13_000_000   # bytes; empirically, builds estimated
+                                # (13M: fft=3072's TB=384 build estimated
+                                # 13.5M and failed the real compile —
+                                # the boundary needs ~1M of slack;
+                                # config 2 estimates ~11M at TB=512 so
+                                # the headline tiles are unaffected)
 _VMEM_BUDGET_BWD = 15_000_000   # above these fail Mosaic's 16 MB limit.
                                 # Calibrated against observed compile
                                 # outcomes of the MERGED backward kernel:
