@@ -139,11 +139,8 @@ def main():
     # dispatch, so the per-dispatch tunnel latency (1-4 ms on this
     # 1-core dev host — an artifact of the axon tunnel, not the chip) is
     # amortized away.  Single shared implementation: utils/timing.py.
-    from torchaudio_contrib_tpu.utils.timing import device_loop
+    from torchaudio_contrib_tpu.utils.timing import time_device_loop
     K_LOOP = 16
-
-    def _make_loop(f):
-        return device_loop(f, K_LOOP)
 
     x = jnp.asarray(x_np)
 
@@ -178,15 +175,9 @@ def main():
         f"{fps_fwd:,.0f} frames/s "
         f"({out.shape[-1]} frames x {args.batch * args.channels} streams)")
 
-    # headline: device-resident loop (pure chip throughput; see _make_loop)
+    # headline: device-resident loop (pure chip throughput)
     try:
-        fwd_loop = _make_loop(fwd)
-        float(fwd_loop(x))  # compile + warmup
-        dt_loop = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(fwd_loop(x))
-            dt_loop = min(dt_loop, (time.perf_counter() - t0) / K_LOOP)
+        dt_loop = time_device_loop(fwd, x, k=K_LOOP, reps=3)
         log(f"fwd device-loop: {dt_loop * 1e3:.2f} ms/iter "
             f"({K_LOOP} iters/dispatch), "
             f"{n_frames_total / dt_loop:,.0f} frames/s")
@@ -206,13 +197,7 @@ def main():
         dt_bwd = (time.perf_counter() - t0) / max(args.iters // 3, 1)
         log(f"fwd+bwd: {dt_bwd * 1e3:.2f} ms/iter, "
             f"{n_frames_total / dt_bwd:,.0f} frames/s")
-        bwd_loop = _make_loop(fwd_bwd)
-        float(bwd_loop(x))
-        dt_bl = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(bwd_loop(x))
-            dt_bl = min(dt_bl, (time.perf_counter() - t0) / K_LOOP)
+        dt_bl = time_device_loop(fwd_bwd, x, k=K_LOOP, reps=3)
         log(f"fwd+bwd device-loop: {dt_bl * 1e3:.2f} ms/iter, "
             f"{n_frames_total / dt_bl:,.0f} frames/s")
     except Exception as e:  # keep the headline metric alive

@@ -72,3 +72,18 @@ def test_preemphasis_first_sample():
     y = ops.preemphasis(x, 0.9)
     np.testing.assert_allclose(np.asarray(y),
                                [[1.0, 0.1, 0.1]], rtol=1e-6, atol=1e-7)
+
+
+def test_integer_inputs_promote():
+    """Integer PCM inputs must promote to float, not silently truncate
+    the fractional kernel/coefficient to zero."""
+    x_i = jnp.asarray(np.array([[100, -200, 300, 50, -25, 12]], np.int16))
+    d = ops.compute_deltas(x_i.reshape(1, 1, 6), win_length=3)
+    assert d.dtype == jnp.float32
+    assert float(jnp.max(jnp.abs(d))) > 0
+    y = ops.deemphasis(x_i, 0.97)
+    assert y.dtype == jnp.float32
+    # identity would mean the coefficient truncated to 0
+    assert float(jnp.max(jnp.abs(y - x_i.astype(jnp.float32)))) > 1.0
+    p = ops.preemphasis(x_i, 0.97)
+    assert p.dtype == jnp.float32

@@ -57,3 +57,14 @@ def test_mfcc_fused_matches_chain(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4,
                                    err_msg=f"center={center}")
+
+
+def test_precision_requires_use_fused(rng):
+    import pytest
+    x = jnp.asarray(rng.standard_normal((1, 4096)).astype(np.float32))
+    with pytest.raises(ValueError):
+        ops.mfcc(x, 16000, 13, 32, 512, 128, precision="fast")
+    # valid combination runs
+    out = ops.mfcc(x, 16000, 13, 32, 512, 128, use_fused=True,
+                   precision="fast")
+    assert out.shape[0] == 1

@@ -38,6 +38,9 @@ def compute_deltas(specgram: jnp.ndarray,
     if win_length < 3 or win_length % 2 == 0:
         raise ValueError("win_length must be odd and >= 3, got "
                          f"{win_length}")
+    # integer inputs would truncate the fractional kernel to zeros
+    specgram = specgram.astype(jnp.promote_types(specgram.dtype,
+                                                 jnp.float32))
     n = (win_length - 1) // 2
     denom = 2.0 * sum(k * k for k in range(1, n + 1))
     kernel = jnp.asarray(
@@ -61,6 +64,8 @@ def compute_deltas(specgram: jnp.ndarray,
 
 def preemphasis(waveform: jnp.ndarray, coeff: float = 0.97) -> jnp.ndarray:
     """``y[n] = x[n] − coeff·x[n−1]`` (``y[0] = x[0]``), time last."""
+    waveform = waveform.astype(jnp.promote_types(waveform.dtype,
+                                                 jnp.float32))
     prev = jnp.pad(waveform[..., :-1],
                    [(0, 0)] * (waveform.ndim - 1) + [(1, 0)])
     return waveform - coeff * prev
@@ -73,6 +78,8 @@ def deemphasis(waveform: jnp.ndarray, coeff: float = 0.97) -> jnp.ndarray:
     (log-depth on TPU, one compiled program) rather than a sequential
     ``lax.scan`` over 10⁵+ samples.
     """
+    waveform = waveform.astype(jnp.promote_types(waveform.dtype,
+                                                 jnp.float32))
     a = jnp.full(waveform.shape, coeff, waveform.dtype)
 
     def combine(left, right):

@@ -71,6 +71,9 @@ def mfcc(waveform: jnp.ndarray,
     ``"split3"`` (parity, 11.2 ms at config 2) or ``"fast"`` (bf16,
     6.0 ms — 6.9 M frames/s).
     """
+    if precision != "split3" and not use_fused:
+        raise ValueError("precision selects the fused-kernel mode; "
+                         "pass use_fused=True with it")
     fb = create_mel_filter(num_mels, sample_rate, f_min, f_max,
                            fft_length // 2 + 1)
     if use_fused and top_db is None:

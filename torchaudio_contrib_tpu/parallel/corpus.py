@@ -387,8 +387,13 @@ class CorpusPreprocessor:
             if not batch:
                 return
             n = len(batch)
+            # pad value per wire format: mu-law code 128 IS silence
+            # (code 0 decodes to a full-scale -1.0 DC signal)
+            pad_row = (np.full_like(batch[0], 128)
+                       if self.wire_format == "mulaw8"
+                       else np.zeros_like(batch[0]))
             while len(batch) < self.batch_size:  # pad last batch
-                batch.append(np.zeros_like(batch[0]))
+                batch.append(pad_row)
                 scales.append(np.float32(1.0))
             x = jax.device_put(np.stack(batch), self._sharding)
             if self.wire_format in ("int16", "mulaw8"):

@@ -46,7 +46,7 @@ def _halo_from_right(xl: jnp.ndarray, axis_name: str,
 
 def _shard_frames(xl, axis_name, fft_length, hop_length, window,
                   win_length, fb, to_db, power, use_fused=False,
-                  precision="fast"):
+                  precision="split3"):
     halo = _halo_from_right(xl, axis_name, fft_length - hop_length)
     xbuf = jnp.concatenate([xl, halo], axis=-1)
     if fb is not None and use_fused:
@@ -69,7 +69,7 @@ def _shard_frames(xl, axis_name, fft_length, hop_length, window,
 
 
 def _run(waveform, mesh, axis, fft_length, hop_length, window, win_length,
-         fb, to_db, power, use_fused=False, precision="fast"):
+         fb, to_db, power, use_fused=False, precision="split3"):
     S = mesh.shape[axis]
     T = waveform.shape[-1]
     if T % (S * hop_length) != 0:
@@ -126,7 +126,7 @@ def time_sharded_melspectrogram(waveform: jnp.ndarray, mesh: Mesh,
                                 to_db: bool = True,
                                 power: float = 2.0,
                                 use_fused: bool = False,
-                                precision: str = "fast") -> jnp.ndarray:
+                                precision: str = "split3") -> jnp.ndarray:
     """Log-mel of a long ``(..., T)`` recording with time sharded over
     ``mesh[axis]`` — the whole chain (halo → frames → DFT → mel → dB)
     runs shard-local after the single halo exchange.
