@@ -269,3 +269,27 @@ def test_deltas_and_emphasis_on_device():
     d = ops.compute_deltas(m)
     assert d.shape == m.shape
     assert bool(jnp.all(jnp.isfinite(d)))
+
+
+def test_time_sharded_fused_kernel_on_device():
+    """Pallas kernel under shard_map on the real chip (1-device mesh —
+    the same composition the corpus/SP paths use on pods; check_vma and
+    GSPMD-opacity handling must hold on hardware, not just interpret)."""
+    from jax.sharding import Mesh
+    from torchaudio_contrib_tpu import parallel as par
+
+    rng = np.random.default_rng(13)
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1,),
+                axis_names=("data",))
+    hop, fft = 128, 512
+    T = hop * 64
+    x = jnp.asarray(rng.standard_normal((2, T)).astype(np.float32))
+    got = par.time_sharded_melspectrogram(
+        x, mesh, "data", num_mels=32, sample_rate=16000,
+        fft_length=fft, hop_length=hop, use_fused=True)
+    spec = ops.stft(x, fft, hop, center=False)
+    fb = ops.create_mel_filter(32, 16000, 0.0, None, fft // 2 + 1)
+    ref = ops.amplitude_to_db(
+        ops.apply_filterbank(ops.complex_norm(spec, 2.0), fb), power=2.0)
+    rel = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel <= 5e-4, rel
