@@ -30,6 +30,7 @@ from .mulaw import mu_law_encoding, mu_law_decoding
 from .phase_vocoder import phase_vocoder, compute_phase_advance
 from .fused import fused_melspectrogram, fused_mel_supported
 from .griffinlim import griffin_lim
+from .fused_griffinlim import fused_gl_supported
 from .melinv import create_inverse_mel_filter, mel_to_linear
 from .resample import resample
 from .mfcc import create_dct, mfcc
@@ -49,7 +50,7 @@ __all__ = [
     "mu_law_encoding", "mu_law_decoding",
     "phase_vocoder", "compute_phase_advance",
     "fused_melspectrogram", "fused_mel_supported",
-    "griffin_lim",
+    "griffin_lim", "fused_gl_supported",
     "create_inverse_mel_filter", "mel_to_linear",
     "resample",
     "create_dct", "mfcc",
