@@ -202,7 +202,7 @@ def config6():
     mag = jnp.abs(ops.stft(x, 1024, 256))
     gl = jax.jit(lambda m: ops.griffin_lim(m, 1024, 256, n_iter=32,
                                            length=110250,
-                                           method="matmul"))
+                                           method="pallas"))
     dt_gl = timeit(gl, mag)
 
     xb = jnp.asarray(rng.standard_normal((32, 1, 661500))
