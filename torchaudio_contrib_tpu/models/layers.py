@@ -412,7 +412,7 @@ class FusedMelspectrogram(Transform):
                  fft_length: int = 2048, hop_length: int = 512,
                  window="hann", power: float = 2.0, to_db: bool = True,
                  db_ref: float = 1.0, amin: float = 1e-7,
-                 precision: str = "split3", trainable: bool = False,
+                 precision: str = "auto", trainable: bool = False,
                  win_length: Optional[int] = None, center: bool = False,
                  pad_mode: str = "reflect"):
         self.num_mels = num_mels

@@ -28,7 +28,8 @@ from .filters import (
 from .db import amplitude_to_db, db_to_amplitude
 from .mulaw import mu_law_encoding, mu_law_decoding
 from .phase_vocoder import phase_vocoder, compute_phase_advance
-from .fused import fused_melspectrogram, fused_mel_supported
+from .fused import (fused_melspectrogram, fused_mel_supported,
+                    resolve_precision)
 from .griffinlim import griffin_lim
 from .fused_griffinlim import fused_gl_supported
 from .melinv import create_inverse_mel_filter, mel_to_linear
@@ -50,6 +51,7 @@ __all__ = [
     "mu_law_encoding", "mu_law_decoding",
     "phase_vocoder", "compute_phase_advance",
     "fused_melspectrogram", "fused_mel_supported",
+    "resolve_precision",
     "griffin_lim", "fused_gl_supported",
     "create_inverse_mel_filter", "mel_to_linear",
     "resample",

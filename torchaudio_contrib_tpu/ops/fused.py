@@ -28,14 +28,30 @@ freq innermost (sequential on-core, enabling accumulation):
 5. at the last tile: optional in-place dB (VPU).
 
 Precision: the MXU is bf16; a single-pass product costs ~2e-3 relative
-error — far past the parity budget.  ``precision="split3"`` (default)
-splits each operand into bf16 hi+lo parts and sums the hi·hi + hi·lo +
-lo·hi products (~4e-6 relative error at 3× the MXU work).  The three
-products are issued as TWO GEMMs via operand concatenation:
-``[hi|lo]·[lo;hi] + hi·hi`` — same FLOPs, better MXU scheduling than
-three separate passes.  (Pallas exposes no bf16_3x dot; HIGHEST compiles
-pathologically here, so the split is manual.)  ``precision="fast"``
-keeps the single bf16 pass for throughput-over-parity workloads.
+error — far past the parity budget.  The split tiers decompose each f32
+operand into ``ns`` bf16 parts (hi, [mid,] lo) and keep every cross
+product whose weight is ≥ 2^(-8·ns):
+
+* ``ns=1`` (``"fast"``): single bf16 pass, ~2e-3 relative.
+* ``ns=2`` (``"split3"``): hi·hi + hi·lo + lo·hi, ~2⁻¹⁶ operand error
+  (~4e-6 typical) at 3× the MXU work.
+* ``ns=3`` (``"split6"``): the six products with weight ≥ 2⁻¹⁶
+  (bf16x6, XLA-HIGHEST-equivalent) — ~2⁻²⁴ operand error, f32-chain
+  parity even where re/im nearly cancel, at 6× the MXU work.
+
+All tiers issue as ``ns`` GEMMs via nested operand concatenation:
+with frames ``[p₀|…|p_{ns−1}]`` and the basis stacked ``[q_{ns−1};…;q₀]``,
+GEMM ``j`` multiplies the first ``ns−j`` frame parts against the last
+``ns−j`` basis slabs, producing exactly the products with part-index sum
+``ns−1−j`` — same FLOPs as separate passes, better MXU scheduling.
+(Pallas exposes no bf16_3x/6x dot; HIGHEST compiles pathologically here,
+so the split is manual.)  ``precision="auto"`` (default) picks
+``split3`` when the config has ≥8 linear bins per mel band and
+``split6`` below — small-fft/dense-mel configs (e.g. Whisper's fft=400,
+2.5 bins/band) are exactly where split3's dropped 2⁻¹⁶-scale terms
+surface as dB-domain tails (measured: 7.9e-4 worst-case vs split6's
+~1e-5; a single extra lo·lo product was measured to NOT close this —
+the lo-quantization noise is the same order as the dropped product).
 
 Backward (training — the reference's trainable-frontend use case): the
 forward saves the re/im spectrum tiles as a residual (one extra HBM
@@ -57,11 +73,12 @@ gradients:
   second full pass over the dmel/reim residuals (~0.5 GB at config 2)
   and a second grid of program overheads.
 
-Backward precision mirrors the forward: ``split3`` gradients hold
-≤1e-4 parity vs the XLA chain's VJP; ``precision="fast"`` also runs the
-backward single-pass (bf16-grade gradients at ~3× less backward MXU
-work — the SGD-throughput mode).  Off-TPU and for unsupported configs
-the op transparently runs the jnp chain and its AD-derived VJP.
+Backward precision mirrors the forward tier (``split6`` gradients hold
+≤1e-4 parity even at small ffts; ``split3`` at ≥8-bins/mel configs;
+``precision="fast"`` runs the backward single-pass — bf16-grade
+gradients at ~3× less backward MXU work, the SGD-throughput mode).
+Off-TPU and for unsupported configs the op transparently runs the jnp
+chain and its AD-derived VJP.
 
 Mosaic constraints honored throughout: values stay 2-D (3-D reshapes are
 unsupported shape casts) and HBM DMA offsets/lengths are 1024-aligned.
@@ -87,7 +104,31 @@ from .complexops import complex_norm
 from .filters import apply_filterbank
 from .db import amplitude_to_db
 
-__all__ = ["fused_melspectrogram", "fused_mel_supported"]
+__all__ = ["fused_melspectrogram", "fused_mel_supported",
+           "resolve_precision"]
+
+# precision tier -> number of bf16 parts per operand (ns GEMM issues,
+# ns·(ns+1)/2 products, ~2^(-8·ns) operand error)
+_PREC_NS = {"fast": 1, "split3": 2, "split6": 3}
+
+
+def resolve_precision(precision: str, fft_length: int,
+                      num_mels: int) -> str:
+    """Resolve ``"auto"`` to a concrete tier for this config.
+
+    ``split3`` holds ≤1e-4 worst-case dB parity only when mel bands
+    average ≥~8 linear bins (the dropped 2⁻¹⁶-scale products average
+    out); below that (small ffts / dense mel, e.g. Whisper's fft=400 at
+    2.5 bins/band) ``split6`` is required for the parity budget
+    (docs/PERFORMANCE.md, round-3 tier experiment)."""
+    if precision == "auto":
+        return ("split6" if (fft_length // 2 + 1) < 8 * num_mels
+                else "split3")
+    if precision not in _PREC_NS:
+        raise ValueError(
+            f"unknown precision {precision!r}: expected 'auto', "
+            f"'split6', 'split3', or 'fast'")
+    return precision
 
 _LN10_INV_10 = 10.0 / math.log(10.0)   # d(dB)/d(mel) = this / mel
 _DB_TO_LIN = math.log(10.0) / 10.0     # mel = ref·exp(dB·this)
@@ -120,12 +161,12 @@ _VMEM_BUDGET_BWD = 15_000_000   # above these fail Mosaic's 16 MB limit.
                                 # compiles at every input size).
 
 
-def _fwd_vmem_est(N, HOP, TB, FBT, m_pad, split, save_spec, frames_in):
+def _fwd_vmem_est(N, HOP, TB, FBT, m_pad, ns, save_spec, frames_in):
     """Rough VMEM bytes for one forward program (blocks double-buffered
     by the Pallas pipeline + scratch + major value temporaries)."""
-    CN = 2 * N if split else N
+    CN = ns * N
     b = CN * 2 * FBT * 2 * 2                     # basis blocks ×2
-    b += (2 * FBT if split else FBT) * m_pad * 2 * 2
+    b += ns * FBT * m_pad * 2 * 2                # fb stack blocks ×2
     b += TB * m_pad * 4 * 2                      # out blocks ×2
     if save_spec:
         b += TB * 2 * FBT * 4 * 2                # reim blocks ×2
@@ -134,26 +175,49 @@ def _fwd_vmem_est(N, HOP, TB, FBT, m_pad, split, save_spec, frames_in):
     else:
         b += TB * CN * 2                         # fcat scratch
         b += _round_up((TB - 1) * HOP + N, 1024) * 4   # xbuf
-    b += TB * 2 * FBT * 4 + TB * FBT * 4 + TB * 2 * FBT * 2  # temps
+    # temps: reim f32, p f32, pcat bf16
+    b += TB * 2 * FBT * 4 + TB * FBT * 4 + TB * ns * FBT * 2
     return b
 
 
-def _bwd_vmem_est(N, TB, FBT, m_pad, split=True, ft_count=0):
-    mc = (2 if split else 1) * m_pad
-    bt = (4 if split else 2) * FBT
-    b = TB * mc * 2 * 2                          # dmel [hi|lo] blocks
+def _bwd_vmem_est(N, TB, FBT, m_pad, ns=2, ft_count=0, n_nt=1):
+    mc = ns * m_pad
+    bt = 2 * ns * FBT
+    nt = N // n_nt
+    b = TB * mc * 2 * 2                          # dmel [hi|..] blocks
     b += TB * 2 * FBT * 4 * 2                    # reim blocks
     b += mc * FBT * 2 * 2                        # FBᵀ blocks
-    b += bt * N * 2 * 3                          # Bᵀ blocks (deep-buffered)
-    b += TB * N * 4 * 2                          # out blocks
+    b += bt * nt * 2 * 3                         # Bᵀ blocks (deep-buffered)
+    b += TB * nt * 4 * 2                         # out blocks
     b += TB * FBT * 4 + TB * 2 * FBT * 4        # temps: dp, dreim
-    if split:
-        b += TB * 4 * FBT * 2                    # dcat temp
+    if ns > 1:
+        b += TB * 2 * ns * FBT * 2               # dcat temp
     # fused-dFB extras: the (ft, FBT, M) accumulator block (constant
-    # index map — single-buffered for the whole grid) + p/phi/plo temps
+    # index map — single-buffered for the whole grid) + p/part temps
     b += ft_count * FBT * m_pad * 4
-    b += TB * FBT * (4 + 2 + (2 if split else 0))
+    b += TB * FBT * (4 + 2 * ns)
     return b
+
+
+def _bwd_tiles(N_pad, m_pad, ns, ft_count):
+    """Pick (TB, n_nt) for the backward kernel: the largest frame block
+    that fits the VMEM budget, preferring N-axis tiling over shrinking
+    TB (same program count, smaller Bᵀ/out blocks, half the Bᵀ refetch
+    traffic — measured rationale in docs/PERFORMANCE.md)."""
+    best = (128, 1)
+    for n_nt in (1, 2, 4):
+        if N_pad % (n_nt * 128):
+            continue
+        TB = _TB_BWD
+        while TB > 128 and _bwd_vmem_est(N_pad, TB, _FREQ_TILE, m_pad,
+                                         ns, ft_count,
+                                         n_nt) > _VMEM_BUDGET_BWD:
+            TB -= 128
+        if TB > best[0]:
+            best = (TB, n_nt)
+        if TB == _TB_BWD:
+            break                                # prefer fewer tiles
+    return best
 
 
 def _interpret() -> bool:
@@ -194,11 +258,17 @@ def _hashable_window(window):
 # constants: windowed DFT basis (static → float64 NumPy, cached)
 # ---------------------------------------------------------------------------
 
-def _np_split_bf16(a):
-    a32 = np.asarray(a, np.float32)
-    hi = a32.astype(ml_dtypes.bfloat16)
-    lo = (a32 - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
-    return hi, lo
+def _np_split_k(a, k):
+    """f32 → k bf16 parts ``[p₀ (hi), …, p_{k−1} (lo)]`` with
+    ``sum(pᵢ) ≈ a`` to ~2^(-8k) relative."""
+    r = np.asarray(a, np.float32)
+    parts = []
+    for _ in range(k - 1):
+        p = r.astype(ml_dtypes.bfloat16)
+        parts.append(p)
+        r = r - p.astype(np.float32)
+    parts.append(r.astype(ml_dtypes.bfloat16))
+    return parts
 
 
 @functools.lru_cache(maxsize=16)
@@ -242,60 +312,68 @@ def _basis_f32(fft_length: int, win_key, win_length, fbt: int):
 
 @functools.lru_cache(maxsize=16)
 def _fwd_basis_stack(fft_length: int, win_key, win_length, fbt: int,
-                     split: bool) -> np.ndarray:
-    """bf16 basis for the forward kernel.  split: ``(2·fft, FT·2FBT)``
-    rows ``[lo; hi]`` so ``[fhi|flo]·this + fhi·this[fft:]`` is the
-    3-product split GEMM; fast: just ``hi`` ``(fft, FT·2FBT)``."""
+                     ns: int) -> np.ndarray:
+    """bf16 basis for the forward kernel: ``(ns·fft, FT·2FBT)`` rows
+    ``[q_{ns−1}; …; q₀]`` (lo slabs first) so GEMM ``j`` of the nested
+    scheme is ``fcat[:, :(ns−j)·fft] · this[j·fft:]``.  ns=1: just hi."""
     basis, *_ = _basis_f32(fft_length, win_key, win_length, fbt)
-    hi, lo = _np_split_bf16(basis)
-    if split:
-        return np.concatenate([lo, hi], axis=0)
-    return hi
+    parts = _np_split_k(basis, ns)
+    return np.concatenate(parts[::-1], axis=0)
 
 
 @functools.lru_cache(maxsize=16)
 def _bwd_basis_stack(fft_length: int, win_key, win_length, fbt: int,
-                     split: bool) -> np.ndarray:
-    """bf16 transposed basis for the dframes kernel.  split:
-    ``(FT·4FBT, fft)`` with tile-t rows ``[Bᵀ_lo_t (2FBT); Bᵀ_hi_t
-    (2FBT)]``; fast: ``(FT·2FBT, fft)`` of hi only."""
+                     ns: int) -> np.ndarray:
+    """bf16 transposed basis for the dframes kernel: ``(FT·2ns·FBT,
+    fft)`` with tile-t rows ``[Bᵀ_lo_t; …; Bᵀ_hi_t]`` (2FBT each)."""
     basis, n_freqs, ft_count, f_pad = _basis_f32(fft_length, win_key,
                                                  win_length, fbt)
-    hi, lo = _np_split_bf16(basis)
+    parts = _np_split_k(basis, ns)
     rows = []
     for t in range(ft_count):
         s = slice(t * 2 * fbt, (t + 1) * 2 * fbt)
-        hiT = np.ascontiguousarray(hi[:, s].T)
-        if split:
-            rows.append(np.concatenate(
-                [np.ascontiguousarray(lo[:, s].T), hiT], axis=0))
-        else:
-            rows.append(hiT)
+        rows.append(np.concatenate(
+            [np.ascontiguousarray(p[:, s].T) for p in parts[::-1]],
+            axis=0))
     return np.concatenate(rows, axis=0)
 
 
-def _split_hi_lo_xla(a):
-    """f32 → (hi, lo) bf16 pair for TRACED (XLA-side) operands.
+def _bf16_round_f32(a32):
+    """Round f32 to the nearest bf16 value, IN f32 (bit-exact with the
+    hardware round-half-to-even convert) — XLA cannot simplify it away."""
+    bits = jax.lax.bitcast_convert_type(a32, jnp.uint32)
+    rounded = bits + np.uint32(0x7FFF) + ((bits >> 16) & np.uint32(1))
+    return jax.lax.bitcast_convert_type(
+        rounded & np.uint32(0xFFFF0000), jnp.float32)
+
+
+def _split_xla_k(a, k):
+    """f32 → list of k bf16 parts for TRACED (XLA-side) operands.
 
     The naive ``hi = a.astype(bf16); lo = (a - hi.astype(f32)).astype(bf16)``
     is silently destroyed under jit on TPU: with
     ``--xla_allow_excess_precision`` XLA simplifies
     ``convert_f32(convert_bf16(a)) → a`` and the lo part folds to exactly
     zero, degrading every split-precision GEMM to a single bf16 pass
-    (verified on v5e: jit'd ``sum(|lo|) == 0``).  Masking the low mantissa
-    bits makes ``hi`` exactly representable in bf16, so any such
-    simplification is value-preserving.  The rounding (round-half-to-even,
-    matching the hardware bf16 convert) is done in integer bits so
-    |lo| ≤ 2⁻⁹|a| as with a native convert.  In-kernel splits are
-    unaffected (Mosaic does not apply this rewrite).
+    (verified on v5e: jit'd ``sum(|lo|) == 0``).  Rounding in integer
+    bits (``_bf16_round_f32``) makes each level's hi exactly
+    representable in bf16, so any such simplification is
+    value-preserving.  In-kernel splits are unaffected (Mosaic does not
+    apply this rewrite).
     """
-    a32 = a.astype(jnp.float32)
-    bits = jax.lax.bitcast_convert_type(a32, jnp.uint32)
-    rounded = bits + np.uint32(0x7FFF) + ((bits >> 16) & np.uint32(1))
-    hi32 = jax.lax.bitcast_convert_type(
-        rounded & np.uint32(0xFFFF0000), jnp.float32)
-    hi = hi32.astype(jnp.bfloat16)          # exact conversion
-    lo = (a32 - hi32).astype(jnp.bfloat16)
+    r = a.astype(jnp.float32)
+    parts = []
+    for _ in range(k - 1):
+        hi32 = _bf16_round_f32(r)
+        parts.append(hi32.astype(jnp.bfloat16))   # exact conversion
+        r = r - hi32
+    parts.append(r.astype(jnp.bfloat16))
+    return parts
+
+
+def _split_hi_lo_xla(a):
+    """f32 → (hi, lo) bf16 pair (the k=2 case of :func:`_split_xla_k`)."""
+    hi, lo = _split_xla_k(a, 2)
     return hi, lo
 
 
@@ -307,31 +385,29 @@ def _fb_padded(filterbank, n_freqs: int, f_pad: int, m_pad: int):
     return fbp.at[:n_freqs, :fb.shape[1]].set(fb)
 
 
-def _fb_fwd_stack(fbp, ft: int, fbt: int, m_pad: int, split: bool):
-    """(FT·2FBT, M) with tile-t rows [lo_t; hi_t] (split) or hi (FT·FBT, M)."""
-    if not split:
+def _fb_fwd_stack(fbp, ft: int, fbt: int, m_pad: int, ns: int):
+    """(FT·ns·FBT, M) with tile-t rows [lo_t; …; hi_t]; ns=1: just hi."""
+    if ns == 1:
         return fbp.astype(jnp.bfloat16)
-    hi, lo = _split_hi_lo_xla(fbp)
-    lo3 = lo.reshape(ft, fbt, m_pad)
-    hi3 = hi.reshape(ft, fbt, m_pad)
-    return jnp.concatenate([lo3, hi3], axis=1).reshape(ft * 2 * fbt, m_pad)
+    parts = _split_xla_k(fbp, ns)
+    p3 = [p.reshape(ft, fbt, m_pad) for p in parts[::-1]]
+    return jnp.concatenate(p3, axis=1).reshape(ft * ns * fbt, m_pad)
 
 
-def _fb_bwd_stack(fbp, ft: int, fbt: int, m_pad: int, split: bool):
-    """split: (FT·2M, FBT) with tile-t rows [FBᵀ_lo_t (M); FBᵀ_hi_t (M)];
-    fast: (FT·M, FBT) of hi only."""
-    hi, lo = _split_hi_lo_xla(fbp)
-    hiT = hi.reshape(ft, fbt, m_pad).transpose(0, 2, 1)   # (ft, M, FBT)
-    if not split:
-        return hiT.reshape(ft * m_pad, fbt)
-    loT = lo.reshape(ft, fbt, m_pad).transpose(0, 2, 1)
-    return jnp.concatenate([loT, hiT], axis=1).reshape(ft * 2 * m_pad, fbt)
+def _fb_bwd_stack(fbp, ft: int, fbt: int, m_pad: int, ns: int):
+    """(FT·ns·M, FBT) with tile-t rows [FBᵀ_lo_t; …; FBᵀ_hi_t] (M each);
+    ns=1: (FT·M, FBT) of hi only."""
+    parts = _split_xla_k(fbp, ns)
+    Ts = [p.reshape(ft, fbt, m_pad).transpose(0, 2, 1)   # (ft, M, FBT)
+          for p in parts[::-1]]
+    if ns == 1:
+        return Ts[0].reshape(ft * m_pad, fbt)
+    return jnp.concatenate(Ts, axis=1).reshape(ft * ns * m_pad, fbt)
 
 
-def _split_cat_cols(a):
-    """f32 (R, C) → bf16 (R, 2C) ``[hi | lo]`` (XLA-side operand split)."""
-    hi, lo = _split_hi_lo_xla(a)
-    return jnp.concatenate([hi, lo], axis=1)
+def _split_cat_cols(a, ns: int):
+    """f32 (R, C) → bf16 (R, ns·C) ``[p₀ | … | p_{ns−1}]`` (XLA-side)."""
+    return jnp.concatenate(_split_xla_k(a, ns), axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -347,10 +423,23 @@ def _stream_stride(fft_length: int, hop_length: int, n_blocks: int,
     return _round_up(last_start + blk, 1024)
 
 
+def _split_val_k(v, k):
+    """In-kernel f32 value → k bf16 parts (naive split; Mosaic does not
+    apply the excess-precision rewrite that breaks this XLA-side)."""
+    parts = []
+    r = v
+    for _ in range(k - 1):
+        h = r.astype(jnp.bfloat16)
+        parts.append(h)
+        r = r - h.astype(jnp.float32)
+    parts.append(r.astype(jnp.bfloat16))
+    return parts
+
+
 @functools.lru_cache(maxsize=32)
 def _build_fwd_call(N: int, HOP: int, m_pad: int, n_blocks: int, bc: int,
                     ft_count: int, to_db: bool, db_ref: float, amin: float,
-                    split: bool, tb: int, fbt: int, frames_in: bool,
+                    ns: int, tb: int, fbt: int, frames_in: bool,
                     save_spec: bool, interpret: bool):
     TB, FBT = tb, fbt
     G = bc * n_blocks
@@ -358,32 +447,35 @@ def _build_fwd_call(N: int, HOP: int, m_pad: int, n_blocks: int, bc: int,
         BLK = _round_up((TB - 1) * HOP + N, 1024)
         stride = _stream_stride(N, HOP, n_blocks, TB)
         assert (TB * HOP) % 1024 == 0, (TB, HOP)
-    CN = 2 * N if split else N          # frame-cat width
+    CN = ns * N                          # frame-cat width
     db_off = _LN10_INV_10 * math.log(max(amin, db_ref)) if to_db else 0.0
 
     def dft_mel(fcat, bstack_ref, fbstack_ref):
-        """(TB, CN) bf16 frames → (reim (TB,2FBT) f32, mel partial)."""
-        if split:
-            reim = jnp.dot(fcat, bstack_ref[:],
-                           preferred_element_type=jnp.float32)
-            reim = reim + jnp.dot(fcat[:, :N], bstack_ref[N:, :],
+        """(TB, CN) bf16 frames → (reim (TB,2FBT) f32, mel partial).
+
+        Nested-concat split GEMMs: issue ``j`` multiplies the first
+        ``ns−j`` frame parts against the last ``ns−j`` basis slabs,
+        yielding the products with part-index sum ``ns−1−j``; over all
+        issues this is every product with weight ≥ 2^(−8·ns)."""
+        reim = jnp.dot(fcat, bstack_ref[:],
+                       preferred_element_type=jnp.float32)
+        for j in range(1, ns):
+            reim = reim + jnp.dot(fcat[:, :(ns - j) * N],
+                                  bstack_ref[j * N:, :],
                                   preferred_element_type=jnp.float32)
-        else:
-            reim = jnp.dot(fcat, bstack_ref[:],
-                           preferred_element_type=jnp.float32)
         p = (reim[:, :FBT] * reim[:, :FBT]
              + reim[:, FBT:] * reim[:, FBT:])
-        if split:
-            phi = p.astype(jnp.bfloat16)
-            plo = (p - phi.astype(jnp.float32)).astype(jnp.bfloat16)
-            pcat = jnp.concatenate([phi, plo], axis=1)
-            part = jnp.dot(pcat, fbstack_ref[:],
-                           preferred_element_type=jnp.float32)
-            part = part + jnp.dot(phi, fbstack_ref[FBT:, :],
-                                  preferred_element_type=jnp.float32)
-        else:
+        if ns == 1:
             part = jnp.dot(p.astype(jnp.bfloat16), fbstack_ref[:],
                            preferred_element_type=jnp.float32)
+        else:
+            pcat = jnp.concatenate(_split_val_k(p, ns), axis=1)
+            part = jnp.dot(pcat, fbstack_ref[:],
+                           preferred_element_type=jnp.float32)
+            for j in range(1, ns):
+                part = part + jnp.dot(pcat[:, :(ns - j) * FBT],
+                                      fbstack_ref[j * FBT:, :],
+                                      preferred_element_type=jnp.float32)
         return reim, part
 
     def epilogue(ft, o_ref, part, reim, reim_ref):
@@ -417,7 +509,7 @@ def _build_fwd_call(N: int, HOP: int, m_pad: int, n_blocks: int, bc: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((CN, 2 * FBT), lambda b, i, t: (0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * FBT if split else FBT, m_pad),
+            pl.BlockSpec((ns * FBT, m_pad),
                          lambda b, i, t: (t, 0), memory_space=pltpu.VMEM),
         ]
         scratch_shapes = []
@@ -444,21 +536,17 @@ def _build_fwd_call(N: int, HOP: int, m_pad: int, n_blocks: int, bc: int,
 
                 for j in range(TB):  # static row slices — no gather
                     row = xbuf[j * HOP: j * HOP + N]
-                    hi = row.astype(jnp.bfloat16)
-                    fcat_s[j, 0:N] = hi
-                    if split:
-                        fcat_s[j, N:] = (
-                            row - hi.astype(jnp.float32)
-                        ).astype(jnp.bfloat16)
+                    for si, prt in enumerate(_split_val_k(row, ns)):
+                        fcat_s[j, si * N:(si + 1) * N] = prt
 
             reim, part = dft_mel(fcat_s[:], bstack_ref, fbstack_ref)
             epilogue(ft, o_ref, part, reim, reim_ref)
 
         in_specs = [
-            pl.BlockSpec(memory_space=pltpu.ANY),        # waveform (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),           # waveform (HBM)
             pl.BlockSpec((CN, 2 * FBT), lambda b, i, t: (0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * FBT if split else FBT, m_pad),
+            pl.BlockSpec((ns * FBT, m_pad),
                          lambda b, i, t: (t, 0), memory_space=pltpu.VMEM),
         ]
         scratch_shapes = [
@@ -514,46 +602,54 @@ def _dmel_from(g, y, to_db: bool, db_ref: float, amin: float):
 
 @functools.lru_cache(maxsize=32)
 def _build_bwd_call(N: int, m_pad: int, g_rows: int, ft_count: int,
-                    tb: int, fbt: int, split: bool, interpret: bool):
-    """Merged backward kernel: grid (row_blocks, freq_tiles), freq
-    innermost so the (TB, N) dframes output block accumulates the
+                    tb: int, fbt: int, ns: int, n_nt: int,
+                    interpret: bool):
+    """Merged backward kernel: grid (row_blocks, n_tiles, freq_tiles),
+    freq innermost so the (TB, NT) dframes output block accumulates the
     per-tile dF partials.  ``dmel`` arrives pre-split (XLA-side): blocks
-    (TB, 2M) bf16 ``[hi | lo]`` (just hi for ``split=False``) — keeps
-    the kernel pure-GEMM and its VMEM small.
+    (TB, ns·M) bf16 ``[hi | …]`` — keeps the kernel pure-GEMM and its
+    VMEM small.
+
+    ``n_nt`` tiles the dF output's frame-sample axis (``NT = N/n_nt``):
+    the (TB, N) f32 output block and the Bᵀ slab are the two VMEM
+    dominants, and halving them buys back TB=512 at config 2 (round-2
+    shipped TB=256, 25.9 ms) at the SAME total program count and HALF
+    the Bᵀ HBM refetch traffic.  The dp GEMM recomputed per N-tile is
+    ~0.1% of the dF GEMM's MACs.
 
     The filterbank gradient is fused in (it needs exactly the operands
     already resident: dmel and the reim tile): a second output
     ``(ft, FBT, M)`` with a CONSTANT index map stays in VMEM across the
-    whole grid, each step accumulating ``p_tᵀ·dmel`` into its tile-t
-    slab — one kernel instead of two, saving a full second pass over
-    the mcat/reim residuals (~0.5 GB at config 2) plus a grid of
+    whole grid, each nt==0 step accumulating ``p_tᵀ·dmel`` into its
+    tile-t slab — one kernel instead of two, saving a full second pass
+    over the mcat/reim residuals (~0.5 GB at config 2) plus a grid of
     program overheads."""
     TB, FBT = tb, fbt
     n_rb = g_rows // TB
-    MC = 2 * m_pad if split else m_pad
+    MC = ns * m_pad
+    NT = N // n_nt
 
     def kernel(mcat_ref, reim_ref, fbT_ref, bT_ref, o_ref, o2_ref):
         gi = pl.program_id(0)
-        t = pl.program_id(1)
+        nt = pl.program_id(1)
+        t = pl.program_id(2)
         mcat = mcat_ref[:]
         dp = jnp.dot(mcat, fbT_ref[:], preferred_element_type=jnp.float32)
-        if split:
-            dp = dp + jnp.dot(mcat[:, :m_pad], fbT_ref[m_pad:, :],
+        for j in range(1, ns):
+            dp = dp + jnp.dot(mcat[:, :(ns - j) * m_pad],
+                              fbT_ref[j * m_pad:, :],
                               preferred_element_type=jnp.float32)
         reim = reim_ref[:]                       # (TB, 2FBT) f32
         dreim = jnp.concatenate(
             [2.0 * reim[:, :FBT] * dp, 2.0 * reim[:, FBT:] * dp], axis=1)
-        dhi = dreim.astype(jnp.bfloat16)
-        if split:
-            dlo = (dreim - dhi.astype(jnp.float32)).astype(jnp.bfloat16)
-            dcat = jnp.concatenate([dhi, dlo], axis=1)   # (TB, 4FBT)
-            part = jnp.dot(dcat, bT_ref[:],
-                           preferred_element_type=jnp.float32)
-            part = part + jnp.dot(dhi, bT_ref[2 * FBT:, :],
+        dparts = _split_val_k(dreim, ns)         # (TB, 2FBT) bf16 each
+        dcat = (jnp.concatenate(dparts, axis=1) if ns > 1 else dparts[0])
+        part = jnp.dot(dcat, bT_ref[:],
+                       preferred_element_type=jnp.float32)
+        for j in range(1, ns):
+            part = part + jnp.dot(dcat[:, :(ns - j) * 2 * FBT],
+                                  bT_ref[j * 2 * FBT:, :],
                                   preferred_element_type=jnp.float32)
-        else:
-            part = jnp.dot(dhi, bT_ref[:],
-                           preferred_element_type=jnp.float32)
 
         @pl.when(t == 0)
         def _init():
@@ -563,48 +659,56 @@ def _build_bwd_call(N: int, m_pad: int, g_rows: int, ft_count: int,
         def _acc():
             o_ref[:] = o_ref[:] + part
 
-        # fused dFB: p_tᵀ·dmel accumulated into the tile-t slab
-        p = (reim[:, :FBT] * reim[:, :FBT]
-             + reim[:, FBT:] * reim[:, FBT:])
-        phi = p.astype(jnp.bfloat16)
+        # fused dFB: p_tᵀ·dmel accumulated into the tile-t slab (every
+        # part-pair with index sum ≤ ns−1, ns(ns+1)/2 small GEMMs — the
+        # TB-axis contraction does not admit the concat trick); nt-
+        # independent, so computed on the nt==0 pass only
+        @pl.when(nt == 0)
+        def _dfb():
+            p = (reim[:, :FBT] * reim[:, :FBT]
+                 + reim[:, FBT:] * reim[:, FBT:])
+            pparts = _split_val_k(p, ns)
 
-        def dotT(a, b):  # contract the TB axis: (TB,FBT)ᵀ·(TB,M)
-            return jax.lax.dot_general(
-                a, b, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            def dotT(a, b):  # contract the TB axis: (TB,FBT)ᵀ·(TB,M)
+                return jax.lax.dot_general(
+                    a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
 
-        part2 = dotT(phi, mcat[:, :m_pad])
-        if split:
-            plo = (p - phi.astype(jnp.float32)).astype(jnp.bfloat16)
-            part2 = part2 + dotT(phi, mcat[:, m_pad:]) \
-                + dotT(plo, mcat[:, :m_pad])
+            part2 = dotT(pparts[0], mcat[:, :m_pad])
+            for a in range(ns):
+                for b in range(ns - a):
+                    if a == 0 and b == 0:
+                        continue
+                    part2 = part2 + dotT(
+                        pparts[a], mcat[:, b * m_pad:(b + 1) * m_pad])
 
-        @pl.when(gi == 0)
-        def _init2():
-            o2_ref[t] = part2
+            @pl.when(gi == 0)
+            def _init2():
+                o2_ref[t] = part2
 
-        @pl.when(gi > 0)
-        def _acc2():
-            o2_ref[t] = o2_ref[t] + part2
+            @pl.when(gi > 0)
+            def _acc2():
+                o2_ref[t] = o2_ref[t] + part2
 
     return pl.pallas_call(
         kernel,
-        grid=(n_rb, ft_count),
+        grid=(n_rb, n_nt, ft_count),
         in_specs=[
-            pl.BlockSpec((TB, MC), lambda gi, t: (gi, 0),
-                         memory_space=pltpu.VMEM),        # dmel [hi|lo]
-            pl.BlockSpec((TB, 2 * FBT), lambda gi, t: (gi, t),
+            pl.BlockSpec((TB, MC), lambda gi, nt, t: (gi, 0),
+                         memory_space=pltpu.VMEM),        # dmel [hi|..]
+            pl.BlockSpec((TB, 2 * FBT), lambda gi, nt, t: (gi, t),
                          memory_space=pltpu.VMEM),        # reim residual
-            pl.BlockSpec((MC, FBT), lambda gi, t: (t, 0),
+            pl.BlockSpec((MC, FBT), lambda gi, nt, t: (t, 0),
                          memory_space=pltpu.VMEM),        # FBᵀ stack
-            pl.BlockSpec(((4 if split else 2) * FBT, N),
-                         lambda gi, t: (t, 0),
-                         memory_space=pltpu.VMEM),        # Bᵀ stack
+            pl.BlockSpec((2 * ns * FBT, NT),
+                         lambda gi, nt, t: (t, nt),
+                         memory_space=pltpu.VMEM),        # Bᵀ slab tile
         ],
         out_specs=[
-            pl.BlockSpec((TB, N), lambda gi, t: (gi, 0),
+            pl.BlockSpec((TB, NT), lambda gi, nt, t: (gi, nt),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ft_count, FBT, m_pad), lambda gi, t: (0, 0, 0),
+            pl.BlockSpec((ft_count, FBT, m_pad),
+                         lambda gi, nt, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -648,9 +752,7 @@ def _kernel_forward(waveform, filterbank, fft_length, hop_length, window,
     result; ``aux`` is ``(y_raw, reim_raw)`` in the kernel's raw
     ``(bc, rows, ·)`` layout when ``save_spec`` else ``None``.
     """
-    if precision not in ("split3", "fast"):
-        raise ValueError(f"unknown precision {precision!r}")
-    split = precision == "split3"
+    ns = _PREC_NS[precision]        # resolved upstream; KeyError = bug
     N, HOP = fft_length, hop_length
     num_mels = filterbank.shape[-1]
     m_pad = _round_up(num_mels, 128)
@@ -668,9 +770,9 @@ def _kernel_forward(waveform, filterbank, fft_length, hop_length, window,
     n_frames = 1 + (T - N) // HOP
     aligned = _hop_aligned(N, HOP)
     N_pad = N if aligned else _round_up(N, 128)  # kernel frame width
-    TB = _TB if split else _TB_FAST
+    TB = _TB_FAST if ns == 1 else _TB
     while TB > 128 and _fwd_vmem_est(N_pad, HOP, TB, _FREQ_TILE, m_pad,
-                                     split, save_spec,
+                                     ns, save_spec,
                                      not aligned) > _VMEM_BUDGET_FWD:
         TB -= 128
     n_blocks = _cdiv(n_frames, TB)
@@ -678,7 +780,7 @@ def _kernel_forward(waveform, filterbank, fft_length, hop_length, window,
     bc = x2.shape[0]
 
     fbp = _fb_padded(filterbank, n_freqs, f_pad, m_pad)
-    fbstack = _fb_fwd_stack(fbp, ft_count, _FREQ_TILE, m_pad, split)
+    fbstack = _fb_fwd_stack(fbp, ft_count, _FREQ_TILE, m_pad, ns)
 
     if aligned:
         stride = _stream_stride(N, HOP, n_blocks, TB)
@@ -692,9 +794,9 @@ def _kernel_forward(waveform, filterbank, fft_length, hop_length, window,
             x = x2
         x = x.reshape((bc * stride,))  # 1-D: 1024-aligned DMA slices
         bstack = jnp.asarray(_fwd_basis_stack(N, win_key, win_length,
-                                              _FREQ_TILE, split))
+                                              _FREQ_TILE, ns))
         call = _build_fwd_call(N, HOP, m_pad, n_blocks, bc, ft_count,
-                               to_db, float(db_ref), float(amin), split,
+                               to_db, float(db_ref), float(amin), ns,
                                TB, _FREQ_TILE, False, save_spec,
                                _interpret())
         res = call(x, bstack, fbstack)
@@ -704,12 +806,12 @@ def _kernel_forward(waveform, filterbank, fft_length, hop_length, window,
         frames = jnp.pad(frames, ((0, 0), (0, rows - n_frames),
                                   (0, N_pad - N)))
         frames = frames.reshape(bc * rows, N_pad)
-        fcat = _split_cat_cols(frames) if split \
-            else frames.astype(jnp.bfloat16)
+        fcat = (_split_cat_cols(frames, ns) if ns > 1
+                else frames.astype(jnp.bfloat16))
         bstack = jnp.asarray(_fwd_basis_stack(N, win_key, win_length,
-                                              _FREQ_TILE, split))
+                                              _FREQ_TILE, ns))
         call = _build_fwd_call(N_pad, HOP, m_pad, n_blocks, bc, ft_count,
-                               to_db, float(db_ref), float(amin), split,
+                               to_db, float(db_ref), float(amin), ns,
                                TB, _FREQ_TILE, True, save_spec,
                                _interpret())
         res = call(fcat, bstack, fbstack)
@@ -726,11 +828,12 @@ def _kernel_backward(g, waveform, filterbank, y_raw, reim_raw,
                      precision, win_length):
     """Cotangents (dwaveform, dfilterbank) via the backward kernels.
 
-    ``precision`` mirrors the forward: "split3" (default; grad parity
-    ≤1e-4 vs the XLA chain's VJP) or "fast" (single bf16 pass per GEMM,
-    ~2e-3 — fine for SGD-style training at ~3× less backward MXU work).
+    ``precision`` mirrors the forward: "split6" (f32-grade gradients,
+    required for ≤1e-4 parity at small ffts), "split3" (≤1e-4 at ≥8
+    bins/mel configs) or "fast" (single bf16 pass per GEMM, ~2e-3 —
+    fine for SGD-style training at ~3× less backward MXU work).
     """
-    split = precision == "split3"
+    ns = _PREC_NS[precision]
     N, HOP = fft_length, hop_length
     num_mels = filterbank.shape[-1]
     win_key = _hashable_window(window)
@@ -742,10 +845,7 @@ def _kernel_backward(g, waveform, filterbank, y_raw, reim_raw,
     T = waveform.shape[-1]
     n_frames = 1 + (T - N) // HOP
     N_pad = _round_up(N, 128)           # kernel frame width (basis rows)
-    TB = _TB_BWD
-    while TB > 128 and _bwd_vmem_est(N_pad, TB, _FREQ_TILE, m_pad, split,
-                                     ft_count) > _VMEM_BUDGET_BWD:
-        TB -= 128  # 128-step search (finer than halving)
+    TB, n_nt = _bwd_tiles(N_pad, m_pad, ns, ft_count)
     # pad total rows to the kernel tile (padded rows carry dmel = 0 and
     # contribute nothing)
     g_rows = _round_up(bc * rows, TB)
@@ -762,21 +862,19 @@ def _kernel_backward(g, waveform, filterbank, y_raw, reim_raw,
     g2 = g2.reshape(bc * rows, m_pad)
     y2 = y_raw.reshape(bc * rows, m_pad)
     dmel = _dmel_from(g2, y2, to_db, db_ref, amin)
-    mhi, mlo = _split_hi_lo_xla(dmel)
-    mcat = (jnp.concatenate([mhi, mlo], axis=1)      # (rows, 2M) bf16
-            if split else mhi)
+    mcat = _split_cat_cols(dmel, ns)                 # (rows, ns·M) bf16
     reim2 = reim_raw.reshape(bc * rows, ft_count * 2 * _FREQ_TILE)
     if row_pad:
         mcat = jnp.pad(mcat, ((0, row_pad), (0, 0)))
         reim2 = jnp.pad(reim2, ((0, row_pad), (0, 0)))
 
     fbp = _fb_padded(filterbank, n_freqs, f_pad, m_pad)
-    fbT = _fb_bwd_stack(fbp, ft_count, _FREQ_TILE, m_pad, split)
+    fbT = _fb_bwd_stack(fbp, ft_count, _FREQ_TILE, m_pad, ns)
     bT = jnp.asarray(_bwd_basis_stack(N, win_key, win_length, _FREQ_TILE,
-                                      split))
+                                      ns))
 
     bwd_call = _build_bwd_call(N_pad, m_pad, g_rows, ft_count, TB,
-                               _FREQ_TILE, split, _interpret())
+                               _FREQ_TILE, ns, n_nt, _interpret())
     dframes, dfb3 = bwd_call(mcat, reim2, fbT, bT)   # (g_rows, N_pad)
     dframes = (dframes[:bc * rows]
                .reshape(bc, rows, N_pad)[:, :n_frames, :N])
@@ -805,7 +903,7 @@ def fused_melspectrogram(waveform: jnp.ndarray,
                          to_db: bool = True,
                          db_ref: float = 1.0,
                          amin: float = 1e-7,
-                         precision: str = "split3",
+                         precision: str = "auto",
                          win_length=None,
                          center: bool = False,
                          pad_mode: str = "reflect") -> jnp.ndarray:
@@ -814,8 +912,13 @@ def fused_melspectrogram(waveform: jnp.ndarray,
 
     ``filterbank`` is ``(fft_length//2+1, num_mels)`` (e.g. from
     :func:`~torchaudio_contrib_tpu.ops.create_mel_filter`).  Returns
-    ``(..., num_mels, n_frames)``.  ``precision``: ``"split3"`` (~4e-6
-    relative, default) or ``"fast"`` (single bf16 pass, ~2e-3 relative).
+    ``(..., num_mels, n_frames)``.  ``precision``: ``"auto"`` (default)
+    resolves per config via :func:`resolve_precision` — ``"split3"``
+    (~4e-6 typical) where mel bands average ≥8 linear bins, ``"split6"``
+    (f32-chain parity, 2× the GEMM work) below that, where split3's
+    dropped 2⁻¹⁶-scale products surface as dB tails; ``"fast"`` is the
+    single-bf16-pass throughput mode (~2e-3 relative).  An explicit
+    tier is always honored as requested.
     Any ``fft_length >= 2`` / ``hop_length > 0`` runs the kernel on TPU;
     falls back to the jnp chain off-TPU and for ``power != 2``.
     Differentiable: training runs dedicated backward Pallas kernels fed
@@ -827,6 +930,8 @@ def fused_melspectrogram(waveform: jnp.ndarray,
     ``Melspectrogram()(x)`` frame-for-frame; ``center=False`` (default)
     keeps streaming-compatible semantics.
     """
+    precision = resolve_precision(precision, fft_length,
+                                  filterbank.shape[-1])
     if center:
         from .stft import _pad_center
         waveform = _pad_center(waveform, fft_length // 2, pad_mode)

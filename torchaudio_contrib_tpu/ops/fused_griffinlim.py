@@ -3,27 +3,46 @@
 The XLA GL loop (griffinlim.py) costs ~0.64 ms per iteration at
 batch 8 × 5 s / fft 1024 — almost entirely per-op glue (transposes,
 complex↔real conversion, overlap-add materialization) around ~6 µs of
-GEMMs.  This kernel runs a complete projection per clip per program —
-irDFT GEMM → in-kernel overlap-add (static 1-D slice adds) →
-least-squares envelope clamp → re-framing → windowed-DFT GEMM — with
-the spectrum resident in VMEM throughout.  Measured (v5e, batch 8 × 5 s
-@ 22.05 kHz, fft 1024/hop 256, 32 iterations, device-loop):
-**11.2 ms vs 20.3 ms** for the XLA loop at identical spectral
-convergence (0.113 vs 0.115; bf16 GEMMs/state measurably do not affect
-GL convergence — verified against an all-f32 replica).
+GEMMs.  This kernel runs a complete projection per clip — irDFT GEMM →
+in-kernel overlap-add → least-squares envelope clamp → re-framing →
+windowed-DFT GEMM — with the spectrum resident in VMEM throughout.
+
+Round-3 design (supersedes the round-2 per-clip-program kernel):
+
+* **Frequency-tiled, two-phase grid** ``(batch·channel, 2, freq_tiles)``.
+  Phase 0 accumulates the irDFT ``frames += spec_t · syn_t`` over freq
+  tiles into a per-clip scratch; phase 1 re-projects ``out_t = frames' ·
+  ana_t`` per tile.  Only one ``(2·FBT, fft)`` basis tile is resident
+  per step, so **fft=2048** (whose full bases are 18.8 MB) now runs the
+  kernel instead of falling back.  The out-block index map is
+  ``(b, 0, t·phase)``: during phase 0 it parks on tile 0 and is only
+  flushed after phase 1's real write — no garbage block ever leaves
+  VMEM.
+* **Phase-decomposed 2-D overlap-add**: the clip buffer lives as a
+  ``(L/hop, hop)`` 2-D view; frame ``j`` covers rows ``j..j+r−1``
+  (``r = fft/hop``), so OLA and re-framing are ``r`` static 2-D
+  slice-adds instead of one slice per frame — compile time is flat in
+  the number of frames (the round-2 kernel unrolled ~2·n_frames slice
+  RMWs, linear-compile-time).  Requires ``fft % hop == 0``.
+* The spectrum state uses the mel kernel's tile-interleaved layout
+  ``(bc, rows, FT·2FBT)`` with tile ``t`` columns ``[re_t | im_t]``;
+  the momentum/normalize step between iterations stays XLA-side on the
+  same layout.
 
 Boundary semantics: the kernel iterates in the *free-edge* (clamped
 least-squares envelope, center=False) domain — mathematically the GL
 family fixed point for the padded signal — rather than re-applying
 reflect padding each iteration like the XLA loop.  Measured convergence
-is identical; edge samples where the window envelope vanishes are
-zeroed.
+is identical (r2: 0.119 vs 0.115 at fft 1024); edge samples where the
+window envelope vanishes are zeroed.  bf16 GEMMs/state measurably do
+NOT affect GL convergence (verified against an all-f32 replica).
 
 Eligibility (``fused_gl_supported``): onesided mags, ``fft % 128 == 0``,
-``hop % 128 == 0``, ``hop <= fft``, and the per-clip working set
-(spectrum + frames + both bases) must fit VMEM — fft 1024 covers
-clips to ~40 s; fft 2048's bases alone are 18.8 MB, so it falls back.
-Off-kernel configs transparently run the XLA loop.
+``hop % 128 == 0``, ``fft % hop == 0``, and the per-clip working set
+(now dominated by the ``(rows, fft)`` f32 frames scratch — the bases
+are tiled away) must fit VMEM; the estimate uses the ACTUAL hop (the
+round-2 estimator hardcoded hop=fft/4 and undercounted for larger
+hops).  Off-kernel configs transparently run the XLA loop.
 """
 from __future__ import annotations
 
@@ -42,21 +61,20 @@ from .fused import _interpret, _round_up, _cdiv, _hashable_window
 
 __all__ = ["fused_gl_supported"]
 
-_VMEM_BUDGET = 16_000_000   # estimator overcounts ~2 MB vs the
-                            # compile-verified fft=1024 batch-8x5s
-                            # config (est 15.4M, runs); fft=2048's
-                            # bases alone (18.8M) stay excluded
+_FBT = 128                  # onesided bins per freq tile
+_VMEM_BUDGET = 15_000_000   # ~1 MB empirical slack under Mosaic's 16 MB
+                            # grid-size-dependent scoped-vmem (CLAUDE.md)
 
 
-def _gl_vmem_est(rows, N, FP):
-    W2 = 2 * FP
-    L_pad = _round_up((rows - 1) * (N // 4) + N, 1024)  # worst small hop
-    b = rows * W2 * 2 * 2 * 2        # spec in + out blocks, bf16, x2 buf
-    b += 2 * W2 * N * 2              # syn + ana bases (bf16, resident)
-    b += rows * N * 4                # frames scratch f32
-    b += rows * N * 2                # reframe scratch bf16
-    b += rows * W2 * 4               # dft temp f32
-    b += 2 * L_pad * 4               # xbuf scratch + env input
+def _gl_vmem_est(rows, N, HOP, ft):
+    r = N // HOP
+    lrows = rows - 1 + r
+    b = rows * 2 * _FBT * 2 * 2 * 2   # spec in + out blocks bf16, ×2 buf
+    b += 2 * (2 * _FBT * N * 2) * 2   # syn + ana tile blocks bf16, ×2 buf
+    b += lrows * HOP * 4 * 2          # xv scratch + env block (f32)
+    b += rows * N * 4                 # frames scratch f32
+    b += rows * N * 2                 # re-framed scratch bf16
+    b += rows * 2 * _FBT * 4          # irDFT tile temp f32
     return b
 
 
@@ -64,130 +82,187 @@ def fused_gl_supported(fft_length: int, hop_length: int,
                        n_frames: int) -> bool:
     """Kernel-path eligibility for :func:`griffin_lim`'s pallas method."""
     if not (fft_length % 128 == 0 and hop_length % 128 == 0
-            and 0 < hop_length <= fft_length):
+            and 0 < hop_length <= fft_length
+            and fft_length % hop_length == 0):
         return False
     F = fft_length // 2 + 1
-    FP = _round_up(F, 128)
+    ft = _cdiv(F, _FBT)
     rows = _round_up(n_frames, 8)
-    return _gl_vmem_est(rows, fft_length, FP) <= _VMEM_BUDGET
+    return _gl_vmem_est(rows, fft_length, hop_length, ft) <= _VMEM_BUDGET
 
 
 @functools.lru_cache(maxsize=16)
-def _gl_bases(fft_length: int, win_key, fbt_pad: int):
-    """(syn (2FP, fft), ana (fft, 2FP)) bf16 with the window, irDFT
-    conjugate weights, and 1/N folded in; padded bins zero."""
+def _gl_bases_tiled(fft_length: int, win_key):
+    """(syn (FT·2FBT, fft), ana (fft, FT·2FBT)) bf16 in the
+    tile-interleaved layout: tile-t slab ``[icr_t·w; ici_t·w]`` rows /
+    ``[w·cos_t | w·(−sin)_t]`` columns; padded bins zero; the irDFT
+    conjugate weights and 1/N are folded into ``syn``."""
     N = fft_length
     F = N // 2 + 1
-    FP = fbt_pad
+    ft = _cdiv(F, _FBT)
+    FP = ft * _FBT
     w = _resolve_window(win_key if win_key is not None else "hann", N, N)
     icr, ici = _idft_matrices(N)                 # (F, N)
-    syn = np.zeros((2 * FP, N), np.float32)
-    syn[:F] = icr * w[None, :]
-    syn[FP:FP + F] = ici * w[None, :]
+    icr_p = np.zeros((FP, N), np.float32)
+    ici_p = np.zeros((FP, N), np.float32)
+    icr_p[:F] = icr * w[None, :]
+    ici_p[:F] = ici * w[None, :]
     cos_m, msin_m = _dft_matrices(N, True)       # (N, F)
-    ana = np.zeros((N, 2 * FP), np.float32)
-    ana[:, :F] = w[:, None] * cos_m
-    ana[:, FP:FP + F] = w[:, None] * msin_m
+    cos_p = np.zeros((N, FP), np.float32)
+    sin_p = np.zeros((N, FP), np.float32)
+    cos_p[:, :F] = w[:, None] * cos_m
+    sin_p[:, :F] = w[:, None] * msin_m
+    syn = np.concatenate(
+        [np.concatenate([icr_p[t * _FBT:(t + 1) * _FBT],
+                         ici_p[t * _FBT:(t + 1) * _FBT]], axis=0)
+         for t in range(ft)], axis=0)            # (FT·2FBT, N)
+    ana = np.concatenate(
+        [np.concatenate([cos_p[:, t * _FBT:(t + 1) * _FBT],
+                         sin_p[:, t * _FBT:(t + 1) * _FBT]], axis=1)
+         for t in range(ft)], axis=1)            # (N, FT·2FBT)
     import ml_dtypes
     return (syn.astype(ml_dtypes.bfloat16), ana.astype(ml_dtypes.bfloat16),
-            w)
+            w, ft, FP)
 
 
 @functools.lru_cache(maxsize=16)
-def _build_gl_call(N: int, HOP: int, bc: int, rows: int, FP: int,
-                   L_pad: int, interpret: bool):
-    W2 = 2 * FP
+def _build_gl_call(N: int, HOP: int, bc: int, rows: int, ft: int,
+                   interpret: bool):
+    W2T = 2 * _FBT
+    r = N // HOP
+    lrows = rows - 1 + r
 
-    def kernel(spec_ref, syn_ref, ana_ref, env_ref, o_ref, fr, xbuf, fr2):
-        spec = spec_ref[0]                       # (rows, W2) bf16
-        fr[:] = jnp.dot(spec, syn_ref[:],
-                        preferred_element_type=jnp.float32)
-        xbuf[:] = jnp.zeros((L_pad,), jnp.float32)
-        for j in range(rows):                    # in-kernel overlap-add
-            xbuf[j * HOP: j * HOP + N] = (xbuf[j * HOP: j * HOP + N]
-                                          + fr[j, :])
-        xbuf[:] = xbuf[:] * env_ref[:]           # least-squares clamp
-        for j in range(rows):                    # re-frame
-            fr2[j, :] = xbuf[j * HOP: j * HOP + N].astype(jnp.bfloat16)
-        o_ref[0] = jnp.dot(fr2[:], ana_ref[:],
-                           preferred_element_type=jnp.float32
-                           ).astype(jnp.bfloat16)
+    def kernel(spec_ref, syn_ref, ana_ref, env_ref, o_ref, fr, xv, fr2):
+        ph = pl.program_id(1)
+        t = pl.program_id(2)
+
+        @pl.when(ph == 0)
+        def _accumulate():
+            part = jnp.dot(spec_ref[0], syn_ref[:],
+                           preferred_element_type=jnp.float32)
+
+            @pl.when(t == 0)
+            def _init():
+                fr[:] = part
+
+            @pl.when(t > 0)
+            def _acc():
+                fr[:] = fr[:] + part
+
+        @pl.when((ph == 1) & (t == 0))
+        def _ola():
+            # phase-decomposed OLA on the (L/hop, hop) 2-D view: frame j
+            # spans rows j..j+r-1, so each k adds a contiguous block
+            xv[:] = jnp.zeros((lrows, HOP), jnp.float32)
+            for k in range(r):
+                xv[k:k + rows, :] = (xv[k:k + rows, :]
+                                     + fr[:, k * HOP:(k + 1) * HOP])
+            xv[:] = xv[:] * env_ref[:]           # least-squares clamp
+            for k in range(r):                   # re-frame
+                fr2[:, k * HOP:(k + 1) * HOP] = \
+                    xv[k:k + rows, :].astype(jnp.bfloat16)
+
+        @pl.when(ph == 1)
+        def _project():
+            o_ref[0] = jnp.dot(fr2[:], ana_ref[:],
+                               preferred_element_type=jnp.float32
+                               ).astype(jnp.bfloat16)
 
     return pl.pallas_call(
         kernel,
-        grid=(bc,),
+        grid=(bc, 2, ft),
         in_specs=[
-            pl.BlockSpec((1, rows, W2), lambda b: (b, 0, 0),
+            # spec: read in phase 0 only — park on tile 0 during phase 1
+            pl.BlockSpec((1, rows, W2T), lambda b, ph, t: (b, 0,
+                                                           t * (1 - ph)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((W2, N), lambda b: (0, 0),
+            pl.BlockSpec((W2T, N), lambda b, ph, t: (t * (1 - ph), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, W2), lambda b: (0, 0),
+            pl.BlockSpec((N, W2T), lambda b, ph, t: (0, t * ph),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L_pad,), lambda b: (0,),
+            pl.BlockSpec((lrows, HOP), lambda b, ph, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, rows, W2), lambda b: (b, 0, 0),
+        # parks on tile 0 during phase 0 (no write → never flushed
+        # before phase 1's write lands, because the index is unchanged
+        # until phase 1 advances to tile 1)
+        out_specs=pl.BlockSpec((1, rows, W2T),
+                               lambda b, ph, t: (b, 0, t * ph),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bc, rows, W2), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((bc, rows, ft * W2T), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((rows, N), jnp.float32),
-                        pltpu.VMEM((L_pad,), jnp.float32),
+                        pltpu.VMEM((lrows, HOP), jnp.float32),
                         pltpu.VMEM((rows, N), jnp.bfloat16)],
         interpret=interpret,
     )
 
 
 def _gl_pallas(mag_specgrams, fft_length, hop_length, window, n_iter,
-               momentum, length, center):
+               momentum, length, center, key=None):
     """The kernel-path GL loop; caller guarantees eligibility."""
     N, HOP = fft_length, hop_length
     F = N // 2 + 1
-    FP = _round_up(F, 128)
     lead = mag_specgrams.shape[:-2]
     n_frames = mag_specgrams.shape[-1]
     mag = mag_specgrams.astype(jnp.float32).reshape((-1, F, n_frames))
     bc = mag.shape[0]
     rows = _round_up(n_frames, 8)
-    L = (rows - 1) * HOP + N
-    L_pad = _round_up(L, 1024)
+    r = N // HOP
+    lrows = rows - 1 + r
     T_used = (n_frames - 1) * HOP + N
 
     win_key = _hashable_window(window)
-    syn, ana, w = _gl_bases(N, win_key, FP)
-    env = cola_window_sum(w, HOP, n_frames, L_pad)
+    syn, ana, w, ft, FP = _gl_bases_tiled(N, win_key)
+    env = cola_window_sum(w, HOP, n_frames, lrows * HOP)
     inv_env = jnp.asarray(
         np.where(env > 1e-3 * env.max(),
                  1.0 / np.maximum(env, 1e-8), 0.0).astype(np.float32))
+    env2d = inv_env.reshape(lrows, HOP)
     syn_j, ana_j = jnp.asarray(syn), jnp.asarray(ana)
 
-    # mag → (bc, rows, FP) row-major layout
+    # mag → (bc, rows, FT, FBT) tiled layout (zero-padded rows/bins)
     magL = jnp.swapaxes(mag, -1, -2)
     magL = jnp.pad(magL, ((0, 0), (0, rows - n_frames), (0, FP - F)))
+    magT = magL.reshape(bc, rows, ft, _FBT)
 
-    project = _build_gl_call(N, HOP, bc, rows, FP, L_pad, _interpret())
+    project = _build_gl_call(N, HOP, bc, rows, ft, _interpret())
+
+    def split_reim(state):
+        s4 = state.reshape(bc, rows, ft, 2, _FBT)
+        return s4[..., 0, :], s4[..., 1, :]      # (bc, rows, ft, FBT)
+
+    def merge_reim(re, im):
+        return jnp.stack([re, im], axis=-2).reshape(bc, rows,
+                                                    ft * 2 * _FBT)
 
     def body(i, carry):
         state, prev = carry
-        rebuilt = project(state, syn_j, ana_j, inv_env) \
+        rebuilt = project(state, syn_j, ana_j, env2d) \
             .astype(jnp.float32)
         upd = rebuilt + momentum * (rebuilt - prev)
-        re, im = upd[..., :FP], upd[..., FP:]
+        re, im = split_reim(upd)
         nrm = jnp.sqrt(re * re + im * im)
-        scale = magL / jnp.maximum(nrm, 1e-16)
-        new = jnp.concatenate([re * scale, im * scale], axis=-1) \
-            .astype(jnp.bfloat16)
+        scale = magT / jnp.maximum(nrm, 1e-16)
+        new = merge_reim(re * scale, im * scale).astype(jnp.bfloat16)
         return new, rebuilt
 
-    state0 = jnp.concatenate([magL, jnp.zeros_like(magL)], axis=-1) \
-        .astype(jnp.bfloat16)
+    if key is not None:
+        phase = jax.random.uniform(key, magT.shape, jnp.float32,
+                                   -jnp.pi, jnp.pi)
+        state0 = merge_reim(magT * jnp.cos(phase), magT * jnp.sin(phase))
+    else:
+        state0 = merge_reim(magT, jnp.zeros_like(magT))
+    state0 = state0.astype(jnp.bfloat16)
     state, _ = jax.lax.fori_loop(
         0, n_iter, body, (state0, jnp.zeros(state0.shape, jnp.float32)))
 
-    # final clamped-envelope inverse (XLA; spec is (bc, rows, FP) pairs)
-    st = state.astype(jnp.float32)
-    spec_f = jax.lax.complex(st[..., :FP][:, :n_frames, :F],
-                             st[..., FP:][:, :n_frames, :F])
-    fr = jnp.fft.irfft(spec_f, n=N, axis=-1) * jnp.asarray(w, jnp.float32)
-    y = _overlap_add(fr, N, HOP, T_used) * inv_env[:T_used]
+    # final clamped-envelope inverse (XLA side, exact irfft)
+    re, im = split_reim(state.astype(jnp.float32))
+    re2 = re.reshape(bc, rows, FP)[:, :n_frames, :F]
+    im2 = im.reshape(bc, rows, FP)[:, :n_frames, :F]
+    spec_f = jax.lax.complex(re2, im2)
+    fr_x = jnp.fft.irfft(spec_f, n=N, axis=-1) * jnp.asarray(w, jnp.float32)
+    y = _overlap_add(fr_x, N, HOP, T_used) * inv_env[:T_used]
 
     pad = N // 2 if center else 0
     y = y[..., pad:]

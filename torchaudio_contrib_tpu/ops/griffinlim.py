@@ -40,9 +40,10 @@ def griffin_lim(mag_specgrams: jnp.ndarray,
     ``method`` selects the stft/istft execution path for the inner loop
     ("matmul" keeps the whole iteration on the MXU — the faster choice
     on TPU for vocoder-style serving; "pallas" runs each projection as
-    ONE fused kernel per clip — measured 1.8× over "matmul" at equal
-    convergence; free-edge least-squares boundary semantics, see
-    fused_griffinlim.py.  Unsupported configs fall back to "matmul").
+    ONE fused, frequency-tiled kernel per clip — measured 1.6–1.8× over
+    "matmul" at equal convergence; free-edge least-squares boundary
+    semantics, see fused_griffinlim.py.  Ineligible configs fall back
+    to "matmul" with a ``UserWarning``).
     """
     n_freqs = mag_specgrams.shape[-2]
     n_frames = mag_specgrams.shape[-1]
@@ -59,11 +60,23 @@ def griffin_lim(mag_specgrams: jnp.ndarray,
     if method == "pallas":
         from .fused import _interpret
         from .fused_griffinlim import fused_gl_supported, _gl_pallas
+        on_kernel_backend = (jax.default_backend() == "tpu"
+                             or _interpret())
         if (fused_gl_supported(fft_length, hop_length, n_frames)
-                and (jax.default_backend() == "tpu" or _interpret())
-                and key is None):
+                and on_kernel_backend):
             return _gl_pallas(mag_specgrams, fft_length, hop_length,
-                              window, n_iter, momentum, length, center)
+                              window, n_iter, momentum, length, center,
+                              key=key)
+        if on_kernel_backend:
+            # config ineligible (alignment / VMEM) — fall back LOUDLY:
+            # a silent engine switch hides a 1.6x perf cliff
+            import warnings
+            warnings.warn(
+                f"griffin_lim(method='pallas'): config fft={fft_length} "
+                f"hop={hop_length} n_frames={n_frames} is outside the "
+                "kernel's envelope (needs fft%128==0, hop%128==0, "
+                "fft%hop==0, and the per-clip working set in VMEM) — "
+                "falling back to method='matmul'", stacklevel=2)
         method = "matmul"
 
     mag = mag_specgrams.astype(jnp.float32)

@@ -57,7 +57,7 @@ def mfcc(waveform: jnp.ndarray,
          top_db: Optional[float] = None,
          center: bool = True,
          use_fused: bool = False,
-         precision: str = "split3") -> jnp.ndarray:
+         precision: str = "auto") -> jnp.ndarray:
     """MFCCs of ``waveform (..., time)`` → ``(..., n_mfcc, frames)``.
 
     Chain: STFT → power → mel → dB(power) → DCT-II.  Every stage is the
@@ -65,18 +65,27 @@ def mfcc(waveform: jnp.ndarray,
     differentiable end-to-end.
 
     ``use_fused=True`` computes the log-mel through the single-kernel
-    Pallas path (no ``top_db``; ~3× faster on TPU — the trailing DCT is
-    one extra GEMM over the already-tiny mel output, measured free under
-    device-loop timing).  ``precision`` selects the kernel mode:
-    ``"split3"`` (parity, 11.2 ms at config 2) or ``"fast"`` (bf16,
-    6.0 ms — 6.9 M frames/s).
+    Pallas path (~3× faster on TPU — the trailing DCT is one extra GEMM
+    over the already-tiny mel output, measured free under device-loop
+    timing).  ``precision`` selects the kernel tier (``"auto"`` /
+    ``"split6"`` / ``"split3"`` / ``"fast"`` as in
+    :func:`~torchaudio_contrib_tpu.ops.fused_melspectrogram`; at
+    config 2: split3 11.2 ms, fast 6.0 ms — 6.9 M frames/s).
+    ``top_db`` is incompatible with the fused kernel (the per-example
+    max reduction cannot live inside the tiled program) — requesting
+    both raises rather than silently changing the execution engine.
     """
-    if precision != "split3" and not use_fused:
+    if precision != "auto" and not use_fused:
         raise ValueError("precision selects the fused-kernel mode; "
                          "pass use_fused=True with it")
+    if use_fused and top_db is not None:
+        raise ValueError(
+            "use_fused=True cannot honor top_db (a per-example max "
+            "reduction cannot run inside the tiled kernel); drop "
+            "top_db or use use_fused=False")
     fb = create_mel_filter(num_mels, sample_rate, f_min, f_max,
                            fft_length // 2 + 1)
-    if use_fused and top_db is None:
+    if use_fused:
         from .fused import fused_melspectrogram
         mel_db = fused_melspectrogram(waveform, fb, fft_length,
                                       hop_length, window, 2.0, True,

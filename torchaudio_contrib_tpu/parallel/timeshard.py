@@ -21,6 +21,7 @@ a one-shot ``stft`` would).
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -31,6 +32,7 @@ from ..ops.stft import stft as _stft
 from ..ops.filters import create_mel_filter, apply_filterbank
 from ..ops.complexops import complex_norm
 from ..ops.db import amplitude_to_db
+from ..ops.fused import _hashable_window
 
 __all__ = ["time_sharded_stft", "time_sharded_melspectrogram"]
 
@@ -46,7 +48,7 @@ def _halo_from_right(xl: jnp.ndarray, axis_name: str,
 
 def _shard_frames(xl, axis_name, fft_length, hop_length, window,
                   win_length, fb, to_db, power, use_fused=False,
-                  precision="split3"):
+                  precision="auto"):
     halo = _halo_from_right(xl, axis_name, fft_length - hop_length)
     xbuf = jnp.concatenate([xl, halo], axis=-1)
     if fb is not None and use_fused:
@@ -68,8 +70,42 @@ def _shard_frames(xl, axis_name, fft_length, hop_length, window,
     return mel
 
 
+@functools.lru_cache(maxsize=32)
+def _build_sharded_call(mesh, axis, nd, fft_length, hop_length, win_key,
+                        win_length, with_fb, to_db, power, use_fused,
+                        precision, interpret):
+    """ONE jitted shard_map per (mesh, axis, config): repeated calls hit
+    jit's trace cache instead of paying a fresh trace+compile each time
+    (the filterbank — possibly trainable — enters as a replicated jit
+    argument, not a closure constant).  ``interpret`` (the Pallas
+    interpreter toggle) is part of the key because it is baked in at
+    trace time."""
+    del interpret  # key-only
+    in_spec = P(*([None] * (nd - 1) + [axis]))
+    out_spec = P(*([None] * nd + [axis]))  # (..., F/mels, frames)
+
+    # check_vma=False: pallas_call (the use_fused path) cannot declare
+    # varying-mesh-axes metadata, and every output here is trivially
+    # sharded exactly as out_spec says
+    if with_fb:
+        fn = jax.shard_map(
+            lambda xl, fb: _shard_frames(xl, axis, fft_length, hop_length,
+                                         win_key, win_length, fb, to_db,
+                                         power, use_fused, precision),
+            mesh=mesh, in_specs=(in_spec, P(None, None)),
+            out_specs=out_spec, check_vma=False)
+    else:
+        fn = jax.shard_map(
+            lambda xl: _shard_frames(xl, axis, fft_length, hop_length,
+                                     win_key, win_length, None, to_db,
+                                     power, use_fused, precision),
+            mesh=mesh, in_specs=in_spec, out_specs=out_spec,
+            check_vma=False)
+    return jax.jit(fn), in_spec
+
+
 def _run(waveform, mesh, axis, fft_length, hop_length, window, win_length,
-         fb, to_db, power, use_fused=False, precision="split3"):
+         fb, to_db, power, use_fused=False, precision="auto"):
     S = mesh.shape[axis]
     T = waveform.shape[-1]
     if T % (S * hop_length) != 0:
@@ -78,21 +114,18 @@ def _run(waveform, mesh, axis, fft_length, hop_length, window, win_length,
             f"(multiple of {S * hop_length}); zero-pad the tail")
     n_frames = 1 + (T - fft_length) // hop_length
 
-    nd = waveform.ndim
-    in_spec = P(*([None] * (nd - 1) + [axis]))
-    out_spec = P(*([None] * nd + [axis]))  # (..., F/mels, frames)
-
-    # check_vma=False: pallas_call (the use_fused path) cannot declare
-    # varying-mesh-axes metadata, and every output here is trivially
-    # sharded exactly as out_spec says
-    fn = jax.shard_map(
-        lambda xl: _shard_frames(xl, axis, fft_length, hop_length,
-                                 window, win_length, fb, to_db, power,
-                                 use_fused, precision),
-        mesh=mesh, in_specs=in_spec, out_specs=out_spec, check_vma=False)
+    from ..ops.fused import _interpret
+    call, in_spec = _build_sharded_call(
+        mesh, axis, waveform.ndim, fft_length, hop_length,
+        _hashable_window(window), win_length, fb is not None, to_db,
+        power, use_fused, precision, _interpret())
 
     x = jax.device_put(waveform, NamedSharding(mesh, in_spec))
-    out = jax.jit(fn)(x)
+    if fb is not None:
+        fbr = jax.device_put(fb, NamedSharding(mesh, P(None, None)))
+        out = call(x, fbr)
+    else:
+        out = call(x)
     # the last shard's tail frames used a zero halo — exactly the frames
     # a one-shot center=False stft would not produce
     return out[..., :n_frames]
@@ -126,7 +159,7 @@ def time_sharded_melspectrogram(waveform: jnp.ndarray, mesh: Mesh,
                                 to_db: bool = True,
                                 power: float = 2.0,
                                 use_fused: bool = False,
-                                precision: str = "split3") -> jnp.ndarray:
+                                precision: str = "auto") -> jnp.ndarray:
     """Log-mel of a long ``(..., T)`` recording with time sharded over
     ``mesh[axis]`` — the whole chain (halo → frames → DFT → mel → dB)
     runs shard-local after the single halo exchange.
