@@ -97,7 +97,7 @@ def test_pallas_method_fft2048_and_key(rng, monkeypatch):
 
 def test_fused_gl_supported_matrix():
     assert ops.fused_gl_supported(1024, 256, 431)
-    assert ops.fused_gl_supported(2048, 512, 431)       # freq-tiled now
+    assert ops.fused_gl_supported(2048, 512, 216)       # basis-streamed
     assert ops.fused_gl_supported(1024, 512, 431)       # hop > fft/4
     assert ops.fused_gl_supported(1024, 1024, 431)      # no overlap
     assert not ops.fused_gl_supported(400, 160, 431)    # fft % 128

@@ -45,3 +45,28 @@ def test_mel_to_audio_pipeline(rng):
     sc = float(jnp.linalg.norm(mel_y - mel) / jnp.linalg.norm(mel))
     assert sc < 0.2, f"mel spectral convergence {sc}"
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_mel_to_audio_end_to_end(rng):
+    """One-call mel → waveform inversion recovers a recognizable signal:
+    the reconstruction's mel features match the input mel closely."""
+    sr, fft, hop = 16000, 512, 128
+    t = np.arange(sr, dtype=np.float32) / sr
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)
+         + 0.3 * np.sin(2 * np.pi * 880 * t)).astype(np.float32)
+    fb = ops.create_mel_filter(64, sr, 0.0, None, fft // 2 + 1)
+    spec = ops.stft(jnp.asarray(x), fft, hop)
+    mel_db = ops.amplitude_to_db(
+        ops.apply_filterbank(ops.complex_norm(spec, 2.0), fb), power=2.0)
+
+    y = ops.mel_to_audio(mel_db, sample_rate=sr, fft_length=fft,
+                         hop_length=hop, power=2.0, from_db=True,
+                         n_iter=32, length=sr,
+                         key=jax.random.PRNGKey(0))
+    assert y.shape == (sr,)
+    spec_y = ops.stft(y, fft, hop)
+    mel_y = ops.apply_filterbank(ops.complex_norm(spec_y, 2.0), fb)
+    mel_in = ops.db_to_amplitude(mel_db, power=2.0)
+    num = float(jnp.linalg.norm(jnp.sqrt(mel_y) - jnp.sqrt(mel_in)))
+    den = float(jnp.linalg.norm(jnp.sqrt(mel_in)))
+    assert num / den <= 0.35, num / den

@@ -21,7 +21,7 @@ from .ops import (
     phase_vocoder, compute_phase_advance,
     fused_melspectrogram, fused_mel_supported, resolve_precision,
     griffin_lim,
-    create_inverse_mel_filter, mel_to_linear,
+    create_inverse_mel_filter, mel_to_linear, mel_to_audio,
     resample,
     create_dct, mfcc,
     mask_along_axis, time_mask, freq_mask,
@@ -55,7 +55,7 @@ __all__ = [
     "fused_melspectrogram", "fused_mel_supported",
     "resolve_precision",
     "griffin_lim",
-    "create_inverse_mel_filter", "mel_to_linear",
+    "create_inverse_mel_filter", "mel_to_linear", "mel_to_audio",
     "resample",
     "create_dct", "mfcc",
     "mask_along_axis", "time_mask", "freq_mask",

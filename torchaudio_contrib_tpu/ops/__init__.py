@@ -32,7 +32,8 @@ from .fused import (fused_melspectrogram, fused_mel_supported,
                     resolve_precision)
 from .griffinlim import griffin_lim
 from .fused_griffinlim import fused_gl_supported
-from .melinv import create_inverse_mel_filter, mel_to_linear
+from .melinv import (create_inverse_mel_filter, mel_to_linear,
+                     mel_to_audio)
 from .resample import resample
 from .mfcc import create_dct, mfcc
 from .augment import mask_along_axis, time_mask, freq_mask
@@ -53,7 +54,7 @@ __all__ = [
     "fused_melspectrogram", "fused_mel_supported",
     "resolve_precision",
     "griffin_lim", "fused_gl_supported",
-    "create_inverse_mel_filter", "mel_to_linear",
+    "create_inverse_mel_filter", "mel_to_linear", "mel_to_audio",
     "resample",
     "create_dct", "mfcc",
     "mask_along_axis", "time_mask", "freq_mask",

@@ -1,48 +1,46 @@
-"""Fused Griffin-Lim: every projection iteration as ONE Pallas program.
+"""Fused Griffin-Lim: the ENTIRE iteration loop as ONE Pallas program
+per clip.
 
 The XLA GL loop (griffinlim.py) costs ~0.64 ms per iteration at
-batch 8 × 5 s / fft 1024 — almost entirely per-op glue (transposes,
-complex↔real conversion, overlap-add materialization) around ~6 µs of
-GEMMs.  This kernel runs a complete projection per clip — irDFT GEMM →
-in-kernel overlap-add → least-squares envelope clamp → re-framing →
-windowed-DFT GEMM — with the spectrum resident in VMEM throughout.
+batch 8 × 5 s / fft 1024 — almost entirely per-op glue around ~10 µs of
+GEMMs.  A first fused design (round 2/early round 3) ran one *grid
+program per (clip, phase, freq-tile) per projection*; measured profile
+showed that, too, was ~75 % per-program overhead (fft=2048: 2·9 grid
+steps × 32 iterations × 8 clips ≈ 4.6 K programs ≈ 15 ms of the 20 ms
+total).  This version collapses the whole solve to ``batch`` programs:
 
-Round-3 design (supersedes the round-2 per-clip-program kernel):
-
-* **Frequency-tiled, two-phase grid** ``(batch·channel, 2, freq_tiles)``.
-  Phase 0 accumulates the irDFT ``frames += spec_t · syn_t`` over freq
-  tiles into a per-clip scratch; phase 1 re-projects ``out_t = frames' ·
-  ana_t`` per tile.  Only one ``(2·FBT, fft)`` basis tile is resident
-  per step, so **fft=2048** (whose full bases are 18.8 MB) now runs the
-  kernel instead of falling back.  The out-block index map is
-  ``(b, 0, t·phase)``: during phase 0 it parks on tile 0 and is only
-  flushed after phase 1's real write — no garbage block ever leaves
-  VMEM.
+* **Grid ``(batch·channel,)``** — one program runs all ``n_iter``
+  projections for its clip, with the spectrum state resident in the
+  OUTPUT block (bf16, tile-interleaved ``[re_t | im_t]`` layout) and the
+  momentum/normalize step fused in-kernel, so nothing crosses HBM
+  between iterations except basis reads.
+* **Basis tiles streamed by explicit DMA**: the windowed irDFT/DFT bases
+  (18.8 MB at fft=2048 — far over VMEM) stay in HBM (`pl.ANY`); each
+  freq tile's slab is `make_async_copy`'d into a 1 MB scratch right
+  before its GEMM.  The ana basis is stored tile-stacked ``(FT·fft,
+  2·FBT)`` so both copies are contiguous row-slabs.
 * **Phase-decomposed 2-D overlap-add**: the clip buffer lives as a
   ``(L/hop, hop)`` 2-D view; frame ``j`` covers rows ``j..j+r−1``
   (``r = fft/hop``), so OLA and re-framing are ``r`` static 2-D
-  slice-adds instead of one slice per frame — compile time is flat in
-  the number of frames (the round-2 kernel unrolled ~2·n_frames slice
-  RMWs, linear-compile-time).  Requires ``fft % hop == 0``.
-* The spectrum state uses the mel kernel's tile-interleaved layout
-  ``(bc, rows, FT·2FBT)`` with tile ``t`` columns ``[re_t | im_t]``;
-  the momentum/normalize step between iterations stays XLA-side on the
-  same layout.
+  slice-adds — compile time is flat in the number of frames (the
+  round-2 kernel unrolled ~2·n_frames slice RMWs).  Requires
+  ``fft % hop == 0``.
 
 Boundary semantics: the kernel iterates in the *free-edge* (clamped
 least-squares envelope, center=False) domain — mathematically the GL
 family fixed point for the padded signal — rather than re-applying
 reflect padding each iteration like the XLA loop.  Measured convergence
-is identical (r2: 0.119 vs 0.115 at fft 1024); edge samples where the
+is identical (0.119 vs 0.115 at fft 1024); edge samples where the
 window envelope vanishes are zeroed.  bf16 GEMMs/state measurably do
 NOT affect GL convergence (verified against an all-f32 replica).
 
 Eligibility (``fused_gl_supported``): onesided mags, ``fft % 128 == 0``,
 ``hop % 128 == 0``, ``fft % hop == 0``, and the per-clip working set
-(now dominated by the ``(rows, fft)`` f32 frames scratch — the bases
-are tiled away) must fit VMEM; the estimate uses the ACTUAL hop (the
-round-2 estimator hardcoded hop=fft/4 and undercounted for larger
-hops).  Off-kernel configs transparently run the XLA loop.
+(dominated by the ``(rows, fft)`` f32 frames scratch — the bases are
+streamed) must fit VMEM; the estimate uses the ACTUAL hop (the round-2
+estimator hardcoded hop=fft/4 and undercounted for larger hops).
+Off-kernel configs transparently run the XLA loop (with a warning — see
+docs/API.md fallback table).
 """
 from __future__ import annotations
 
@@ -69,12 +67,16 @@ _VMEM_BUDGET = 15_000_000   # ~1 MB empirical slack under Mosaic's 16 MB
 def _gl_vmem_est(rows, N, HOP, ft):
     r = N // HOP
     lrows = rows - 1 + r
-    b = rows * 2 * _FBT * 2 * 2 * 2   # spec in + out blocks bf16, ×2 buf
-    b += 2 * (2 * _FBT * N * 2) * 2   # syn + ana tile blocks bf16, ×2 buf
+    W2 = ft * 2 * _FBT
+    b = rows * W2 * 2 * 2 * 2         # state0 in + state/out blocks ×2 buf
+    b += rows * ft * _FBT * 2 * 2     # mag blocks (bf16) ×2 buf
+    b += rows * W2 * 2                # prev (momentum memory, bf16)
     b += lrows * HOP * 4 * 2          # xv scratch + env block (f32)
-    b += rows * N * 4                 # frames scratch f32
-    b += rows * N * 2                 # re-framed scratch bf16
-    b += rows * 2 * _FBT * 4          # irDFT tile temp f32
+    b += rows * N * 2                 # frames scratch (bf16, reused for
+                                      # the re-framed values)
+    b += 2 * 2 * (2 * _FBT * N * 2)   # syn + ana tile buffers, 2 slots
+                                      # each (double-buffered DMA)
+    b += rows * 2 * _FBT * 4          # per-tile reim temp f32
     return b
 
 
@@ -93,10 +95,11 @@ def fused_gl_supported(fft_length: int, hop_length: int,
 
 @functools.lru_cache(maxsize=16)
 def _gl_bases_tiled(fft_length: int, win_key):
-    """(syn (FT·2FBT, fft), ana (fft, FT·2FBT)) bf16 in the
-    tile-interleaved layout: tile-t slab ``[icr_t·w; ici_t·w]`` rows /
-    ``[w·cos_t | w·(−sin)_t]`` columns; padded bins zero; the irDFT
-    conjugate weights and 1/N are folded into ``syn``."""
+    """(syn (FT·2FBT, fft), ana (FT·fft, 2FBT)) bf16 in tile-slab
+    layouts (both DMA-contiguous): syn tile t = rows ``[t·2FBT,
+    (t+1)·2FBT)`` holding ``[icr_t·w; ici_t·w]``; ana tile t = rows
+    ``[t·fft, (t+1)·fft)`` holding ``[w·cos_t | w·(−sin)_t]``.  Padded
+    bins zero; irDFT conjugate weights and 1/N folded into ``syn``."""
     N = fft_length
     F = N // 2 + 1
     ft = _cdiv(F, _FBT)
@@ -119,7 +122,7 @@ def _gl_bases_tiled(fft_length: int, win_key):
     ana = np.concatenate(
         [np.concatenate([cos_p[:, t * _FBT:(t + 1) * _FBT],
                          sin_p[:, t * _FBT:(t + 1) * _FBT]], axis=1)
-         for t in range(ft)], axis=1)            # (N, FT·2FBT)
+         for t in range(ft)], axis=0)            # (FT·N, 2FBT)
     import ml_dtypes
     return (syn.astype(ml_dtypes.bfloat16), ana.astype(ml_dtypes.bfloat16),
             w, ft, FP)
@@ -127,72 +130,125 @@ def _gl_bases_tiled(fft_length: int, win_key):
 
 @functools.lru_cache(maxsize=16)
 def _build_gl_call(N: int, HOP: int, bc: int, rows: int, ft: int,
-                   interpret: bool):
+                   n_iter: int, momentum: float, interpret: bool):
     W2T = 2 * _FBT
+    W2 = ft * W2T
     r = N // HOP
     lrows = rows - 1 + r
 
-    def kernel(spec_ref, syn_ref, ana_ref, env_ref, o_ref, fr, xv, fr2):
-        ph = pl.program_id(1)
-        t = pl.program_id(2)
+    def kernel(state0_ref, mag_ref, syn_hbm, ana_hbm, env_ref, o_ref,
+               prev, fr, xv, sbuf, abuf, sem_s, sem_a):
+        o_ref[0] = state0_ref[0]
+        prev[:] = jnp.zeros((rows, W2), jnp.bfloat16)
 
-        @pl.when(ph == 0)
-        def _accumulate():
-            part = jnp.dot(spec_ref[0], syn_ref[:],
-                           preferred_element_type=jnp.float32)
+        # double-buffered basis streaming: serial start→wait per tile
+        # measured ~60 of the ~80 µs/iteration at fft=2048 — prefetching
+        # tile t+1 while tile t's GEMM runs hides both transfer and
+        # issue latency
+        def syn_copy(t, slot):
+            return pltpu.make_async_copy(
+                syn_hbm.at[pl.ds(t * W2T, W2T), :], sbuf.at[slot],
+                sem_s.at[slot])
 
-            @pl.when(t == 0)
-            def _init():
-                fr[:] = part
+        def ana_copy(t, slot):
+            return pltpu.make_async_copy(
+                ana_hbm.at[pl.ds(t * N, N), :], abuf.at[slot],
+                sem_a.at[slot])
 
-            @pl.when(t > 0)
-            def _acc():
-                fr[:] = fr[:] + part
+        def iteration(it, carry):
+            # synthesis: fr = Σ_t spec_t · syn_t.  fr is bf16 (GL
+            # convergence is insensitive to bf16 state — verified vs an
+            # all-f32 replica) — halves the dominant frames scratch so
+            # fft=2048 vocoder clips fit VMEM
+            syn_copy(0, 0).start()
 
-        @pl.when((ph == 1) & (t == 0))
-        def _ola():
+            def syn_t(t, c):
+                slot = jax.lax.rem(t, 2)
+
+                @pl.when(t + 1 < ft)
+                def _prefetch():
+                    syn_copy(t + 1, jax.lax.rem(t + 1, 2)).start()
+
+                syn_copy(t, slot).wait()
+                spec_t = o_ref[0, :, pl.ds(t * W2T, W2T)]
+                part = jnp.dot(spec_t, sbuf[slot],
+                               preferred_element_type=jnp.float32)
+
+                @pl.when(t == 0)
+                def _init():
+                    fr[:] = part.astype(jnp.bfloat16)
+
+                @pl.when(t > 0)
+                def _acc():
+                    fr[:] = (fr[:].astype(jnp.float32)
+                             + part).astype(jnp.bfloat16)
+                return c
+
+            jax.lax.fori_loop(0, ft, syn_t, 0)
+            ana_copy(0, 0).start()     # hide tile 0 behind the OLA work
+
             # phase-decomposed OLA on the (L/hop, hop) 2-D view: frame j
             # spans rows j..j+r-1, so each k adds a contiguous block
             xv[:] = jnp.zeros((lrows, HOP), jnp.float32)
             for k in range(r):
                 xv[k:k + rows, :] = (xv[k:k + rows, :]
-                                     + fr[:, k * HOP:(k + 1) * HOP])
+                                     + fr[:, k * HOP:(k + 1) * HOP]
+                                     .astype(jnp.float32))
             xv[:] = xv[:] * env_ref[:]           # least-squares clamp
-            for k in range(r):                   # re-frame
-                fr2[:, k * HOP:(k + 1) * HOP] = \
+            for k in range(r):                   # re-frame (reuse fr)
+                fr[:, k * HOP:(k + 1) * HOP] = \
                     xv[k:k + rows, :].astype(jnp.bfloat16)
 
-        @pl.when(ph == 1)
-        def _project():
-            o_ref[0] = jnp.dot(fr2[:], ana_ref[:],
-                               preferred_element_type=jnp.float32
-                               ).astype(jnp.bfloat16)
+            # analysis + momentum + magnitude projection, per tile
+            def ana_t(t, c):
+                slot = jax.lax.rem(t, 2)
+
+                @pl.when(t + 1 < ft)
+                def _prefetch():
+                    ana_copy(t + 1, jax.lax.rem(t + 1, 2)).start()
+
+                ana_copy(t, slot).wait()
+                reim = jnp.dot(fr[:], abuf[slot],
+                               preferred_element_type=jnp.float32)
+                pv = prev[:, pl.ds(t * W2T, W2T)].astype(jnp.float32)
+                prev[:, pl.ds(t * W2T, W2T)] = reim.astype(jnp.bfloat16)
+                upd = reim + momentum * (reim - pv)
+                re, im = upd[:, :_FBT], upd[:, _FBT:]
+                nrm = jnp.sqrt(re * re + im * im)
+                sc = (mag_ref[0, :, pl.ds(t * _FBT, _FBT)]
+                      / jnp.maximum(nrm, 1e-16))
+                o_ref[0, :, pl.ds(t * W2T, W2T)] = jnp.concatenate(
+                    [re * sc, im * sc], axis=1).astype(jnp.bfloat16)
+                return c
+
+            jax.lax.fori_loop(0, ft, ana_t, 0)
+            return carry
+
+        jax.lax.fori_loop(0, n_iter, iteration, 0)
 
     return pl.pallas_call(
         kernel,
-        grid=(bc, 2, ft),
+        grid=(bc,),
         in_specs=[
-            # spec: read in phase 0 only — park on tile 0 during phase 1
-            pl.BlockSpec((1, rows, W2T), lambda b, ph, t: (b, 0,
-                                                           t * (1 - ph)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((W2T, N), lambda b, ph, t: (t * (1 - ph), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, W2T), lambda b, ph, t: (0, t * ph),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((lrows, HOP), lambda b, ph, t: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, W2), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),          # state0
+            pl.BlockSpec((1, rows, ft * _FBT), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),          # |mag| tiles
+            pl.BlockSpec(memory_space=pl.ANY),              # syn (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),              # ana (HBM)
+            pl.BlockSpec((lrows, HOP), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),          # inv envelope
         ],
-        # parks on tile 0 during phase 0 (no write → never flushed
-        # before phase 1's write lands, because the index is unchanged
-        # until phase 1 advances to tile 1)
-        out_specs=pl.BlockSpec((1, rows, W2T),
-                               lambda b, ph, t: (b, 0, t * ph),
+        out_specs=pl.BlockSpec((1, rows, W2), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bc, rows, ft * W2T), jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM((rows, N), jnp.float32),
-                        pltpu.VMEM((lrows, HOP), jnp.float32),
-                        pltpu.VMEM((rows, N), jnp.bfloat16)],
+        out_shape=jax.ShapeDtypeStruct((bc, rows, W2), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((rows, W2), jnp.bfloat16),   # prev
+                        pltpu.VMEM((rows, N), jnp.bfloat16),    # fr
+                        pltpu.VMEM((lrows, HOP), jnp.float32),  # xv
+                        pltpu.VMEM((2, W2T, N), jnp.bfloat16),  # syn bufs
+                        pltpu.VMEM((2, N, W2T), jnp.bfloat16),  # ana bufs
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )
 
@@ -220,46 +276,33 @@ def _gl_pallas(mag_specgrams, fft_length, hop_length, window, n_iter,
     env2d = inv_env.reshape(lrows, HOP)
     syn_j, ana_j = jnp.asarray(syn), jnp.asarray(ana)
 
-    # mag → (bc, rows, FT, FBT) tiled layout (zero-padded rows/bins)
+    # mag → (bc, rows, FT·FBT) tiled layout (zero-padded rows/bins)
     magL = jnp.swapaxes(mag, -1, -2)
     magL = jnp.pad(magL, ((0, 0), (0, rows - n_frames), (0, FP - F)))
-    magT = magL.reshape(bc, rows, ft, _FBT)
-
-    project = _build_gl_call(N, HOP, bc, rows, ft, _interpret())
-
-    def split_reim(state):
-        s4 = state.reshape(bc, rows, ft, 2, _FBT)
-        return s4[..., 0, :], s4[..., 1, :]      # (bc, rows, ft, FBT)
+    magT4 = magL.reshape(bc, rows, ft, _FBT)
 
     def merge_reim(re, im):
         return jnp.stack([re, im], axis=-2).reshape(bc, rows,
                                                     ft * 2 * _FBT)
 
-    def body(i, carry):
-        state, prev = carry
-        rebuilt = project(state, syn_j, ana_j, env2d) \
-            .astype(jnp.float32)
-        upd = rebuilt + momentum * (rebuilt - prev)
-        re, im = split_reim(upd)
-        nrm = jnp.sqrt(re * re + im * im)
-        scale = magT / jnp.maximum(nrm, 1e-16)
-        new = merge_reim(re * scale, im * scale).astype(jnp.bfloat16)
-        return new, rebuilt
-
     if key is not None:
-        phase = jax.random.uniform(key, magT.shape, jnp.float32,
+        phase = jax.random.uniform(key, magT4.shape, jnp.float32,
                                    -jnp.pi, jnp.pi)
-        state0 = merge_reim(magT * jnp.cos(phase), magT * jnp.sin(phase))
+        state0 = merge_reim(magT4 * jnp.cos(phase),
+                            magT4 * jnp.sin(phase))
     else:
-        state0 = merge_reim(magT, jnp.zeros_like(magT))
+        state0 = merge_reim(magT4, jnp.zeros_like(magT4))
     state0 = state0.astype(jnp.bfloat16)
-    state, _ = jax.lax.fori_loop(
-        0, n_iter, body, (state0, jnp.zeros(state0.shape, jnp.float32)))
+    magT = magT4.reshape(bc, rows, ft * _FBT).astype(jnp.bfloat16)
+
+    solve = _build_gl_call(N, HOP, bc, rows, ft, int(n_iter),
+                           float(momentum), _interpret())
+    state = solve(state0, magT, syn_j, ana_j, env2d).astype(jnp.float32)
 
     # final clamped-envelope inverse (XLA side, exact irfft)
-    re, im = split_reim(state.astype(jnp.float32))
-    re2 = re.reshape(bc, rows, FP)[:, :n_frames, :F]
-    im2 = im.reshape(bc, rows, FP)[:, :n_frames, :F]
+    s4 = state.reshape(bc, rows, ft, 2, _FBT)
+    re2 = s4[..., 0, :].reshape(bc, rows, FP)[:, :n_frames, :F]
+    im2 = s4[..., 1, :].reshape(bc, rows, FP)[:, :n_frames, :F]
     spec_f = jax.lax.complex(re2, im2)
     fr_x = jnp.fft.irfft(spec_f, n=N, axis=-1) * jnp.asarray(w, jnp.float32)
     y = _overlap_add(fr_x, N, HOP, T_used) * inv_env[:T_used]

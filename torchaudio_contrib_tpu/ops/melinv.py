@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from .filters import _mel_filter_np
 
-__all__ = ["create_inverse_mel_filter", "mel_to_linear"]
+__all__ = ["create_inverse_mel_filter", "mel_to_linear",
+           "mel_to_audio"]
 
 
 @functools.lru_cache(maxsize=16)
@@ -67,3 +68,56 @@ def mel_to_linear(mel_specgrams: jnp.ndarray,
     out = jnp.einsum("...mt,mf->...ft", mel_specgrams, inverse_filterbank,
                      precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(out, 0.0)
+
+
+def mel_to_audio(mel_specgrams: jnp.ndarray,
+                 num_mels: Optional[int] = None,
+                 sample_rate: float = 22050,
+                 f_min: float = 0.0,
+                 f_max: Optional[float] = None,
+                 fft_length: int = 2048,
+                 hop_length: Optional[int] = None,
+                 window="hann",
+                 power: float = 2.0,
+                 from_db: bool = False,
+                 db_ref: float = 1.0,
+                 n_iter: int = 32,
+                 momentum: float = 0.99,
+                 length: Optional[int] = None,
+                 center: bool = True,
+                 key: Optional[jax.Array] = None,
+                 ridge: float = 1e-8,
+                 method: str = "matmul") -> jnp.ndarray:
+    """Invert a (log-)mel spectrogram ``(..., num_mels, time)`` all the
+    way to a waveform: [dB→power] → mel→linear (ridge pseudo-inverse
+    GEMM) → magnitude → Griffin-Lim phase reconstruction.
+
+    The one-call composition of :func:`db_to_amplitude`,
+    :func:`mel_to_linear`, and :func:`griffin_lim` — the vocoder-style
+    serving path for mel features produced by ``Melspectrogram()`` or
+    ``fused_melspectrogram`` (match ``power``/``from_db``/``db_ref`` to
+    how the features were made; ``fused_melspectrogram(to_db=True)`` →
+    ``power=2.0, from_db=True``).  ``method`` selects the Griffin-Lim
+    engine ("matmul" default; "pallas" = the fused kernel where
+    eligible).  Returns ``(..., samples)``.
+    """
+    from .db import db_to_amplitude
+    from .griffinlim import griffin_lim
+
+    mel = mel_specgrams.astype(jnp.float32)
+    if from_db:
+        mel = db_to_amplitude(mel, ref=db_ref, power=power)
+    if num_mels is None:
+        num_mels = mel.shape[-2]
+    inv = create_inverse_mel_filter(num_mels, sample_rate, f_min, f_max,
+                                    fft_length // 2 + 1, ridge)
+    lin = mel_to_linear(mel, inv)
+    if power != 1.0:
+        mag = jnp.power(jnp.maximum(lin, 0.0), 1.0 / power)
+    else:
+        mag = lin
+    if hop_length is None:
+        hop_length = fft_length // 4
+    return griffin_lim(mag, fft_length, hop_length, window=window,
+                       n_iter=n_iter, momentum=momentum, length=length,
+                       center=center, key=key, method=method)
