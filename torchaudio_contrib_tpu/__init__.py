@@ -27,6 +27,8 @@ from .ops import (
     mask_along_axis, time_mask, freq_mask,
     pitch_shift,
     compute_deltas, preemphasis, deemphasis,
+    spectral_centroid, spectral_bandwidth, spectral_rolloff,
+    spectral_flatness, zero_crossing_rate,
     hann_window, hamming_window, blackman_window, get_window,
 )
 
@@ -61,6 +63,8 @@ __all__ = [
     "mask_along_axis", "time_mask", "freq_mask",
     "pitch_shift",
     "compute_deltas", "preemphasis", "deemphasis",
+    "spectral_centroid", "spectral_bandwidth", "spectral_rolloff",
+    "spectral_flatness", "zero_crossing_rate",
     "hann_window", "hamming_window", "blackman_window", "get_window",
     "Transform", "Pipeline",
     "STFT", "ISTFT", "ComplexNorm",

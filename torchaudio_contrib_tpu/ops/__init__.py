@@ -39,6 +39,9 @@ from .mfcc import create_dct, mfcc
 from .augment import mask_along_axis, time_mask, freq_mask
 from .pitch import pitch_shift
 from .features import compute_deltas, preemphasis, deemphasis
+from .spectral import (spectral_centroid, spectral_bandwidth,
+                       spectral_rolloff, spectral_flatness,
+                       zero_crossing_rate)
 
 __all__ = [
     "hann_window", "hamming_window", "blackman_window",
@@ -60,4 +63,6 @@ __all__ = [
     "mask_along_axis", "time_mask", "freq_mask",
     "pitch_shift",
     "compute_deltas", "preemphasis", "deemphasis",
+    "spectral_centroid", "spectral_bandwidth", "spectral_rolloff",
+    "spectral_flatness", "zero_crossing_rate",
 ]
