@@ -13,6 +13,7 @@ every variant except 'full' — timing only):
 Each delta against 'full' attributes that stage's cost.
 """
 import json
+import os
 import sys
 import time
 
@@ -28,8 +29,40 @@ def main():
     from torchaudio_contrib_tpu.ops import fused_griffinlim as fg
     from torchaudio_contrib_tpu.ops.fused import _round_up, _cdiv
 
+    from torchaudio_contrib_tpu.ops.stft import (_idft_matrices,
+                                                 _dft_matrices,
+                                                 _resolve_window)
+    import ml_dtypes
+
+    def _bases(N, fbt):
+        F = N // 2 + 1
+        ftc = _cdiv(F, fbt)
+        FP = ftc * fbt
+        w = _resolve_window("hann", N, N)
+        icr, ici = _idft_matrices(N)
+        icr_p = np.zeros((FP, N), np.float32)
+        ici_p = np.zeros((FP, N), np.float32)
+        icr_p[:F] = icr * w[None, :]
+        ici_p[:F] = ici * w[None, :]
+        cos_m, msin_m = _dft_matrices(N, True)
+        cos_p = np.zeros((N, FP), np.float32)
+        sin_p = np.zeros((N, FP), np.float32)
+        cos_p[:, :F] = w[:, None] * cos_m
+        sin_p[:, :F] = w[:, None] * msin_m
+        syn = np.concatenate(
+            [np.concatenate([icr_p[t * fbt:(t + 1) * fbt],
+                             ici_p[t * fbt:(t + 1) * fbt]], axis=0)
+             for t in range(ftc)], axis=0)
+        ana = np.concatenate(
+            [np.concatenate([cos_p[:, t * fbt:(t + 1) * fbt],
+                             sin_p[:, t * fbt:(t + 1) * fbt]], axis=1)
+             for t in range(ftc)], axis=0)
+        return (syn.astype(ml_dtypes.bfloat16),
+                ana.astype(ml_dtypes.bfloat16), w, ftc, FP)
+
     N, HOP, n_iter, momentum = 2048, 512, 32, 0.99
-    FBT = fg._FBT
+    FBT = int(os.environ.get("GL_FBT", fg._FBT))
+    SLOTS = int(os.environ.get("GL_SLOTS", "2"))
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((8, 110250)).astype(np.float32))
     mag = jnp.abs(ops.stft(x, N, HOP))
@@ -43,7 +76,7 @@ def main():
     r = N // HOP
     lrows = rows - 1 + r
 
-    syn, ana, w, ft2, FP = fg._gl_bases_tiled(N, "hann")
+    syn, ana, w, ft2, FP = _bases(N, FBT)
     assert ft2 == ft
     from torchaudio_contrib_tpu.ops.windows import cola_window_sum
     env = cola_window_sum(w, HOP, n_frames, lrows * HOP)
@@ -88,11 +121,17 @@ def main():
                     syn_copy(0, 0).start()
 
                 def syn_t(t, c):
-                    slot = jax.lax.rem(t, 2)
+                    slot = jax.lax.rem(t, SLOTS)
                     if variant != "nodma":
-                        @pl.when(t + 1 < ft)
-                        def _p():
-                            syn_copy(t + 1, jax.lax.rem(t + 1, 2)).start()
+                        if SLOTS == 2:
+                            @pl.when(t + 1 < ft)
+                            def _p():
+                                syn_copy(t + 1,
+                                         jax.lax.rem(t + 1, 2)).start()
+                        else:
+                            @pl.when(t > 0)
+                            def _p():
+                                syn_copy(t, 0).start()
                         syn_copy(t, slot).wait()
                         buf = sbuf[slot]
                     else:
@@ -130,11 +169,17 @@ def main():
                             xv[k:k + rows, :].astype(jnp.bfloat16)
 
                 def ana_t(t, c):
-                    slot = jax.lax.rem(t, 2)
+                    slot = jax.lax.rem(t, SLOTS)
                     if variant != "nodma":
-                        @pl.when(t + 1 < ft)
-                        def _p():
-                            ana_copy(t + 1, jax.lax.rem(t + 1, 2)).start()
+                        if SLOTS == 2:
+                            @pl.when(t + 1 < ft)
+                            def _p():
+                                ana_copy(t + 1,
+                                         jax.lax.rem(t + 1, 2)).start()
+                        else:
+                            @pl.when(t > 0)
+                            def _p():
+                                ana_copy(t, 0).start()
                         ana_copy(t, slot).wait()
                         buf = abuf[slot]
                     else:
@@ -186,10 +231,10 @@ def main():
             scratch_shapes=[pltpu.VMEM((rows, W2), jnp.bfloat16),
                             pltpu.VMEM((rows, N), jnp.bfloat16),
                             pltpu.VMEM((lrows, HOP), jnp.float32),
-                            pltpu.VMEM((2, W2T, N), jnp.bfloat16),
-                            pltpu.VMEM((2, N, W2T), jnp.bfloat16),
-                            pltpu.SemaphoreType.DMA((2,)),
-                            pltpu.SemaphoreType.DMA((2,))],
+                            pltpu.VMEM((SLOTS, W2T, N), jnp.bfloat16),
+                            pltpu.VMEM((SLOTS, N, W2T), jnp.bfloat16),
+                            pltpu.SemaphoreType.DMA((SLOTS,)),
+                            pltpu.SemaphoreType.DMA((SLOTS,))],
         )
 
     for variant in (sys.argv[1:] or ["full", "nonorm", "nodynslice",
