@@ -1,0 +1,109 @@
+"""Loudness (`ops/loudness.py`): ITU-R BS.1770-4 reference values.
+
+The K-weighting coefficients are pinned against the standard's
+published 48 kHz table; integrated loudness against the analytic value
+for calibration sines (a full-scale 997 Hz sine measures −3.01 LKFS).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import importlib
+L = importlib.import_module("torchaudio_contrib_tpu.ops.loudness")
+
+
+def _sine(freq, sr, seconds, amp=1.0):
+    t = np.arange(int(sr * seconds)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def test_k_weighting_matches_itu_48k_table():
+    (b1, a1), (b2, a2) = L._k_weighting_coeffs(48000)
+    np.testing.assert_allclose(
+        b1, (1.53512485958697, -2.69169618940638, 1.19839281085285),
+        atol=1e-10)
+    np.testing.assert_allclose(
+        a1, (1.0, -1.69065929318241, 0.73248077421585), atol=1e-10)
+    np.testing.assert_allclose(b2, (1.0, -2.0, 1.0), atol=0)
+    np.testing.assert_allclose(
+        a2, (1.0, -1.99004745483398, 0.99007225036621), atol=1e-10)
+
+
+def test_full_scale_sine_is_minus_3_lkfs():
+    x = jnp.asarray(_sine(997.0, 48000, 3.0))[None, None, :]
+    lk = float(L.loudness(x, 48000)[0])
+    assert abs(lk - (-3.01)) < 0.05
+
+
+def test_gain_linearity():
+    x = _sine(997.0, 48000, 3.0)
+    l0 = float(L.loudness(jnp.asarray(x)[None, None, :], 48000)[0])
+    l20 = float(L.loudness(jnp.asarray(0.1 * x)[None, None, :], 48000)[0])
+    assert abs((l0 - l20) - 20.0) < 0.01
+
+
+def test_other_sample_rates_consistent():
+    # same signal content at 44.1 kHz should measure within 0.1 LU
+    x44 = jnp.asarray(_sine(997.0, 44100, 3.0))[None, None, :]
+    lk = float(L.loudness(x44, 44100)[0])
+    assert abs(lk - (-3.01)) < 0.1
+
+
+def test_gating_ignores_silence():
+    # loudness of (tone ++ long silence) ≈ loudness of the tone alone:
+    # the −70 LKFS absolute gate must drop the silent blocks
+    sr = 48000
+    tone = _sine(997.0, sr, 2.0, amp=0.1)
+    padded = np.concatenate([tone, np.zeros(6 * sr, np.float32)])
+    l_tone = float(L.loudness(jnp.asarray(tone)[None, None, :], sr)[0])
+    l_pad = float(L.loudness(jnp.asarray(padded)[None, None, :], sr)[0])
+    assert abs(l_tone - l_pad) < 0.5
+
+
+def test_multichannel_sums_energy():
+    # identical signal on 2 channels: +3.01 LU vs mono
+    sr = 48000
+    x = _sine(997.0, sr, 3.0, amp=0.1)
+    mono = float(L.loudness(jnp.asarray(x)[None, None, :], sr)[0])
+    stereo = float(L.loudness(
+        jnp.asarray(np.stack([x, x]))[None, :, :], sr)[0])
+    assert abs((stereo - mono) - 3.01) < 0.05
+
+
+def test_batched_and_short_clip():
+    sr = 48000
+    x = np.stack([_sine(997.0, sr, 1.0),
+                  _sine(997.0, sr, 1.0, amp=0.5)])[:, None, :]
+    lk = np.asarray(L.loudness(jnp.asarray(x), sr))
+    assert lk.shape == (2,)
+    assert lk[0] > lk[1]
+    with pytest.raises(ValueError):
+        L.loudness(jnp.zeros((1, 1, 1000)), sr)
+    with pytest.raises(ValueError):
+        L.loudness(jnp.zeros(1000), sr)
+
+
+def test_loudness_jit_and_grad():
+    sr = 48000
+    x = jnp.asarray(_sine(997.0, sr, 1.0))[None, None, :]
+    f = jax.jit(lambda w: L.loudness(w, sr).sum())
+    assert abs(float(f(x)) - float(L.loudness(x, sr).sum())) < 1e-4
+    g = jax.grad(f)(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_a_weighting_iec_values():
+    # IEC 61672 table: 0 dB at 1 kHz, −19.1 at 100 Hz, −2.5 at 10 kHz
+    w = np.asarray(L.a_weighting(np.array([1000.0, 100.0, 10000.0])))
+    assert abs(w[0]) < 0.01
+    assert abs(w[1] - (-19.1)) < 0.1
+    assert abs(w[2] - (-2.5)) < 0.1
+
+
+def test_a_weighting_min_db_clamp():
+    w = np.asarray(L.a_weighting(np.array([1.0, 5.0]), min_db=-80.0))
+    assert (w >= -80.0).all()
+    w2 = np.asarray(L.a_weighting(np.array([1.0]), min_db=None))
+    assert w2[0] < -80.0

@@ -29,6 +29,12 @@ from .ops import (
     compute_deltas, preemphasis, deemphasis,
     spectral_centroid, spectral_bandwidth, spectral_rolloff,
     spectral_flatness, zero_crossing_rate,
+    lfilter, biquad, lowpass_biquad, highpass_biquad,
+    bandpass_biquad, bandreject_biquad, allpass_biquad,
+    equalizer_biquad, bass_biquad, treble_biquad,
+    loudness, a_weighting,
+    create_chroma_filter,
+    cqt_frequencies, create_cqt_kernel, cqt, pseudo_cqt,
     hann_window, hamming_window, blackman_window, get_window,
 )
 
@@ -36,7 +42,7 @@ from .ops import (
 from .models import (
     Transform, Pipeline,
     STFT, ISTFT, ComplexNorm,
-    Filterbank, MelFilterbank, ApplyFilterbank,
+    Filterbank, MelFilterbank, ChromaFilterbank, ApplyFilterbank,
     AmplitudeToDb, DbToAmplitude,
     MuLawEncoding, MuLawDecoding,
     StretchSpecTime, Resample, GriffinLim,
@@ -65,10 +71,16 @@ __all__ = [
     "compute_deltas", "preemphasis", "deemphasis",
     "spectral_centroid", "spectral_bandwidth", "spectral_rolloff",
     "spectral_flatness", "zero_crossing_rate",
+    "lfilter", "biquad", "lowpass_biquad", "highpass_biquad",
+    "bandpass_biquad", "bandreject_biquad", "allpass_biquad",
+    "equalizer_biquad", "bass_biquad", "treble_biquad",
+    "loudness", "a_weighting",
+    "create_chroma_filter",
+    "cqt_frequencies", "create_cqt_kernel", "cqt", "pseudo_cqt",
     "hann_window", "hamming_window", "blackman_window", "get_window",
     "Transform", "Pipeline",
     "STFT", "ISTFT", "ComplexNorm",
-    "Filterbank", "MelFilterbank", "ApplyFilterbank",
+    "Filterbank", "MelFilterbank", "ChromaFilterbank", "ApplyFilterbank",
     "AmplitudeToDb", "DbToAmplitude",
     "MuLawEncoding", "MuLawDecoding",
     "StretchSpecTime", "Resample", "GriffinLim",

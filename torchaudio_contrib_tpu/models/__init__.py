@@ -1,7 +1,7 @@
 from .layers import (
     Transform, Pipeline,
     STFT, ISTFT, ComplexNorm,
-    Filterbank, MelFilterbank, ApplyFilterbank,
+    Filterbank, MelFilterbank, ChromaFilterbank, ApplyFilterbank,
     AmplitudeToDb, DbToAmplitude,
     MuLawEncoding, MuLawDecoding,
     StretchSpecTime, Resample, GriffinLim,
@@ -12,7 +12,7 @@ from .frontend import MelFrontendClassifier
 __all__ = [
     "Transform", "Pipeline",
     "STFT", "ISTFT", "ComplexNorm",
-    "Filterbank", "MelFilterbank", "ApplyFilterbank",
+    "Filterbank", "MelFilterbank", "ChromaFilterbank", "ApplyFilterbank",
     "AmplitudeToDb", "DbToAmplitude",
     "MuLawEncoding", "MuLawDecoding",
     "StretchSpecTime", "Resample", "GriffinLim",

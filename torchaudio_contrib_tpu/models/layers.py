@@ -38,6 +38,7 @@ from ..ops import (
     complex_norm as _complex_norm,
     apply_filterbank as _apply_filterbank,
     create_mel_filter,
+    create_chroma_filter as _create_chroma_filter,
     amplitude_to_db as _amplitude_to_db,
     db_to_amplitude as _db_to_amplitude,
     mu_law_encoding as _mu_law_encoding,
@@ -209,6 +210,32 @@ class MelFilterbank(Filterbank):
         return create_mel_filter(self.num_mels, self.sample_rate,
                                  self.f_min, self.f_max, self.num_bins,
                                  dtype=self.dtype)
+
+
+class ChromaFilterbank(Filterbank):
+    """Gaussian pitch-class filterbank (rebuild-only; librosa-style).
+
+    Drops into the same slots as :class:`MelFilterbank` — splice into a
+    :func:`Spectrogram` pipeline via :class:`ApplyFilterbank` (trainable
+    path included) to get a chromagram frontend.
+    """
+
+    def __init__(self, n_chroma: int = 12, sample_rate: float = 22050,
+                 num_bins: int = 1025, tuning: float = 0.0,
+                 base_c: bool = True, dtype=jnp.float32):
+        self.n_chroma = n_chroma
+        self.sample_rate = sample_rate
+        self.num_bins = num_bins
+        self.tuning = tuning
+        self.base_c = base_c
+        self.dtype = dtype
+        self._config = (n_chroma, sample_rate, num_bins, tuning, base_c,
+                        str(jnp.dtype(dtype)))
+
+    def get_filterbank(self) -> jnp.ndarray:
+        return _create_chroma_filter(self.n_chroma, self.sample_rate,
+                                     self.num_bins, tuning=self.tuning,
+                                     base_c=self.base_c, dtype=self.dtype)
 
 
 class ApplyFilterbank(Transform):

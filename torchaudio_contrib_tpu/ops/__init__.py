@@ -42,6 +42,12 @@ from .features import compute_deltas, preemphasis, deemphasis
 from .spectral import (spectral_centroid, spectral_bandwidth,
                        spectral_rolloff, spectral_flatness,
                        zero_crossing_rate)
+from .iir import (lfilter, biquad, lowpass_biquad, highpass_biquad,
+                  bandpass_biquad, bandreject_biquad, allpass_biquad,
+                  equalizer_biquad, bass_biquad, treble_biquad)
+from .loudness import loudness, a_weighting
+from .chroma import create_chroma_filter
+from .cqt import cqt_frequencies, create_cqt_kernel, cqt, pseudo_cqt
 
 __all__ = [
     "hann_window", "hamming_window", "blackman_window",
@@ -65,4 +71,10 @@ __all__ = [
     "compute_deltas", "preemphasis", "deemphasis",
     "spectral_centroid", "spectral_bandwidth", "spectral_rolloff",
     "spectral_flatness", "zero_crossing_rate",
+    "lfilter", "biquad", "lowpass_biquad", "highpass_biquad",
+    "bandpass_biquad", "bandreject_biquad", "allpass_biquad",
+    "equalizer_biquad", "bass_biquad", "treble_biquad",
+    "loudness", "a_weighting",
+    "create_chroma_filter",
+    "cqt_frequencies", "create_cqt_kernel", "cqt", "pseudo_cqt",
 ]
