@@ -35,6 +35,8 @@ from .ops import (
     loudness, a_weighting,
     create_chroma_filter,
     cqt_frequencies, create_cqt_kernel, cqt, pseudo_cqt,
+    detect_pitch_frequency,
+    fade, gain, dither, dcshift, sliding_window_cmn,
     hann_window, hamming_window, blackman_window, get_window,
 )
 
@@ -77,6 +79,8 @@ __all__ = [
     "loudness", "a_weighting",
     "create_chroma_filter",
     "cqt_frequencies", "create_cqt_kernel", "cqt", "pseudo_cqt",
+    "detect_pitch_frequency",
+    "fade", "gain", "dither", "dcshift", "sliding_window_cmn",
     "hann_window", "hamming_window", "blackman_window", "get_window",
     "Transform", "Pipeline",
     "STFT", "ISTFT", "ComplexNorm",

@@ -48,6 +48,8 @@ from .iir import (lfilter, biquad, lowpass_biquad, highpass_biquad,
 from .loudness import loudness, a_weighting
 from .chroma import create_chroma_filter
 from .cqt import cqt_frequencies, create_cqt_kernel, cqt, pseudo_cqt
+from .pitchdetect import detect_pitch_frequency
+from .effects import fade, gain, dither, dcshift, sliding_window_cmn
 
 __all__ = [
     "hann_window", "hamming_window", "blackman_window",
@@ -77,4 +79,6 @@ __all__ = [
     "loudness", "a_weighting",
     "create_chroma_filter",
     "cqt_frequencies", "create_cqt_kernel", "cqt", "pseudo_cqt",
+    "detect_pitch_frequency",
+    "fade", "gain", "dither", "dcshift", "sliding_window_cmn",
 ]

@@ -1,0 +1,164 @@
+"""Level/shape utilities: fade, gain, dither, DC shift, CMN.
+
+Not in the reference (SURVEY §2) — the small waveform utilities every
+pipeline ends up needing (torchaudio ships them as ``fade``, ``gain``,
+``dither``, ``dcshift``, ``sliding_window_cmn``).  All are elementwise
+or small-window ops that XLA fuses into neighbouring stages; shapes are
+static and everything is jit/vmap/grad-friendly (dither takes an
+explicit PRNG key — this library never hides randomness in state).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["fade", "gain", "dither", "dcshift", "sliding_window_cmn"]
+
+_FADE_SHAPES = ("linear", "exponential", "logarithmic",
+                "quarter_sine", "half_sine")
+
+
+def _fade_curve(n: int, shape: str, dtype) -> jnp.ndarray:
+    r = jnp.linspace(0.0, 1.0, n, dtype=dtype)
+    if shape == "linear":
+        return r
+    if shape == "exponential":
+        return jnp.power(2.0, r - 1.0) * r
+    if shape == "logarithmic":
+        return jnp.sqrt(r)
+    if shape == "quarter_sine":
+        return jnp.sin(r * np.pi / 2.0)
+    if shape == "half_sine":
+        return (1.0 - jnp.cos(r * np.pi)) / 2.0
+    raise ValueError(
+        f"unknown fade shape {shape!r}; expected one of {_FADE_SHAPES}")
+
+
+def fade(waveform: jnp.ndarray, fade_in_len: int = 0,
+         fade_out_len: int = 0,
+         fade_shape: str = "linear") -> jnp.ndarray:
+    """Apply fade-in/out envelopes over the first/last samples."""
+    waveform = waveform.astype(jnp.promote_types(waveform.dtype,
+                                                 jnp.float32))
+    t = waveform.shape[-1]
+    if not (0 <= fade_in_len <= t and 0 <= fade_out_len <= t):
+        raise ValueError(
+            f"fade lengths ({fade_in_len}, {fade_out_len}) must be in "
+            f"[0, {t}]")
+    env = jnp.ones((t,), waveform.dtype)
+    if fade_in_len > 0:
+        env = env.at[:fade_in_len].mul(
+            _fade_curve(fade_in_len, fade_shape, waveform.dtype))
+    if fade_out_len > 0:
+        env = env.at[t - fade_out_len:].mul(
+            _fade_curve(fade_out_len, fade_shape, waveform.dtype)[::-1])
+    return waveform * env
+
+
+def gain(waveform: jnp.ndarray, gain_db: float = 1.0) -> jnp.ndarray:
+    """Scale amplitude by ``gain_db`` decibels."""
+    waveform = waveform.astype(jnp.promote_types(waveform.dtype,
+                                                 jnp.float32))
+    return waveform * (10.0 ** (gain_db / 20.0))
+
+
+def dcshift(waveform: jnp.ndarray, shift: float,
+            limiter_gain: float | None = None) -> jnp.ndarray:
+    """Add a DC offset; optional soft limiter near full scale.
+
+    With ``limiter_gain``, samples that would clip are compressed with
+    the SoX-style polynomial limiter instead of hard-clipping.
+    """
+    waveform = waveform.astype(jnp.promote_types(waveform.dtype,
+                                                 jnp.float32))
+    if limiter_gain is None:
+        return jnp.clip(waveform + shift, -1.0, 1.0)
+    thresh = 1.0 - limiter_gain
+    shifted = waveform + shift
+    if shift > 0:
+        peak = jnp.where(
+            waveform > thresh - shift,
+            thresh + (shifted - thresh)
+            / (1.0 + ((shifted - thresh) / limiter_gain) ** 2),
+            shifted)
+    else:
+        peak = jnp.where(
+            waveform < -thresh - shift,
+            -thresh + (shifted + thresh)
+            / (1.0 + ((shifted + thresh) / limiter_gain) ** 2),
+            shifted)
+    return jnp.clip(peak, -1.0, 1.0)
+
+
+def dither(key, waveform: jnp.ndarray,
+           density_function: str = "TPDF",
+           bit_depth: int = 16) -> jnp.ndarray:
+    """Add quantization dither at the LSB of ``bit_depth``.
+
+    ``density_function`` ∈ TPDF (triangular, the audio default), RPDF
+    (rectangular), GPDF (gaussian).  Takes an explicit PRNG ``key``
+    (library convention: no hidden RNG state).
+    """
+    waveform = waveform.astype(jnp.promote_types(waveform.dtype,
+                                                 jnp.float32))
+    lsb = 2.0 ** (1 - bit_depth)
+    df = density_function.upper()
+    if df == "TPDF":
+        k1, k2 = jax.random.split(key)
+        noise = (jax.random.uniform(k1, waveform.shape, waveform.dtype)
+                 - jax.random.uniform(k2, waveform.shape,
+                                      waveform.dtype))
+    elif df == "RPDF":
+        noise = jax.random.uniform(key, waveform.shape, waveform.dtype,
+                                   -0.5, 0.5)
+    elif df == "GPDF":
+        noise = jax.random.normal(key, waveform.shape,
+                                  waveform.dtype) * 0.5
+    else:
+        raise ValueError(
+            f"unknown density_function {density_function!r}; expected "
+            "TPDF, RPDF or GPDF")
+    return waveform + lsb * noise
+
+
+def sliding_window_cmn(specgram: jnp.ndarray, cmn_window: int = 600,
+                       min_cmn_window: int = 100,
+                       center: bool = False,
+                       norm_vars: bool = False) -> jnp.ndarray:
+    """Sliding-window cepstral mean (and variance) normalization.
+
+    ``specgram`` is ``(..., freq, time)`` (MFCC/log-mel frames); each
+    frame is normalized by statistics of a ``cmn_window``-frame window
+    (centered when ``center``, else trailing with a ``min_cmn_window``
+    warm-up, Kaldi semantics).  Windowed sums come from one cumulative
+    sum along time — no per-frame loop, O(T) work, static shapes.
+    """
+    specgram = specgram.astype(jnp.promote_types(specgram.dtype,
+                                                 jnp.float32))
+    t = specgram.shape[-1]
+    idx = np.arange(t)
+    if center:
+        start = np.clip(idx - cmn_window // 2, 0, None)
+        end = np.minimum(start + cmn_window, t)
+        start = np.minimum(start, np.clip(t - cmn_window, 0, None))
+    else:
+        # trailing window; early frames use at least min_cmn_window
+        # (looking ahead, per Kaldi) when available
+        start = np.clip(idx - cmn_window + 1, 0, None)
+        end = np.maximum(idx + 1, np.minimum(min_cmn_window, t))
+    cnt = jnp.asarray((end - start).astype(np.float32))
+
+    c1 = jnp.cumsum(specgram, axis=-1)
+    c2 = jnp.cumsum(specgram * specgram, axis=-1)
+    zero = jnp.zeros(c1.shape[:-1] + (1,), c1.dtype)
+    c1 = jnp.concatenate([zero, c1], axis=-1)
+    c2 = jnp.concatenate([zero, c2], axis=-1)
+    s1 = c1[..., end] - c1[..., start]
+    s2 = c2[..., end] - c2[..., start]
+    mean = s1 / cnt
+    out = specgram - mean
+    if norm_vars:
+        var = jnp.maximum(s2 / cnt - mean * mean, 1e-10)
+        out = out / jnp.sqrt(var)
+    return out
