@@ -37,11 +37,22 @@ from .ops import (
     cqt_frequencies, create_cqt_kernel, cqt, pseudo_cqt,
     detect_pitch_frequency,
     fade, gain, dither, dcshift, sliding_window_cmn,
+    add_noise, speed,
+    overdrive, contrast, phaser, flanger,
+    psd, mvdr_weights_souden, mvdr_weights_rtf,
+    rtf_evd, rtf_power, apply_beamforming,
     hann_window, hamming_window, blackman_window, get_window,
 )
 
 # layer API (flat, reference-style)
 from .models import (
+    MFCC, Loudness, PitchShift, Speed, AddNoise,
+    Fade, Vol, FrequencyMasking, TimeMasking,
+    Preemphasis, Deemphasis, ComputeDeltas, SlidingWindowCmn,
+    SpectralCentroid, InverseMelScale,
+    PSD, SoudenMVDR, RTFMVDR,
+    Overdrive, Phaser, Flanger, Contrast,
+    Lowpass, Highpass, Equalizer,
     Transform, Pipeline,
     STFT, ISTFT, ComplexNorm,
     Filterbank, MelFilterbank, ChromaFilterbank, ApplyFilterbank,
@@ -81,6 +92,10 @@ __all__ = [
     "cqt_frequencies", "create_cqt_kernel", "cqt", "pseudo_cqt",
     "detect_pitch_frequency",
     "fade", "gain", "dither", "dcshift", "sliding_window_cmn",
+    "add_noise", "speed",
+    "overdrive", "contrast", "phaser", "flanger",
+    "psd", "mvdr_weights_souden", "mvdr_weights_rtf",
+    "rtf_evd", "rtf_power", "apply_beamforming",
     "hann_window", "hamming_window", "blackman_window", "get_window",
     "Transform", "Pipeline",
     "STFT", "ISTFT", "ComplexNorm",
@@ -90,5 +105,12 @@ __all__ = [
     "StretchSpecTime", "Resample", "GriffinLim",
     "Spectrogram", "Melspectrogram", "FusedMelspectrogram",
     "MelFrontendClassifier",
+    "MFCC", "Loudness", "PitchShift", "Speed", "AddNoise",
+    "Fade", "Vol", "FrequencyMasking", "TimeMasking",
+    "Preemphasis", "Deemphasis", "ComputeDeltas", "SlidingWindowCmn",
+    "SpectralCentroid", "InverseMelScale",
+    "PSD", "SoudenMVDR", "RTFMVDR",
+    "Overdrive", "Phaser", "Flanger", "Contrast",
+    "Lowpass", "Highpass", "Equalizer",
     "view_as_real", "view_as_complex",
 ]

@@ -8,6 +8,15 @@ from .layers import (
     Spectrogram, Melspectrogram, FusedMelspectrogram,
 )
 from .frontend import MelFrontendClassifier
+from .transforms import (
+    MFCC, Loudness, PitchShift, Speed, AddNoise,
+    Fade, Vol, FrequencyMasking, TimeMasking,
+    Preemphasis, Deemphasis, ComputeDeltas, SlidingWindowCmn,
+    SpectralCentroid, InverseMelScale,
+    PSD, SoudenMVDR, RTFMVDR,
+    Overdrive, Phaser, Flanger, Contrast,
+    Lowpass, Highpass, Equalizer,
+)
 
 __all__ = [
     "Transform", "Pipeline",
@@ -18,4 +27,11 @@ __all__ = [
     "StretchSpecTime", "Resample", "GriffinLim",
     "Spectrogram", "Melspectrogram", "FusedMelspectrogram",
     "MelFrontendClassifier",
+    "MFCC", "Loudness", "PitchShift", "Speed", "AddNoise",
+    "Fade", "Vol", "FrequencyMasking", "TimeMasking",
+    "Preemphasis", "Deemphasis", "ComputeDeltas", "SlidingWindowCmn",
+    "SpectralCentroid", "InverseMelScale",
+    "PSD", "SoudenMVDR", "RTFMVDR",
+    "Overdrive", "Phaser", "Flanger", "Contrast",
+    "Lowpass", "Highpass", "Equalizer",
 ]

@@ -49,7 +49,11 @@ from .loudness import loudness, a_weighting
 from .chroma import create_chroma_filter
 from .cqt import cqt_frequencies, create_cqt_kernel, cqt, pseudo_cqt
 from .pitchdetect import detect_pitch_frequency
-from .effects import fade, gain, dither, dcshift, sliding_window_cmn
+from .effects import (fade, gain, dither, dcshift, sliding_window_cmn,
+                      add_noise, speed)
+from .modfx import overdrive, contrast, phaser, flanger
+from .beamform import (psd, mvdr_weights_souden, mvdr_weights_rtf,
+                       rtf_evd, rtf_power, apply_beamforming)
 
 __all__ = [
     "hann_window", "hamming_window", "blackman_window",
@@ -81,4 +85,8 @@ __all__ = [
     "cqt_frequencies", "create_cqt_kernel", "cqt", "pseudo_cqt",
     "detect_pitch_frequency",
     "fade", "gain", "dither", "dcshift", "sliding_window_cmn",
+    "add_noise", "speed",
+    "overdrive", "contrast", "phaser", "flanger",
+    "psd", "mvdr_weights_souden", "mvdr_weights_rtf",
+    "rtf_evd", "rtf_power", "apply_beamforming",
 ]

@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["fade", "gain", "dither", "dcshift", "sliding_window_cmn"]
+__all__ = ["fade", "gain", "dither", "dcshift", "sliding_window_cmn",
+           "add_noise", "speed"]
 
 _FADE_SHAPES = ("linear", "exponential", "logarithmic",
                 "quarter_sine", "half_sine")
@@ -120,6 +121,61 @@ def dither(key, waveform: jnp.ndarray,
             f"unknown density_function {density_function!r}; expected "
             "TPDF, RPDF or GPDF")
     return waveform + lsb * noise
+
+
+def add_noise(waveform: jnp.ndarray, noise: jnp.ndarray, snr,
+              lengths=None) -> jnp.ndarray:
+    """Mix ``noise`` into ``waveform`` at a given signal-to-noise ratio.
+
+    ``snr`` is in dB, broadcast over the leading dims (one value per
+    clip is typical).  ``lengths`` optionally restricts the energy
+    measurement (and the mixing) to the first ``lengths`` samples of
+    each clip — padded tails stay untouched.
+    """
+    waveform = waveform.astype(jnp.promote_types(waveform.dtype,
+                                                 jnp.float32))
+    noise = noise.astype(waveform.dtype)
+    if noise.shape != waveform.shape:
+        raise ValueError(
+            f"noise shape {noise.shape} != waveform {waveform.shape}")
+    snr = jnp.asarray(snr, waveform.dtype)
+    if lengths is not None:
+        mask = (jnp.arange(waveform.shape[-1])
+                < jnp.asarray(lengths)[..., None]).astype(waveform.dtype)
+    else:
+        mask = jnp.ones((), waveform.dtype)
+    e_sig = jnp.sum((waveform * mask) ** 2, axis=-1)
+    e_noi = jnp.maximum(jnp.sum((noise * mask) ** 2, axis=-1), 1e-20)
+    # scale so that e_sig / (scale² e_noi) = 10^(snr/10)
+    scale = jnp.sqrt(e_sig / e_noi) * 10.0 ** (-snr / 20.0)
+    return waveform + scale[..., None] * noise * mask
+
+
+def speed(waveform: jnp.ndarray, orig_freq: int, factor: float,
+          lengths=None):
+    """Speed up (``factor > 1``) or slow down a clip by resampling.
+
+    Changes duration AND pitch together (tape-speed semantics, the
+    usual speed-perturbation augmentation).  Rational approximation of
+    ``factor`` to 1/1000 precision, then one polyphase resample on the
+    MXU (:func:`~.resample.resample`).  Returns ``out`` or
+    ``(out, new_lengths)`` when ``lengths`` is given.
+    """
+    from .resample import resample
+    if factor <= 0:
+        raise ValueError("factor must be positive")
+    source_freq = int(round(factor * 1000.0))
+    target_freq = 1000
+    g = np.gcd(source_freq, target_freq)
+    source_freq //= g
+    target_freq //= g
+    out = resample(waveform, orig_freq * source_freq,
+                   orig_freq * target_freq)
+    if lengths is None:
+        return out
+    new_lengths = jnp.ceil(jnp.asarray(lengths) * target_freq
+                           / source_freq).astype(jnp.int32)
+    return out, new_lengths
 
 
 def sliding_window_cmn(specgram: jnp.ndarray, cmn_window: int = 600,

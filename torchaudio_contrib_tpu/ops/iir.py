@@ -54,17 +54,31 @@ _SCAN_MAX_ORDER = 8   # associative scan memory is T·K² — beyond this,
 
 
 def _fir_part(x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Causal FIR ``Σ_k b[k]·x[n-k]`` along the last axis (one conv)."""
+    """Causal FIR ``Σ_k b[k]·x[n-k]`` along the last axis.
+
+    Short kernels (every biquad, m ≤ 16) are summed as shifted slices —
+    exact IEEE-f32 VPU arithmetic.  A conv would hit the MXU at bf16
+    default precision, which costs ~1e-2 relative on the filter input
+    and showed up as a 0.2 LU device error in BS.1770 loudness.
+    """
     m = b.shape[0]
     if m == 1:
         return x * b[0]
-    lead = x.shape[:-1]
     t = x.shape[-1]
+    if m <= 16:
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(m - 1, 0)])
+        out = b[0] * x
+        for k in range(1, m):
+            out = out + b[k] * jax.lax.slice_in_dim(
+                xp, m - 1 - k, m - 1 - k + t, axis=-1)
+        return out
+    lead = x.shape[:-1]
     xp = jnp.pad(x.reshape((-1, 1, t)), ((0, 0), (0, 0), (m - 1, 0)))
     out = jax.lax.conv_general_dilated(
         xp, b[::-1].reshape(1, 1, m),
         window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCT", "OIT", "NCT"))
+        dimension_numbers=("NCT", "OIT", "NCT"),
+        precision=jax.lax.Precision.HIGHEST)
     return out.reshape(lead + (t,))
 
 
@@ -104,11 +118,21 @@ def _recursive_part(v: jnp.ndarray, a_tail: jnp.ndarray) -> jnp.ndarray:
             [v[..., None], jnp.zeros(lead + (t, k - 1), v.dtype)],
             axis=-1)[..., None]
 
+        def matmul_vpu(x, y):
+            # explicit mul-sum instead of a dot: TPU lowers dots to the
+            # MXU where even HIGHEST is multi-pass bf16 — near-unit-pole
+            # recurrences are conditioned like 1/(1−|p|) and bf16 dots
+            # collapsed the K-weighting filters to ~zero on device
+            # (−300 LKFS; HIGHEST still lost 0.2 dB).  K×K is tiny, so
+            # elementwise IEEE-f32 VPU arithmetic is both exact-grade
+            # and cheaper than MXU tile padding.
+            return jnp.sum(x[..., :, :, None] * y[..., None, :, :],
+                           axis=-2)
+
         def comb(l, r):
             A1, c1 = l
             A2, c2 = r
-            return (jnp.einsum("...ij,...jk->...ik", A2, A1),
-                    jnp.einsum("...ij,...jk->...ik", A2, c1) + c2)
+            return (matmul_vpu(A2, A1), matmul_vpu(A2, c1) + c2)
 
         _, s = jax.lax.associative_scan(comb, (As, cs), axis=-3)
         return s[..., 0, 0]
@@ -119,7 +143,9 @@ def _recursive_part(v: jnp.ndarray, a_tail: jnp.ndarray) -> jnp.ndarray:
     vt = jnp.moveaxis(v, -1, 0)                  # (T, ...)
 
     def step(s, vn):
-        s = jnp.einsum("ij,...j->...i", Aj, s)
+        # mul-sum, not a dot: keep IEEE-f32 VPU arithmetic on TPU (see
+        # the associative-scan path above)
+        s = jnp.sum(Aj * s[..., None, :], axis=-1)
         s = s.at[..., 0].add(vn)
         return s, s[..., 0]
 
