@@ -89,7 +89,10 @@ def test_loudness_jit_and_grad():
     sr = 48000
     x = jnp.asarray(_sine(997.0, sr, 1.0))[None, None, :]
     f = jax.jit(lambda w: L.loudness(w, sr).sum())
-    assert abs(float(f(x)) - float(L.loudness(x, sr).sum())) < 1e-4
+    # jit fusion reassociates the VPU mul-sum in the IIR scan combine
+    # (round 3: dots were banned from recurrences for TPU precision —
+    # ops/iir.py), so jit==eager holds to ~1e-3 LU, not bitwise
+    assert abs(float(f(x)) - float(L.loudness(x, sr).sum())) < 5e-3
     g = jax.grad(f)(x)
     assert np.isfinite(np.asarray(g)).all()
 

@@ -420,3 +420,68 @@ def test_pitch_and_cmn_on_device():
     s = jnp.asarray(rng.standard_normal((2, 13, 300)).astype(np.float32))
     out = E.sliding_window_cmn(s, 100, 50, center=True, norm_vars=True)
     assert abs(float(jnp.mean(out))) < 0.1
+
+
+def test_modfx_and_vad_on_device():
+    """SoX effects (gather-unrolled phaser, scan flanger) and the VAD
+    measure/trigger chain lower and run on hardware."""
+    import importlib
+    from torchaudio_contrib_tpu.ops import modfx as M
+    V = importlib.import_module("torchaudio_contrib_tpu.ops.vad")
+    sr = 16000
+    rng = np.random.default_rng(30)
+    x = jnp.asarray((0.3 * rng.standard_normal((2, sr)))
+                    .astype(np.float32))
+    ph = M.phaser(x, sr)
+    fl = M.flanger(x, sr, depth=2.0, regen=30.0)
+    od = M.overdrive(x)
+    assert np.isfinite(float(jnp.sum(ph + fl + od)))
+    # CPU-vs-device parity for the parallel phaser path
+    import jax as _jax
+    cpu = _jax.devices("cpu")
+    if cpu:
+        with _jax.default_device(cpu[0]):
+            ph_cpu = M.phaser(jnp.asarray(np.asarray(x)), sr)
+        rel = (float(jnp.max(jnp.abs(ph - jnp.asarray(np.asarray(ph_cpu)))))
+               / float(jnp.max(jnp.abs(ph))))
+        assert rel <= 1e-4, rel
+
+    t = np.arange(int(1.5 * sr)) / sr
+    harm = sum(np.sin(2 * np.pi * 120.0 * k * t) / k
+               for k in range(1, 9))
+    env = 0.5 * (1 + np.sin(2 * np.pi * 3.0 * t - np.pi / 2))
+    sp = (0.3 * env * harm).astype(np.float32)
+    clip = jnp.asarray(np.concatenate(
+        [np.zeros(sr, np.float32), sp]))[None]
+    on = int(jax.jit(lambda w: V.vad_onset(w, sr))(clip)[0])
+    assert 0.8 * sr <= on <= 1.5 * sr, on / sr
+
+
+def test_beamforming_on_device():
+    """Batched complex C×C solves + MVDR einsums on TPU; only real
+    scalars are fetched (complex device→host is UNIMPLEMENTED on axon).
+    """
+    from torchaudio_contrib_tpu.ops import beamform as bf
+    rng = np.random.default_rng(31)
+    src = rng.standard_normal(16384).astype(np.float32)
+    gains = np.array([1.0, 0.8, 0.9, 0.7], np.float32)
+    clean = gains[:, None] * src
+    noise = (0.7 * rng.standard_normal((4, 16384))).astype(np.float32)
+    mix = jnp.asarray(clean + noise)
+
+    def pipeline(m, c, n):
+        spec = ops.stft(m, 512, 128)
+        s_spec = ops.stft(c, 512, 128)
+        n_spec = ops.stft(n, 512, 128)
+        w = bf.mvdr_weights_souden(bf.psd(s_spec), bf.psd(n_spec))
+        y = bf.apply_beamforming(w, spec)
+        ref = s_spec[0]
+        e_bf = jnp.sum(jnp.abs(y - ref) ** 2)
+        e_raw = jnp.sum(jnp.abs(spec[0] - ref) ** 2)
+        return jnp.stack([e_bf, e_raw, jnp.sum(jnp.abs(ref) ** 2)])
+
+    out = np.asarray(jax.jit(pipeline)(
+        mix, jnp.asarray(clean), jnp.asarray(noise)))
+    snr_bf = 10 * np.log10(out[2] / out[0])
+    snr_raw = 10 * np.log10(out[2] / out[1])
+    assert snr_bf > snr_raw + 3.0, (snr_bf, snr_raw)

@@ -15,7 +15,7 @@ from . import ops, models, parallel, utils, io
 from .ops import (
     stft, istft, frame_signal, num_frames, stft_output_length,
     complex_norm, angle, magphase,
-    hertz_to_mel, mel_to_hertz, create_mel_filter, apply_filterbank,
+    hertz_to_mel, mel_to_hertz, create_mel_filter, create_linear_filter, apply_filterbank,
     amplitude_to_db, db_to_amplitude,
     mu_law_encoding, mu_law_decoding,
     phase_vocoder, compute_phase_advance,
@@ -23,13 +23,13 @@ from .ops import (
     griffin_lim,
     create_inverse_mel_filter, mel_to_linear, mel_to_audio,
     resample,
-    create_dct, mfcc,
+    create_dct, mfcc, lfcc,
     mask_along_axis, time_mask, freq_mask,
     pitch_shift,
     compute_deltas, preemphasis, deemphasis,
     spectral_centroid, spectral_bandwidth, spectral_rolloff,
     spectral_flatness, zero_crossing_rate,
-    lfilter, biquad, lowpass_biquad, highpass_biquad,
+    lfilter, filtfilt, biquad, lowpass_biquad, highpass_biquad,
     bandpass_biquad, bandreject_biquad, allpass_biquad,
     equalizer_biquad, bass_biquad, treble_biquad,
     loudness, a_weighting,
@@ -39,6 +39,8 @@ from .ops import (
     fade, gain, dither, dcshift, sliding_window_cmn,
     add_noise, speed,
     overdrive, contrast, phaser, flanger,
+    vad, vad_onset,
+    convolve, fftconvolve, simulate_rir_ism,
     psd, mvdr_weights_souden, mvdr_weights_rtf,
     rtf_evd, rtf_power, apply_beamforming,
     hann_window, hamming_window, blackman_window, get_window,
@@ -50,7 +52,7 @@ from .models import (
     Fade, Vol, FrequencyMasking, TimeMasking,
     Preemphasis, Deemphasis, ComputeDeltas, SlidingWindowCmn,
     SpectralCentroid, InverseMelScale,
-    PSD, SoudenMVDR, RTFMVDR,
+    PSD, SoudenMVDR, RTFMVDR, Vad,
     Overdrive, Phaser, Flanger, Contrast,
     Lowpass, Highpass, Equalizer,
     Transform, Pipeline,
@@ -69,7 +71,7 @@ __all__ = [
     "ops", "models", "parallel", "utils", "io",
     "stft", "istft", "frame_signal", "num_frames", "stft_output_length",
     "complex_norm", "angle", "magphase",
-    "hertz_to_mel", "mel_to_hertz", "create_mel_filter", "apply_filterbank",
+    "hertz_to_mel", "mel_to_hertz", "create_mel_filter", "create_linear_filter", "apply_filterbank",
     "amplitude_to_db", "db_to_amplitude",
     "mu_law_encoding", "mu_law_decoding",
     "phase_vocoder", "compute_phase_advance",
@@ -78,13 +80,13 @@ __all__ = [
     "griffin_lim",
     "create_inverse_mel_filter", "mel_to_linear", "mel_to_audio",
     "resample",
-    "create_dct", "mfcc",
+    "create_dct", "mfcc", "lfcc",
     "mask_along_axis", "time_mask", "freq_mask",
     "pitch_shift",
     "compute_deltas", "preemphasis", "deemphasis",
     "spectral_centroid", "spectral_bandwidth", "spectral_rolloff",
     "spectral_flatness", "zero_crossing_rate",
-    "lfilter", "biquad", "lowpass_biquad", "highpass_biquad",
+    "lfilter", "filtfilt", "biquad", "lowpass_biquad", "highpass_biquad",
     "bandpass_biquad", "bandreject_biquad", "allpass_biquad",
     "equalizer_biquad", "bass_biquad", "treble_biquad",
     "loudness", "a_weighting",
@@ -94,6 +96,8 @@ __all__ = [
     "fade", "gain", "dither", "dcshift", "sliding_window_cmn",
     "add_noise", "speed",
     "overdrive", "contrast", "phaser", "flanger",
+    "vad", "vad_onset",
+    "convolve", "fftconvolve", "simulate_rir_ism",
     "psd", "mvdr_weights_souden", "mvdr_weights_rtf",
     "rtf_evd", "rtf_power", "apply_beamforming",
     "hann_window", "hamming_window", "blackman_window", "get_window",
@@ -109,7 +113,7 @@ __all__ = [
     "Fade", "Vol", "FrequencyMasking", "TimeMasking",
     "Preemphasis", "Deemphasis", "ComputeDeltas", "SlidingWindowCmn",
     "SpectralCentroid", "InverseMelScale",
-    "PSD", "SoudenMVDR", "RTFMVDR",
+    "PSD", "SoudenMVDR", "RTFMVDR", "Vad",
     "Overdrive", "Phaser", "Flanger", "Contrast",
     "Lowpass", "Highpass", "Equalizer",
     "view_as_real", "view_as_complex",

@@ -13,7 +13,7 @@ from .transforms import (
     Fade, Vol, FrequencyMasking, TimeMasking,
     Preemphasis, Deemphasis, ComputeDeltas, SlidingWindowCmn,
     SpectralCentroid, InverseMelScale,
-    PSD, SoudenMVDR, RTFMVDR,
+    PSD, SoudenMVDR, RTFMVDR, Vad,
     Overdrive, Phaser, Flanger, Contrast,
     Lowpass, Highpass, Equalizer,
 )
@@ -31,7 +31,7 @@ __all__ = [
     "Fade", "Vol", "FrequencyMasking", "TimeMasking",
     "Preemphasis", "Deemphasis", "ComputeDeltas", "SlidingWindowCmn",
     "SpectralCentroid", "InverseMelScale",
-    "PSD", "SoudenMVDR", "RTFMVDR",
+    "PSD", "SoudenMVDR", "RTFMVDR", "Vad",
     "Overdrive", "Phaser", "Flanger", "Contrast",
     "Lowpass", "Highpass", "Equalizer",
 ]

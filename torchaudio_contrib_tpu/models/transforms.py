@@ -23,7 +23,7 @@ __all__ = [
     "Fade", "Vol", "FrequencyMasking", "TimeMasking",
     "Preemphasis", "Deemphasis", "ComputeDeltas", "SlidingWindowCmn",
     "SpectralCentroid", "InverseMelScale",
-    "PSD", "SoudenMVDR", "RTFMVDR",
+    "PSD", "SoudenMVDR", "RTFMVDR", "Vad",
     "Overdrive", "Phaser", "Flanger", "Contrast",
     "Lowpass", "Highpass", "Equalizer",
 ]
@@ -335,3 +335,15 @@ class Equalizer(Transform):
 
     def __call__(self, x, params=None):
         return _ops.equalizer_biquad(x, *self.kw)
+
+
+class Vad(Transform):
+    """Per-clip voice-onset index (jit-able; see ``ops/vad.py`` for the
+    onset-vs-trim API split)."""
+
+    def __init__(self, sample_rate: int, **kwargs):
+        self.sample_rate, self.kw = sample_rate, kwargs
+        self._config = (sample_rate,) + tuple(sorted(kwargs.items()))
+
+    def __call__(self, x, params=None):
+        return _ops.vad_onset(x, self.sample_rate, **self.kw)

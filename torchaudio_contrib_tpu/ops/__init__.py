@@ -23,6 +23,7 @@ from .filters import (
     hertz_to_mel,
     mel_to_hertz,
     create_mel_filter,
+    create_linear_filter,
     apply_filterbank,
 )
 from .db import amplitude_to_db, db_to_amplitude
@@ -35,14 +36,14 @@ from .fused_griffinlim import fused_gl_supported
 from .melinv import (create_inverse_mel_filter, mel_to_linear,
                      mel_to_audio)
 from .resample import resample
-from .mfcc import create_dct, mfcc
+from .mfcc import create_dct, mfcc, lfcc
 from .augment import mask_along_axis, time_mask, freq_mask
 from .pitch import pitch_shift
 from .features import compute_deltas, preemphasis, deemphasis
 from .spectral import (spectral_centroid, spectral_bandwidth,
                        spectral_rolloff, spectral_flatness,
                        zero_crossing_rate)
-from .iir import (lfilter, biquad, lowpass_biquad, highpass_biquad,
+from .iir import (lfilter, filtfilt, biquad, lowpass_biquad, highpass_biquad,
                   bandpass_biquad, bandreject_biquad, allpass_biquad,
                   equalizer_biquad, bass_biquad, treble_biquad)
 from .loudness import loudness, a_weighting
@@ -52,6 +53,9 @@ from .pitchdetect import detect_pitch_frequency
 from .effects import (fade, gain, dither, dcshift, sliding_window_cmn,
                       add_noise, speed)
 from .modfx import overdrive, contrast, phaser, flanger
+from .vad import vad, vad_onset
+from .convolve import convolve, fftconvolve
+from .rir import simulate_rir_ism
 from .beamform import (psd, mvdr_weights_souden, mvdr_weights_rtf,
                        rtf_evd, rtf_power, apply_beamforming)
 
@@ -62,7 +66,7 @@ __all__ = [
     "get_window", "cola_window_sum", "check_nola",
     "stft", "istft", "frame_signal", "num_frames", "stft_output_length",
     "complex_norm", "angle", "magphase",
-    "hertz_to_mel", "mel_to_hertz", "create_mel_filter", "apply_filterbank",
+    "hertz_to_mel", "mel_to_hertz", "create_mel_filter", "create_linear_filter", "apply_filterbank",
     "amplitude_to_db", "db_to_amplitude",
     "mu_law_encoding", "mu_law_decoding",
     "phase_vocoder", "compute_phase_advance",
@@ -71,13 +75,13 @@ __all__ = [
     "griffin_lim", "fused_gl_supported",
     "create_inverse_mel_filter", "mel_to_linear", "mel_to_audio",
     "resample",
-    "create_dct", "mfcc",
+    "create_dct", "mfcc", "lfcc",
     "mask_along_axis", "time_mask", "freq_mask",
     "pitch_shift",
     "compute_deltas", "preemphasis", "deemphasis",
     "spectral_centroid", "spectral_bandwidth", "spectral_rolloff",
     "spectral_flatness", "zero_crossing_rate",
-    "lfilter", "biquad", "lowpass_biquad", "highpass_biquad",
+    "lfilter", "filtfilt", "biquad", "lowpass_biquad", "highpass_biquad",
     "bandpass_biquad", "bandreject_biquad", "allpass_biquad",
     "equalizer_biquad", "bass_biquad", "treble_biquad",
     "loudness", "a_weighting",
@@ -87,6 +91,8 @@ __all__ = [
     "fade", "gain", "dither", "dcshift", "sliding_window_cmn",
     "add_noise", "speed",
     "overdrive", "contrast", "phaser", "flanger",
+    "vad", "vad_onset",
+    "convolve", "fftconvolve", "simulate_rir_ism",
     "psd", "mvdr_weights_souden", "mvdr_weights_rtf",
     "rtf_evd", "rtf_power", "apply_beamforming",
 ]

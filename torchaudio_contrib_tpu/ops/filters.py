@@ -107,3 +107,38 @@ def apply_filterbank(mag_specgrams: jnp.ndarray,
         precision = jax.lax.Precision.HIGHEST
     return jnp.einsum("...ft,fm->...mt", mag_specgrams, filterbank,
                       precision=precision)
+
+
+@functools.lru_cache(maxsize=32)
+def _linear_filter_np(n_filter: int, sample_rate: float, f_min: float,
+                      f_max: float, num_bins: int) -> np.ndarray:
+    """Float64 triangular filterbank with corners linearly spaced in
+    Hz ``(num_bins, n_filter)`` (torchaudio's ``linear_fbanks``
+    construction — the LFCC front end)."""
+    all_freqs = np.linspace(0.0, sample_rate / 2.0, num_bins)
+    f_pts = np.linspace(f_min, f_max, n_filter + 2)
+    f_diff = f_pts[1:] - f_pts[:-1]
+    slopes = f_pts[None, :] - all_freqs[:, None]
+    down = -slopes[:, :-2] / f_diff[None, :-1]
+    up = slopes[:, 2:] / f_diff[None, 1:]
+    return np.maximum(0.0, np.minimum(down, up))
+
+
+def create_linear_filter(n_filter: int = 128,
+                         sample_rate: float = 22050,
+                         f_min: float = 0.0,
+                         f_max: Optional[float] = None,
+                         num_bins: int = 1025,
+                         dtype=jnp.float32) -> jnp.ndarray:
+    """Linear-frequency triangular filterbank ``(num_bins, n_filter)``.
+
+    Same contract as :func:`create_mel_filter` with corners spaced
+    linearly in Hz instead of on the mel scale; apply with
+    :func:`apply_filterbank` (or splice into a pipeline / the fused
+    kernel, which accepts any filterbank matrix).
+    """
+    if f_max is None:
+        f_max = sample_rate / 2.0
+    fb = _linear_filter_np(int(n_filter), float(sample_rate),
+                           float(f_min), float(f_max), int(num_bins))
+    return jnp.asarray(fb, dtype=dtype)

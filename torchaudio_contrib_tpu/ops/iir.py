@@ -292,3 +292,24 @@ def treble_biquad(waveform, sample_rate: float, gain_db: float,
     """RBJ high-shelf (treble control)."""
     b, a = _rbj("highshelf", sample_rate, central_freq, Q, gain_db)
     return lfilter(waveform, a, b)
+
+
+def filtfilt(waveform: jnp.ndarray, a_coeffs, b_coeffs,
+             *, clamp: bool = False) -> jnp.ndarray:
+    """Zero-phase forward-backward IIR filtering.
+
+    Zero initial state in both passes and no edge extension — the
+    literal ``lfilter → flip → lfilter → flip`` composition (this is
+    torchaudio's semantics; ``scipy.signal.filtfilt`` additionally
+    seeds each pass with ``lfilter_zi``-matched initial conditions, so
+    the two differ within a filter-settling length of the edges).
+
+    Runs :func:`lfilter` twice with a time flip in between — both
+    passes are the same log-depth associative scan, so the whole thing
+    stays one compiled program with O(log T) depth.
+    """
+    y = lfilter(waveform, a_coeffs, b_coeffs)
+    y = lfilter(y[..., ::-1], a_coeffs, b_coeffs)[..., ::-1]
+    if clamp:
+        y = jnp.clip(y, -1.0, 1.0)
+    return y

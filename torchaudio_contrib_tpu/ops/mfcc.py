@@ -100,3 +100,55 @@ def mfcc(waveform: jnp.ndarray,
     dct = create_dct(n_mfcc, num_mels, norm)
     return jnp.einsum("...mt,mk->...kt", mel_db, dct,
                       precision=jax.lax.Precision.HIGHEST)
+
+
+def lfcc(waveform: jnp.ndarray,
+         sample_rate: float = 22050,
+         n_lfcc: int = 20,
+         n_filter: int = 128,
+         fft_length: int = 2048,
+         hop_length: int = 512,
+         f_min: float = 0.0,
+         f_max: Optional[float] = None,
+         window="hann",
+         norm: Optional[str] = "ortho",
+         top_db: Optional[float] = None,
+         center: bool = True,
+         use_fused: bool = False,
+         precision: str = "auto") -> jnp.ndarray:
+    """Linear-frequency cepstral coefficients ``(..., n_lfcc, frames)``.
+
+    Identical chain to :func:`mfcc` with the triangular filterbank's
+    corners spaced linearly in Hz (:func:`~.filters
+    .create_linear_filter`) instead of on the mel scale — the
+    torchaudio ``LFCC`` front end.  All :func:`mfcc` engine rules apply
+    (``use_fused`` runs the same single-kernel path — the Pallas kernel
+    takes an arbitrary filterbank matrix; ``top_db`` is incompatible
+    with it and raises).
+    """
+    from .filters import create_linear_filter
+    if precision != "auto" and not use_fused:
+        raise ValueError("precision selects the fused-kernel mode; "
+                         "pass use_fused=True with it")
+    if use_fused and top_db is not None:
+        raise ValueError(
+            "use_fused=True cannot honor top_db (a per-example max "
+            "reduction cannot run inside the tiled kernel); drop "
+            "top_db or use use_fused=False")
+    fb = create_linear_filter(n_filter, sample_rate, f_min, f_max,
+                              fft_length // 2 + 1)
+    if use_fused:
+        from .fused import fused_melspectrogram
+        lin_db = fused_melspectrogram(waveform, fb, fft_length,
+                                      hop_length, window, 2.0, True,
+                                      precision=precision,
+                                      center=center)
+    else:
+        spec = _stft(waveform, fft_length, hop_length, window=window,
+                     center=center)
+        p = complex_norm(spec, 2.0)
+        lin = apply_filterbank(p, fb)
+        lin_db = amplitude_to_db(lin, power=2.0, top_db=top_db)
+    dct = create_dct(n_lfcc, n_filter, norm)
+    return jnp.einsum("...mt,mk->...kt", lin_db, dct,
+                      precision=jax.lax.Precision.HIGHEST)
