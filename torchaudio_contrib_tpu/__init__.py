@@ -40,7 +40,7 @@ from .ops import (
     add_noise, speed,
     overdrive, contrast, phaser, flanger,
     vad, vad_onset,
-    convolve, fftconvolve, simulate_rir_ism,
+    convolve, fftconvolve, simulate_rir_ism, forced_align,
     psd, mvdr_weights_souden, mvdr_weights_rtf,
     rtf_evd, rtf_power, apply_beamforming,
     hann_window, hamming_window, blackman_window, get_window,
@@ -97,7 +97,7 @@ __all__ = [
     "add_noise", "speed",
     "overdrive", "contrast", "phaser", "flanger",
     "vad", "vad_onset",
-    "convolve", "fftconvolve", "simulate_rir_ism",
+    "convolve", "fftconvolve", "simulate_rir_ism", "forced_align",
     "psd", "mvdr_weights_souden", "mvdr_weights_rtf",
     "rtf_evd", "rtf_power", "apply_beamforming",
     "hann_window", "hamming_window", "blackman_window", "get_window",

@@ -56,6 +56,7 @@ from .modfx import overdrive, contrast, phaser, flanger
 from .vad import vad, vad_onset
 from .convolve import convolve, fftconvolve
 from .rir import simulate_rir_ism
+from .align import forced_align
 from .beamform import (psd, mvdr_weights_souden, mvdr_weights_rtf,
                        rtf_evd, rtf_power, apply_beamforming)
 
@@ -92,7 +93,7 @@ __all__ = [
     "add_noise", "speed",
     "overdrive", "contrast", "phaser", "flanger",
     "vad", "vad_onset",
-    "convolve", "fftconvolve", "simulate_rir_ism",
+    "convolve", "fftconvolve", "simulate_rir_ism", "forced_align",
     "psd", "mvdr_weights_souden", "mvdr_weights_rtf",
     "rtf_evd", "rtf_power", "apply_beamforming",
 ]
