@@ -40,7 +40,9 @@ from .ops import (
     add_noise, speed,
     overdrive, contrast, phaser, flanger,
     vad, vad_onset,
-    convolve, fftconvolve, simulate_rir_ism, forced_align,
+    convolve, fftconvolve, simulate_rir_ism,
+    forced_align, merge_tokens, TokenSpan,
+    edit_distance, edit_distance_batched,
     psd, mvdr_weights_souden, mvdr_weights_rtf,
     rtf_evd, rtf_power, apply_beamforming,
     hann_window, hamming_window, blackman_window, get_window,
@@ -97,7 +99,9 @@ __all__ = [
     "add_noise", "speed",
     "overdrive", "contrast", "phaser", "flanger",
     "vad", "vad_onset",
-    "convolve", "fftconvolve", "simulate_rir_ism", "forced_align",
+    "convolve", "fftconvolve", "simulate_rir_ism",
+    "forced_align", "merge_tokens", "TokenSpan",
+    "edit_distance", "edit_distance_batched",
     "psd", "mvdr_weights_souden", "mvdr_weights_rtf",
     "rtf_evd", "rtf_power", "apply_beamforming",
     "hann_window", "hamming_window", "blackman_window", "get_window",

@@ -56,7 +56,8 @@ from .modfx import overdrive, contrast, phaser, flanger
 from .vad import vad, vad_onset
 from .convolve import convolve, fftconvolve
 from .rir import simulate_rir_ism
-from .align import forced_align
+from .align import forced_align, merge_tokens, TokenSpan
+from .edit import edit_distance, edit_distance_batched
 from .beamform import (psd, mvdr_weights_souden, mvdr_weights_rtf,
                        rtf_evd, rtf_power, apply_beamforming)
 
@@ -93,7 +94,9 @@ __all__ = [
     "add_noise", "speed",
     "overdrive", "contrast", "phaser", "flanger",
     "vad", "vad_onset",
-    "convolve", "fftconvolve", "simulate_rir_ism", "forced_align",
+    "convolve", "fftconvolve", "simulate_rir_ism",
+    "forced_align", "merge_tokens", "TokenSpan",
+    "edit_distance", "edit_distance_batched",
     "psd", "mvdr_weights_souden", "mvdr_weights_rtf",
     "rtf_evd", "rtf_power", "apply_beamforming",
 ]

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["forced_align"]
+__all__ = ["forced_align", "merge_tokens", "TokenSpan"]
 
 _NEG = -1e30
 
@@ -144,3 +144,54 @@ def forced_align(log_probs: jnp.ndarray, targets: jnp.ndarray,
         lambda lp, tg, il, tl: _align_single(lp, tg, il, tl, blank)
     )(log_probs, targets, input_lengths, target_lengths)
     return align.astype(jnp.int32), scores
+
+
+class TokenSpan:
+    """One aligned token occurrence: ``token`` over frames
+    ``[start, end)`` with the mean of its frame ``score`` s."""
+
+    __slots__ = ("token", "start", "end", "score")
+
+    def __init__(self, token, start, end, score):
+        self.token, self.start = int(token), int(start)
+        self.end, self.score = int(end), float(score)
+
+    def __len__(self):
+        return self.end - self.start
+
+    def __repr__(self):
+        return (f"TokenSpan(token={self.token}, start={self.start}, "
+                f"end={self.end}, score={self.score:.4f})")
+
+    def __eq__(self, other):
+        return (isinstance(other, TokenSpan)
+                and (self.token, self.start, self.end)
+                == (other.token, other.start, other.end))
+
+
+def merge_tokens(tokens, scores, blank: int = 0):
+    """Collapse a frame-level alignment into ``TokenSpan`` s.
+
+    ``tokens``/``scores`` are one sequence's ``(time,)`` outputs of
+    :func:`forced_align`.  Consecutive equal non-blank frames form one
+    span (CTC separates repeated tokens with blanks, so contiguity is
+    unambiguous); a span's ``score`` is the mean of its frame scores.
+    Host-side (variable-length output — inherently not jit-able).
+    """
+    tokens = np.asarray(tokens)
+    scores = np.asarray(scores)
+    if tokens.ndim != 1 or scores.shape != tokens.shape:
+        raise ValueError("merge_tokens takes one sequence: tokens and "
+                         "scores must both be (time,)")
+    t_len = tokens.shape[0]
+    spans = []
+    start = None
+    for t in range(t_len + 1):
+        here = int(tokens[t]) if t < t_len else blank
+        if start is not None and (t == t_len or here != int(tokens[start])):
+            spans.append(TokenSpan(tokens[start], start, t,
+                                   scores[start:t].mean()))
+            start = None
+        if t < t_len and here != blank and start is None:
+            start = t
+    return spans
