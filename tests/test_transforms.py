@@ -170,3 +170,14 @@ def test_wrappers_are_hashable_configs():
     assert a == b and hash(a) == hash(b) and a != c
     d = {a: 1, c: 2}
     assert d[b] == 1
+
+
+def test_rnnt_loss_transform_matches_functional():
+    rng = np.random.default_rng(11)
+    z = jnp.asarray(rng.standard_normal((2, 6, 4, 5)), jnp.float32)
+    tgt = jnp.asarray(rng.integers(1, 5, (2, 3)), jnp.int32)
+    t = tac.RNNTLoss(blank=0)
+    np.testing.assert_allclose(
+        float(t(z, tgt)), float(tac.rnnt_loss(z, tgt, blank=0)))
+    assert t == tac.RNNTLoss(blank=0)
+    assert t != tac.RNNTLoss(blank=0, reduction="sum")

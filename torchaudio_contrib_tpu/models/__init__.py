@@ -15,7 +15,7 @@ from .transforms import (
     SpectralCentroid, InverseMelScale,
     PSD, SoudenMVDR, RTFMVDR, Vad,
     Overdrive, Phaser, Flanger, Contrast,
-    Lowpass, Highpass, Equalizer,
+    Lowpass, Highpass, Equalizer, RNNTLoss,
 )
 
 __all__ = [
@@ -33,5 +33,5 @@ __all__ = [
     "SpectralCentroid", "InverseMelScale",
     "PSD", "SoudenMVDR", "RTFMVDR", "Vad",
     "Overdrive", "Phaser", "Flanger", "Contrast",
-    "Lowpass", "Highpass", "Equalizer",
+    "Lowpass", "Highpass", "Equalizer", "RNNTLoss",
 ]

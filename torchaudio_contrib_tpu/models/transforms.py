@@ -25,7 +25,7 @@ __all__ = [
     "SpectralCentroid", "InverseMelScale",
     "PSD", "SoudenMVDR", "RTFMVDR", "Vad",
     "Overdrive", "Phaser", "Flanger", "Contrast",
-    "Lowpass", "Highpass", "Equalizer",
+    "Lowpass", "Highpass", "Equalizer", "RNNTLoss",
 ]
 
 
@@ -347,3 +347,23 @@ class Vad(Transform):
 
     def __call__(self, x, params=None):
         return _ops.vad_onset(x, self.sample_rate, **self.kw)
+
+
+class RNNTLoss(Transform):
+    """Transducer loss wrapper over ``ops/rnnt.py::rnnt_loss``.
+
+    ``__call__(logits, targets, logit_lengths, target_lengths)`` —
+    a loss takes the lattice plus labels, so this transform departs
+    from the single-``x`` call shape (as torchaudio's does)."""
+
+    def __init__(self, blank: int = -1, clamp: float = -1.0,
+                 reduction: str = "mean",
+                 fused_log_softmax: bool = True):
+        self.kw = dict(blank=blank, clamp=clamp, reduction=reduction,
+                       fused_log_softmax=fused_log_softmax)
+        self._config = tuple(sorted(self.kw.items()))
+
+    def __call__(self, logits, targets, logit_lengths=None,
+                 target_lengths=None):
+        return _ops.rnnt_loss(logits, targets, logit_lengths,
+                              target_lengths, **self.kw)

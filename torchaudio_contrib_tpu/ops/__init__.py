@@ -58,6 +58,7 @@ from .convolve import convolve, fftconvolve
 from .rir import simulate_rir_ism
 from .align import forced_align, merge_tokens, TokenSpan
 from .edit import edit_distance, edit_distance_batched
+from .rnnt import rnnt_loss
 from .beamform import (psd, mvdr_weights_souden, mvdr_weights_rtf,
                        rtf_evd, rtf_power, apply_beamforming)
 
@@ -96,7 +97,7 @@ __all__ = [
     "vad", "vad_onset",
     "convolve", "fftconvolve", "simulate_rir_ism",
     "forced_align", "merge_tokens", "TokenSpan",
-    "edit_distance", "edit_distance_batched",
+    "edit_distance", "edit_distance_batched", "rnnt_loss",
     "psd", "mvdr_weights_souden", "mvdr_weights_rtf",
     "rtf_evd", "rtf_power", "apply_beamforming",
 ]
