@@ -9,7 +9,7 @@ reference's ``__init__.py`` convention [SURVEY.md §2 #15].
 
 __version__ = "0.1.0"
 
-from . import ops, models, parallel, utils, io
+from . import ops, models, parallel, utils, io, compliance
 
 # functional core (flat, reference-style)
 from .ops import (
@@ -42,7 +42,7 @@ from .ops import (
     vad, vad_onset,
     convolve, fftconvolve, simulate_rir_ism,
     forced_align, merge_tokens, TokenSpan,
-    edit_distance, edit_distance_batched,
+    edit_distance, edit_distance_batched, rnnt_loss,
     psd, mvdr_weights_souden, mvdr_weights_rtf,
     rtf_evd, rtf_power, apply_beamforming,
     hann_window, hamming_window, blackman_window, get_window,
@@ -56,7 +56,7 @@ from .models import (
     SpectralCentroid, InverseMelScale,
     PSD, SoudenMVDR, RTFMVDR, Vad,
     Overdrive, Phaser, Flanger, Contrast,
-    Lowpass, Highpass, Equalizer,
+    Lowpass, Highpass, Equalizer, RNNTLoss,
     Transform, Pipeline,
     STFT, ISTFT, ComplexNorm,
     Filterbank, MelFilterbank, ChromaFilterbank, ApplyFilterbank,
@@ -70,7 +70,7 @@ from .models import (
 from .utils import view_as_real, view_as_complex
 
 __all__ = [
-    "ops", "models", "parallel", "utils", "io",
+    "ops", "models", "parallel", "utils", "io", "compliance",
     "stft", "istft", "frame_signal", "num_frames", "stft_output_length",
     "complex_norm", "angle", "magphase",
     "hertz_to_mel", "mel_to_hertz", "create_mel_filter", "create_linear_filter", "apply_filterbank",
@@ -101,7 +101,7 @@ __all__ = [
     "vad", "vad_onset",
     "convolve", "fftconvolve", "simulate_rir_ism",
     "forced_align", "merge_tokens", "TokenSpan",
-    "edit_distance", "edit_distance_batched",
+    "edit_distance", "edit_distance_batched", "rnnt_loss",
     "psd", "mvdr_weights_souden", "mvdr_weights_rtf",
     "rtf_evd", "rtf_power", "apply_beamforming",
     "hann_window", "hamming_window", "blackman_window", "get_window",
@@ -119,6 +119,6 @@ __all__ = [
     "SpectralCentroid", "InverseMelScale",
     "PSD", "SoudenMVDR", "RTFMVDR", "Vad",
     "Overdrive", "Phaser", "Flanger", "Contrast",
-    "Lowpass", "Highpass", "Equalizer",
+    "Lowpass", "Highpass", "Equalizer", "RNNTLoss",
     "view_as_real", "view_as_complex",
 ]
