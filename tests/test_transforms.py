@@ -181,3 +181,28 @@ def test_rnnt_loss_transform_matches_functional():
         float(t(z, tgt)), float(tac.rnnt_loss(z, tgt, blank=0)))
     assert t == tac.RNNTLoss(blank=0)
     assert t != tac.RNNTLoss(blank=0, reduction="sum")
+
+
+def test_convolve_lfcc_speedperturb_wrappers():
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal(500), jnp.float32)
+    k = jnp.ones(7) / 7
+    np.testing.assert_allclose(
+        np.asarray(tac.Convolve("same")(x, k)),
+        np.asarray(tac.ops.convolve(x, k, mode="same")), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(tac.FFTConvolve("full")(x, k)),
+        np.asarray(tac.ops.fftconvolve(x, k, mode="full")), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(tac.LFCC(sample_rate=8000, fft_length=256,
+                            hop_length=128)(x)),
+        np.asarray(tac.ops.lfcc(x, sample_rate=8000, fft_length=256,
+                                hop_length=128)), atol=1e-6)
+    sp = tac.SpeedPerturbation(16000, [0.9, 1.1])
+    key = jax.random.PRNGKey(0)
+    out1 = sp(x, key)
+    out2 = sp(x, key)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    assert out1.shape[-1] != x.shape[-1]  # 0.9 or 1.1 both change length
+    with pytest.raises(ValueError):
+        tac.SpeedPerturbation(16000, [])

@@ -57,6 +57,7 @@ from .models import (
     PSD, SoudenMVDR, RTFMVDR, Vad,
     Overdrive, Phaser, Flanger, Contrast,
     Lowpass, Highpass, Equalizer, RNNTLoss,
+    LFCC, Convolve, FFTConvolve, SpeedPerturbation,
     Transform, Pipeline,
     STFT, ISTFT, ComplexNorm,
     Filterbank, MelFilterbank, ChromaFilterbank, ApplyFilterbank,
@@ -120,5 +121,6 @@ __all__ = [
     "PSD", "SoudenMVDR", "RTFMVDR", "Vad",
     "Overdrive", "Phaser", "Flanger", "Contrast",
     "Lowpass", "Highpass", "Equalizer", "RNNTLoss",
+    "LFCC", "Convolve", "FFTConvolve", "SpeedPerturbation",
     "view_as_real", "view_as_complex",
 ]

@@ -16,6 +16,7 @@ from .transforms import (
     PSD, SoudenMVDR, RTFMVDR, Vad,
     Overdrive, Phaser, Flanger, Contrast,
     Lowpass, Highpass, Equalizer, RNNTLoss,
+    LFCC, Convolve, FFTConvolve, SpeedPerturbation,
 )
 
 __all__ = [
@@ -34,4 +35,5 @@ __all__ = [
     "PSD", "SoudenMVDR", "RTFMVDR", "Vad",
     "Overdrive", "Phaser", "Flanger", "Contrast",
     "Lowpass", "Highpass", "Equalizer", "RNNTLoss",
+    "LFCC", "Convolve", "FFTConvolve", "SpeedPerturbation",
 ]

@@ -26,6 +26,7 @@ __all__ = [
     "PSD", "SoudenMVDR", "RTFMVDR", "Vad",
     "Overdrive", "Phaser", "Flanger", "Contrast",
     "Lowpass", "Highpass", "Equalizer", "RNNTLoss",
+    "LFCC", "Convolve", "FFTConvolve", "SpeedPerturbation",
 ]
 
 
@@ -367,3 +368,61 @@ class RNNTLoss(Transform):
                  target_lengths=None):
         return _ops.rnnt_loss(logits, targets, logit_lengths,
                               target_lengths, **self.kw)
+
+
+class LFCC(Transform):
+    """Waveform → LFCC (linear-frequency cepstra; ``ops/mfcc.py``)."""
+
+    def __init__(self, sample_rate: int = 22050, n_lfcc: int = 20,
+                 n_filter: int = 128, fft_length: int = 2048,
+                 hop_length: int = 512, **kwargs):
+        self.kw = dict(sample_rate=sample_rate, n_lfcc=n_lfcc,
+                       n_filter=n_filter, fft_length=fft_length,
+                       hop_length=hop_length, **kwargs)
+        self._config = tuple(sorted(self.kw.items()))
+
+    def __call__(self, x, params=None):
+        return _ops.lfcc(x, **self.kw)
+
+
+class Convolve(Transform):
+    """Direct convolution with a second signal (``__call__(x, y)``)."""
+
+    def __init__(self, mode: str = "full"):
+        self.mode = mode
+        self._config = (mode,)
+
+    def __call__(self, x, y, params=None):
+        return _ops.convolve(x, y, mode=self.mode)
+
+
+class FFTConvolve(Transform):
+    """FFT convolution with a second signal (``__call__(x, y)``)."""
+
+    def __init__(self, mode: str = "full"):
+        self.mode = mode
+        self._config = (mode,)
+
+    def __call__(self, x, y, params=None):
+        return _ops.fftconvolve(x, y, mode=self.mode)
+
+
+class SpeedPerturbation(Transform):
+    """Random tape-speed augmentation: each call picks one factor from
+    ``factors`` with the explicit PRNG ``key`` and applies
+    ``ops.speed``.  The factor choice is made EAGERLY (each factor has
+    its own static resample ratio, hence its own compiled program), so
+    wrap the chosen-factor call in jit, not this dispatcher."""
+
+    def __init__(self, orig_freq: int, factors):
+        self.orig_freq = orig_freq
+        self.factors = tuple(float(f) for f in factors)
+        if not self.factors or any(f <= 0 for f in self.factors):
+            raise ValueError("factors must be a non-empty positive list")
+        self._config = (orig_freq,) + self.factors
+
+    def __call__(self, x, key, lengths=None, params=None):
+        import jax as _jax
+        i = int(_jax.random.randint(key, (), 0, len(self.factors)))
+        return _ops.speed(x, self.orig_freq, self.factors[i],
+                          lengths=lengths)
