@@ -485,3 +485,83 @@ def test_beamforming_on_device():
     snr_bf = 10 * np.log10(out[2] / out[0])
     snr_raw = 10 * np.log10(out[2] / out[1])
     assert snr_bf > snr_raw + 3.0, (snr_bf, snr_raw)
+
+
+def test_asr_ops_on_device():
+    """forced_align / rnnt_loss / edit_distance_batched on real TPU:
+    integer outputs exact, losses vs float64 NumPy DP."""
+    from torchaudio_contrib_tpu.ops import (forced_align, rnnt_loss,
+                                            edit_distance_batched)
+    rng = np.random.default_rng(40)
+    # peaked emissions align exactly
+    frames = [0, 1, 1, 0, 2, 2, 0, 0, 3, 0]
+    logits = rng.standard_normal((10, 5))
+    for i, k in enumerate(frames):
+        logits[i, k] += 6.0
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    a, s = forced_align(jnp.asarray(lp, jnp.float32)[None],
+                        jnp.asarray([[1, 2, 3]], jnp.int32))
+    assert np.asarray(a)[0].tolist() == frames
+
+    # rnnt_loss vs float64 alpha DP
+    t_max, u_max, c = 8, 3, 5
+    lp4 = rng.standard_normal((t_max, u_max + 1, c))
+    lp4 = lp4 - np.log(np.exp(lp4).sum(-1, keepdims=True))
+    tgt = rng.integers(1, c, u_max)
+    alpha = np.full((t_max, u_max + 1), -np.inf)
+    alpha[0, 0] = 0.0
+    for t in range(t_max):
+        for u in range(u_max + 1):
+            cands = []
+            if t > 0:
+                cands.append(alpha[t - 1, u] + lp4[t - 1, u, 0])
+            if u > 0:
+                cands.append(alpha[t, u - 1] + lp4[t, u - 1, tgt[u - 1]])
+            if cands:
+                alpha[t, u] = max(alpha[t, u], np.logaddexp.reduce(cands))
+    exp = -(alpha[-1, -1] + lp4[-1, -1, 0])
+    got = rnnt_loss(jnp.asarray(lp4, jnp.float32)[None],
+                    jnp.asarray(tgt, jnp.int32)[None], blank=0,
+                    reduction="none", fused_log_softmax=False)
+    np.testing.assert_allclose(float(got[0]), exp, rtol=1e-4)
+
+    d = edit_distance_batched(jnp.asarray([[1, 2, 3, 4]]),
+                              jnp.asarray([[1, 3, 3, 5]]))
+    assert int(d[0]) == 2
+
+
+def test_kaldi_features_on_device():
+    """compliance.kaldi fbank/mfcc on TPU vs the float64 NumPy recipe
+    (same oracle as tests/test_kaldi.py, spot values)."""
+    from torchaudio_contrib_tpu.compliance import kaldi
+    rng = np.random.default_rng(41)
+    t = np.arange(4000) / 16000.0
+    wave = (0.3 * np.sin(2 * np.pi * 440 * t)
+            + 0.1 * rng.standard_normal(4000)).astype(np.float32)
+
+    fb = np.asarray(kaldi.fbank(jnp.asarray(wave)))
+    mf = np.asarray(kaldi.mfcc(jnp.asarray(wave)))
+    assert fb.shape == (23, 23) and mf.shape == (23, 13)
+
+    # float64 oracle (vectorized but independent order of operations)
+    window, shift, padded = 400, 160, 512
+    m = 1 + (4000 - window) // shift
+    idx = np.arange(m)[:, None] * shift + np.arange(window)
+    fr = wave.astype(np.float64)[idx]
+    fr -= fr.mean(-1, keepdims=True)
+    pre = np.concatenate([fr[:, :1] * (1 - 0.97),
+                          fr[:, 1:] - 0.97 * fr[:, :-1]], -1)
+    k = np.arange(window)
+    w = (0.5 - 0.5 * np.cos(2 * np.pi * k / (window - 1))) ** 0.85
+    fr = np.pad(pre * w, ((0, 0), (0, padded - window)))
+    power = np.abs(np.fft.rfft(fr)) ** 2
+    mel = lambda f: 1127.0 * np.log(1.0 + np.asarray(f) / 700.0)
+    delta = (mel(8000.0) - mel(20.0)) / 24
+    edges = mel(20.0) + np.arange(25) * delta
+    bins = mel(np.arange(256) * 16000.0 / padded)
+    up = (bins[None] - edges[:23, None]) / delta
+    down = (edges[2:, None] - bins[None]) / delta
+    banks = np.maximum(0, np.minimum(up, down))
+    eps = float(np.finfo(np.float32).eps)
+    exp_fb = np.log(np.maximum(power[:, :256] @ banks.T, eps))
+    np.testing.assert_allclose(fb, exp_fb, atol=5e-3)

@@ -43,6 +43,7 @@ from .ops import (
     convolve, fftconvolve, simulate_rir_ism,
     forced_align, merge_tokens, TokenSpan,
     edit_distance, edit_distance_batched, rnnt_loss,
+    ctc_greedy_decode, ctc_prefix_beam_search, CTCHypothesis,
     psd, mvdr_weights_souden, mvdr_weights_rtf,
     rtf_evd, rtf_power, apply_beamforming,
     hann_window, hamming_window, blackman_window, get_window,
@@ -103,6 +104,7 @@ __all__ = [
     "convolve", "fftconvolve", "simulate_rir_ism",
     "forced_align", "merge_tokens", "TokenSpan",
     "edit_distance", "edit_distance_batched", "rnnt_loss",
+    "ctc_greedy_decode", "ctc_prefix_beam_search", "CTCHypothesis",
     "psd", "mvdr_weights_souden", "mvdr_weights_rtf",
     "rtf_evd", "rtf_power", "apply_beamforming",
     "hann_window", "hamming_window", "blackman_window", "get_window",

@@ -59,6 +59,8 @@ from .rir import simulate_rir_ism
 from .align import forced_align, merge_tokens, TokenSpan
 from .edit import edit_distance, edit_distance_batched
 from .rnnt import rnnt_loss
+from .ctcdecode import (ctc_greedy_decode, ctc_prefix_beam_search,
+                        CTCHypothesis)
 from .beamform import (psd, mvdr_weights_souden, mvdr_weights_rtf,
                        rtf_evd, rtf_power, apply_beamforming)
 
@@ -98,6 +100,7 @@ __all__ = [
     "convolve", "fftconvolve", "simulate_rir_ism",
     "forced_align", "merge_tokens", "TokenSpan",
     "edit_distance", "edit_distance_batched", "rnnt_loss",
+    "ctc_greedy_decode", "ctc_prefix_beam_search", "CTCHypothesis",
     "psd", "mvdr_weights_souden", "mvdr_weights_rtf",
     "rtf_evd", "rtf_power", "apply_beamforming",
 ]
