@@ -66,7 +66,7 @@ from .models import (
     MuLawEncoding, MuLawDecoding,
     StretchSpecTime, Resample, GriffinLim,
     Spectrogram, Melspectrogram, FusedMelspectrogram,
-    MelFrontendClassifier,
+    MelFrontendClassifier, Conformer,
 )
 
 from .utils import view_as_real, view_as_complex
@@ -115,7 +115,7 @@ __all__ = [
     "MuLawEncoding", "MuLawDecoding",
     "StretchSpecTime", "Resample", "GriffinLim",
     "Spectrogram", "Melspectrogram", "FusedMelspectrogram",
-    "MelFrontendClassifier",
+    "MelFrontendClassifier", "Conformer",
     "MFCC", "Loudness", "PitchShift", "Speed", "AddNoise",
     "Fade", "Vol", "FrequencyMasking", "TimeMasking",
     "Preemphasis", "Deemphasis", "ComputeDeltas", "SlidingWindowCmn",

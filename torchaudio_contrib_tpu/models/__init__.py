@@ -8,6 +8,7 @@ from .layers import (
     Spectrogram, Melspectrogram, FusedMelspectrogram,
 )
 from .frontend import MelFrontendClassifier
+from .conformer import Conformer
 from .transforms import (
     MFCC, Loudness, PitchShift, Speed, AddNoise,
     Fade, Vol, FrequencyMasking, TimeMasking,
@@ -27,7 +28,7 @@ __all__ = [
     "MuLawEncoding", "MuLawDecoding",
     "StretchSpecTime", "Resample", "GriffinLim",
     "Spectrogram", "Melspectrogram", "FusedMelspectrogram",
-    "MelFrontendClassifier",
+    "MelFrontendClassifier", "Conformer",
     "MFCC", "Loudness", "PitchShift", "Speed", "AddNoise",
     "Fade", "Vol", "FrequencyMasking", "TimeMasking",
     "Preemphasis", "Deemphasis", "ComputeDeltas", "SlidingWindowCmn",

@@ -1,0 +1,190 @@
+"""Conformer encoder (Gulati et al. 2020) — pure-functional JAX.
+
+Not in the reference (SURVEY §2 — the reference has no model zoo);
+mirrors torchaudio's ``models.Conformer`` capability: a
+length-masked encoder over frame features, the standard backbone in
+front of CTC/RNN-T losses (both provided by this library — see
+``ops/rnnt.py``, ``ops/ctcdecode.py``).
+
+TPU-first choices:
+
+* Everything is GEMMs: QKV/out projections, macaron FFNs and the two
+  pointwise convs are ``(B·T, D)`` matmuls; the depthwise conv is one
+  ``lax.conv_general_dilated`` with ``feature_group_count=D``.  All
+  static shapes — one jitted program per (B, T) bucket.
+* Relative position is a learned per-head bias over clipped signed
+  distances (T5-style), added to the attention logits: O(T²) read of a
+  tiny table instead of Transformer-XL's extra GEMM per layer — the
+  MXU time goes to the score/value products.
+* Padding: ``lengths`` masks attention scores AND zeroes padded frames
+  between blocks, so a bucketed batch gives identical valid outputs
+  regardless of padding (pinned by test).
+* Norm: layernorm everywhere, including the conv module, instead of
+  the paper's batchnorm — batchnorm's running stats are mutable state,
+  which the library's pure/immutable contract excludes; documented
+  deviation (torchaudio uses batchnorm here).
+* Deterministic: no dropout (augment inputs with SpecAugment instead —
+  ``ops/augment.py``).  Params are an explicit pytree; ``init`` /
+  ``apply`` follow ``MelFrontendClassifier``'s idiom.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["Conformer"]
+
+
+def _glorot(key, shape):
+    fan_in, fan_out = shape[-2], shape[-1]
+    s = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, jnp.float32, -s, s)
+
+
+def _layernorm(x, p):
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.var(x, -1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["g"] + p["b"]
+
+
+def _ln_params(d):
+    return {"g": jnp.ones((d,)), "b": jnp.zeros((d,))}
+
+
+class Conformer:
+    """Masked Conformer encoder: ``apply(params, x (B, T, D_in),
+    lengths=None) -> (B, T, d_model)``.
+
+    Blocks: ½FFN → MHSA(+relative-position bias) → conv module
+    (pointwise·GLU → depthwise(k) → LN → swish → pointwise) → ½FFN →
+    LN, each residual.  ``max_distance`` clips the signed relative
+    distance for the shared-table position bias.
+    """
+
+    def __init__(self, input_dim: int, d_model: int = 256,
+                 num_layers: int = 4, num_heads: int = 4,
+                 ff_ratio: int = 4, conv_kernel: int = 31,
+                 max_distance: int = 128):
+        if d_model % num_heads:
+            raise ValueError("d_model must divide num_heads")
+        if conv_kernel % 2 == 0:
+            raise ValueError("conv_kernel must be odd")
+        self.input_dim = input_dim
+        self.d_model = d_model
+        self.num_layers = num_layers
+        self.num_heads = num_heads
+        self.ff_dim = ff_ratio * d_model
+        self.conv_kernel = conv_kernel
+        self.max_distance = max_distance
+        self._config = (input_dim, d_model, num_layers, num_heads,
+                        ff_ratio, conv_kernel, max_distance)
+
+    # -- params ----------------------------------------------------------
+    def init(self, key):
+        d, f, h = self.d_model, self.ff_dim, self.num_heads
+        keys = iter(jax.random.split(key, 6 + 12 * self.num_layers))
+
+        def ffn():
+            return {"ln": _ln_params(d),
+                    "w1": _glorot(next(keys), (d, f)),
+                    "b1": jnp.zeros((f,)),
+                    "w2": _glorot(next(keys), (f, d)),
+                    "b2": jnp.zeros((d,))}
+
+        layers = []
+        for _ in range(self.num_layers):
+            layers.append({
+                "ffn1": ffn(),
+                "attn": {
+                    "ln": _ln_params(d),
+                    "wqkv": _glorot(next(keys), (d, 3 * d)),
+                    "wo": _glorot(next(keys), (d, d)),
+                    "bo": jnp.zeros((d,)),
+                    "rel": 0.02 * jax.random.normal(
+                        next(keys), (2 * self.max_distance + 1, h)),
+                },
+                "conv": {
+                    "ln": _ln_params(d),
+                    "pw1": _glorot(next(keys), (d, 2 * d)),
+                    "dw": 0.1 * jax.random.normal(
+                        next(keys), (self.conv_kernel, 1, d)),
+                    "norm": _ln_params(d),
+                    "pw2": _glorot(next(keys), (d, d)),
+                },
+                "ffn2": ffn(),
+                "out_ln": _ln_params(d),
+            })
+        return {"proj": _glorot(next(keys), (self.input_dim, d)),
+                "proj_b": jnp.zeros((d,)),
+                "layers": layers}
+
+    # -- blocks ----------------------------------------------------------
+    def _ffn(self, x, p):
+        y = _layernorm(x, p["ln"])
+        y = jax.nn.silu(y @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
+        return x + 0.5 * y
+
+    def _attention(self, x, p, pad_mask):
+        b, t, d = x.shape
+        h = self.num_heads
+        hd = d // h
+        y = _layernorm(x, p["ln"])
+        qkv = (y @ p["wqkv"]).reshape(b, t, 3, h, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
+        # shared T5-style relative bias table, clipped distance
+        dist = jnp.clip(jnp.arange(t)[None, :] - jnp.arange(t)[:, None],
+                        -self.max_distance, self.max_distance)
+        logits = logits + jnp.transpose(
+            p["rel"][dist + self.max_distance], (2, 0, 1))[None]
+        if pad_mask is not None:
+            logits = jnp.where(pad_mask[:, None, None, :], logits, -1e30)
+        attn = jax.nn.softmax(logits, -1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
+        return x + out @ p["wo"] + p["bo"]
+
+    def _conv_module(self, x, p, pad_mask):
+        y = _layernorm(x, p["ln"])
+        if pad_mask is not None:
+            y = jnp.where(pad_mask[..., None], y, 0.0)
+        y = jax.nn.glu(y @ p["pw1"], axis=-1)
+        y = jax.lax.conv_general_dilated(
+            y, p["dw"], window_strides=(1,),
+            padding=[(self.conv_kernel // 2,) * 2],
+            dimension_numbers=("NTC", "TIO", "NTC"),
+            feature_group_count=self.d_model,
+            preferred_element_type=jnp.float32)
+        y = jax.nn.silu(_layernorm(y, p["norm"]))
+        return x + y @ p["pw2"]
+
+    # -- forward ---------------------------------------------------------
+    def apply(self, params, x, lengths: Optional[jnp.ndarray] = None):
+        x = jnp.asarray(x)
+        if x.ndim != 3 or x.shape[-1] != self.input_dim:
+            raise ValueError(
+                f"x must be (batch, time, {self.input_dim})")
+        pad_mask = None
+        if lengths is not None:
+            lengths = jnp.asarray(lengths, jnp.int32)
+            pad_mask = jnp.arange(x.shape[1])[None, :] < lengths[:, None]
+        x = x @ params["proj"] + params["proj_b"]
+        for p in params["layers"]:
+            x = self._ffn(x, p["ffn1"])
+            x = self._attention(x, p["attn"], pad_mask)
+            x = self._conv_module(x, p["conv"], pad_mask)
+            x = self._ffn(x, p["ffn2"])
+            x = _layernorm(x, p["out_ln"])
+            if pad_mask is not None:
+                x = jnp.where(pad_mask[..., None], x, 0.0)
+        return x
+
+    def __call__(self, params, x, lengths=None):
+        return self.apply(params, x, lengths)
+
+    def num_params(self, params):
+        return sum(int(np.prod(l.shape))
+                   for l in jax.tree_util.tree_leaves(params))
