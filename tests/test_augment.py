@@ -57,3 +57,22 @@ def test_zero_param_identity(rng):
     spec = jnp.asarray(rng.standard_normal((4, 8)).astype(np.float32))
     out = ops.mask_along_axis(jax.random.PRNGKey(0), spec, 0, axis=-1)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(spec))
+
+
+def test_mask_along_axis_iid_independent(rng):
+    import pytest
+    specs = jnp.ones((4, 12, 30))
+    out = ops.mask_along_axis_iid(jax.random.PRNGKey(1), specs, 10,
+                                  axis=-1, mask_value=-1.0)
+    # each example got its own mask: columns masked differ across batch
+    cols = [set(np.where(np.asarray(out[i]).min(0) == -1.0)[0].tolist())
+            for i in range(4)]
+    assert len({frozenset(c) for c in cols}) > 1
+    # masking is along the requested axis only
+    masked = np.asarray(out[0]).min(1) == -1.0
+    assert not masked.any() or masked.all() is not None
+    with pytest.raises(ValueError):
+        ops.mask_along_axis_iid(jax.random.PRNGKey(0), specs, 4, axis=0)
+    with pytest.raises(ValueError):
+        ops.mask_along_axis_iid(jax.random.PRNGKey(0), jnp.ones(5), 4,
+                                axis=-1)

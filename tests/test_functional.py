@@ -242,3 +242,30 @@ def test_mu_law_encoding_clamps_out_of_range():
     np.testing.assert_array_equal(
         np.asarray(ops.mu_law_encoding(y)),
         np.asarray(ops.mu_law_encoding(jnp.clip(y, -1, 1))))
+
+
+def test_bark_scale_round_trip_and_filterbank():
+    tac = ops
+    f = np.array([0.0, 50.0, 440.0, 2000.0, 8000.0, 11025.0])
+    for sc in ("traunmuller", "schroeder", "wang"):
+        b = tac.hertz_to_bark(f, sc)
+        np.testing.assert_allclose(
+            np.asarray(tac.bark_to_hertz(b, sc)), f, rtol=1e-8,
+            atol=1e-6, err_msg=sc)
+        assert (np.diff(np.asarray(b)) > 0).all()  # monotone
+        fb = np.asarray(tac.create_bark_filter(24, 22050, num_bins=513,
+                                               bark_scale=sc))
+        assert fb.shape == (513, 24) and fb.min() >= 0.0
+        # triangles: each filter has one contiguous support
+        for m in range(24):
+            nz = np.where(fb[:, m] > 0)[0]
+            assert len(nz) > 0 and (np.diff(nz) == 1).all()
+    # traunmuller low/high-frequency corrections are continuous
+    eps = 1e-6
+    for edge_hz in (np.asarray(tac.bark_to_hertz(2.0)),
+                    np.asarray(tac.bark_to_hertz(20.1))):
+        lo = float(tac.hertz_to_bark(float(edge_hz) - eps))
+        hi = float(tac.hertz_to_bark(float(edge_hz) + eps))
+        assert abs(hi - lo) < 1e-4
+    with pytest.raises(ValueError):
+        tac.hertz_to_bark(100.0, "bogus")

@@ -22,8 +22,11 @@ from .complexops import complex_norm, angle, magphase
 from .filters import (
     hertz_to_mel,
     mel_to_hertz,
+    hertz_to_bark,
+    bark_to_hertz,
     create_mel_filter,
     create_linear_filter,
+    create_bark_filter,
     apply_filterbank,
 )
 from .db import amplitude_to_db, db_to_amplitude
@@ -37,7 +40,8 @@ from .melinv import (create_inverse_mel_filter, mel_to_linear,
                      mel_to_audio)
 from .resample import resample
 from .mfcc import create_dct, mfcc, lfcc
-from .augment import mask_along_axis, time_mask, freq_mask
+from .augment import (mask_along_axis, mask_along_axis_iid,
+                      time_mask, freq_mask)
 from .pitch import pitch_shift
 from .features import compute_deltas, preemphasis, deemphasis
 from .spectral import (spectral_centroid, spectral_bandwidth,
@@ -71,7 +75,9 @@ __all__ = [
     "get_window", "cola_window_sum", "check_nola",
     "stft", "istft", "frame_signal", "num_frames", "stft_output_length",
     "complex_norm", "angle", "magphase",
-    "hertz_to_mel", "mel_to_hertz", "create_mel_filter", "create_linear_filter", "apply_filterbank",
+    "hertz_to_mel", "mel_to_hertz", "hertz_to_bark", "bark_to_hertz",
+    "create_mel_filter", "create_linear_filter", "create_bark_filter",
+    "apply_filterbank",
     "amplitude_to_db", "db_to_amplitude",
     "mu_law_encoding", "mu_law_decoding",
     "phase_vocoder", "compute_phase_advance",
@@ -81,7 +87,7 @@ __all__ = [
     "create_inverse_mel_filter", "mel_to_linear", "mel_to_audio",
     "resample",
     "create_dct", "mfcc", "lfcc",
-    "mask_along_axis", "time_mask", "freq_mask",
+    "mask_along_axis", "mask_along_axis_iid", "time_mask", "freq_mask",
     "pitch_shift",
     "compute_deltas", "preemphasis", "deemphasis",
     "spectral_centroid", "spectral_bandwidth", "spectral_rolloff",

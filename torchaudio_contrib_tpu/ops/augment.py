@@ -56,3 +56,21 @@ def freq_mask(key: jax.Array, spec: jnp.ndarray, mask_param: int,
     """Mask random frequency bands of ``(..., freq, time)``."""
     return mask_along_axis(key, spec, mask_param, axis=-2,
                            num_masks=num_masks, mask_value=mask_value)
+
+
+def mask_along_axis_iid(key: jax.Array, specs: jnp.ndarray,
+                        mask_param: int, axis: int, num_masks: int = 1,
+                        mask_value: float = 0.0) -> jnp.ndarray:
+    """Independent masks per leading-batch element (torchaudio's
+    ``mask_along_axis_iid``): splits ``key`` over ``specs.shape[0]`` and
+    vmaps :func:`mask_along_axis`."""
+    if specs.ndim < 2:
+        raise ValueError("mask_along_axis_iid needs a leading batch dim")
+    axis = axis % specs.ndim
+    if axis == 0:
+        raise ValueError("cannot mask the batch axis")
+    keys = jax.random.split(key, specs.shape[0])
+    return jax.vmap(
+        lambda k, s: mask_along_axis(k, s, mask_param, axis - 1,
+                                     num_masks, mask_value)
+    )(keys, specs)

@@ -25,7 +25,10 @@ import jax.numpy as jnp
 __all__ = [
     "hertz_to_mel",
     "mel_to_hertz",
+    "hertz_to_bark",
+    "bark_to_hertz",
     "create_mel_filter",
+    "create_bark_filter",
     "apply_filterbank",
 ]
 
@@ -141,4 +144,73 @@ def create_linear_filter(n_filter: int = 128,
         f_max = sample_rate / 2.0
     fb = _linear_filter_np(int(n_filter), float(sample_rate),
                            float(f_min), float(f_max), int(num_bins))
+    return jnp.asarray(fb, dtype=dtype)
+
+
+def hertz_to_bark(freq: _ArrayLike, bark_scale: str = "traunmuller"):
+    """Hz → Bark.  ``bark_scale`` ∈ traunmuller / schroeder / wang
+    (the three conventions torchaudio's ``barkscale_fbanks`` offers)."""
+    xp = jnp if isinstance(freq, jnp.ndarray) else np
+    f = freq if isinstance(freq, jnp.ndarray) else np.asarray(
+        freq, np.float64)
+    if bark_scale == "schroeder":
+        return 7.0 * xp.arcsinh(f / 650.0)
+    if bark_scale == "wang":
+        return 6.0 * xp.arcsinh(f / 600.0)
+    if bark_scale != "traunmuller":
+        raise ValueError(f"unknown bark_scale {bark_scale!r}")
+    b = 26.81 * f / (1960.0 + f) - 0.53
+    b = xp.where(b < 2.0, b + 0.15 * (2.0 - b), b)
+    return xp.where(b > 20.1, b + 0.22 * (b - 20.1), b)
+
+
+def bark_to_hertz(bark: _ArrayLike, bark_scale: str = "traunmuller"):
+    """Bark → Hz (inverse of :func:`hertz_to_bark`)."""
+    xp = jnp if isinstance(bark, jnp.ndarray) else np
+    b = bark if isinstance(bark, jnp.ndarray) else np.asarray(
+        bark, np.float64)
+    if bark_scale == "schroeder":
+        return 650.0 * xp.sinh(b / 7.0)
+    if bark_scale == "wang":
+        return 600.0 * xp.sinh(b / 6.0)
+    if bark_scale != "traunmuller":
+        raise ValueError(f"unknown bark_scale {bark_scale!r}")
+    b = xp.where(b < 2.0, (b - 0.3) / 0.85, b)
+    b = xp.where(b > 20.1, (b + 4.422) / 1.22, b)
+    return 1960.0 * (b + 0.53) / (26.28 - b)
+
+
+@functools.lru_cache(maxsize=32)
+def _bark_filter_np(n_barks: int, sample_rate: float, f_min: float,
+                    f_max: float, num_bins: int,
+                    bark_scale: str) -> np.ndarray:
+    """Float64 triangular bark filterbank ``(num_bins, n_barks)`` —
+    corners linearly spaced on the chosen bark scale, triangles linear
+    in Hz between corners (the mel builder's construction)."""
+    all_freqs = np.linspace(0.0, sample_rate / 2.0, num_bins)
+    b_pts = np.linspace(float(hertz_to_bark(f_min, bark_scale)),
+                        float(hertz_to_bark(f_max, bark_scale)),
+                        n_barks + 2)
+    f_pts = np.asarray(bark_to_hertz(b_pts, bark_scale), np.float64)
+    f_diff = f_pts[1:] - f_pts[:-1]
+    slopes = f_pts[None, :] - all_freqs[:, None]
+    down = -slopes[:, :-2] / f_diff[None, :-1]
+    up = slopes[:, 2:] / f_diff[None, 1:]
+    return np.maximum(0.0, np.minimum(down, up))
+
+
+def create_bark_filter(n_barks: int = 128,
+                       sample_rate: float = 22050,
+                       f_min: float = 0.0,
+                       f_max: Optional[float] = None,
+                       num_bins: int = 1025,
+                       bark_scale: str = "traunmuller",
+                       dtype=jnp.float32) -> jnp.ndarray:
+    """Bark filterbank matrix ``(num_bins, n_barks)`` — same contract
+    as :func:`create_mel_filter`; apply with :func:`apply_filterbank`
+    (or splice into any pipeline / the fused kernel)."""
+    if f_max is None:
+        f_max = sample_rate / 2.0
+    fb = _bark_filter_np(int(n_barks), float(sample_rate), float(f_min),
+                         float(f_max), int(num_bins), bark_scale)
     return jnp.asarray(fb, dtype=dtype)
