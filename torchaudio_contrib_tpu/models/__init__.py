@@ -9,6 +9,7 @@ from .layers import (
 )
 from .frontend import MelFrontendClassifier
 from .conformer import Conformer
+from .asr import Wav2Letter, DeepSpeech
 from .transforms import (
     MFCC, Loudness, PitchShift, Speed, AddNoise,
     Fade, Vol, FrequencyMasking, TimeMasking,
@@ -28,7 +29,7 @@ __all__ = [
     "MuLawEncoding", "MuLawDecoding",
     "StretchSpecTime", "Resample", "GriffinLim",
     "Spectrogram", "Melspectrogram", "FusedMelspectrogram",
-    "MelFrontendClassifier", "Conformer",
+    "MelFrontendClassifier", "Conformer", "Wav2Letter", "DeepSpeech",
     "MFCC", "Loudness", "PitchShift", "Speed", "AddNoise",
     "Fade", "Vol", "FrequencyMasking", "TimeMasking",
     "Preemphasis", "Deemphasis", "ComputeDeltas", "SlidingWindowCmn",
