@@ -10,6 +10,7 @@ from .layers import (
 from .frontend import MelFrontendClassifier
 from .conformer import Conformer
 from .asr import Wav2Letter, DeepSpeech
+from .tasnet import ConvTasNet
 from .transforms import (
     MFCC, Loudness, PitchShift, Speed, AddNoise,
     Fade, Vol, FrequencyMasking, TimeMasking,
@@ -29,7 +30,7 @@ __all__ = [
     "MuLawEncoding", "MuLawDecoding",
     "StretchSpecTime", "Resample", "GriffinLim",
     "Spectrogram", "Melspectrogram", "FusedMelspectrogram",
-    "MelFrontendClassifier", "Conformer", "Wav2Letter", "DeepSpeech",
+    "MelFrontendClassifier", "Conformer", "Wav2Letter", "DeepSpeech", "ConvTasNet",
     "MFCC", "Loudness", "PitchShift", "Speed", "AddNoise",
     "Fade", "Vol", "FrequencyMasking", "TimeMasking",
     "Preemphasis", "Deemphasis", "ComputeDeltas", "SlidingWindowCmn",
