@@ -565,3 +565,49 @@ def test_kaldi_features_on_device():
     eps = float(np.finfo(np.float32).eps)
     exp_fb = np.log(np.maximum(power[:, :256] @ banks.T, eps))
     np.testing.assert_allclose(fb, exp_fb, atol=5e-3)
+
+
+def test_asr_models_on_device():
+    """Conformer / Wav2Letter / ConvTasNet forward+loss on real TPU:
+    finite outputs, one jitted step each, grads finite."""
+    from torchaudio_contrib_tpu.models.conformer import Conformer
+    from torchaudio_contrib_tpu.models.asr import Wav2Letter
+    from torchaudio_contrib_tpu.models.tasnet import ConvTasNet
+    from torchaudio_contrib_tpu.ops import ctc_loss, si_snr
+    rng = np.random.default_rng(50)
+
+    enc = Conformer(input_dim=80, d_model=64, num_layers=2,
+                    num_heads=4, conv_kernel=15)
+    p = enc.init(jax.random.PRNGKey(0))
+    feats = jnp.asarray(rng.standard_normal((4, 50, 80)), jnp.float32)
+    tgt = jnp.asarray(rng.integers(1, 30, (4, 8)), jnp.int32)
+    head = 0.05 * jax.random.normal(jax.random.PRNGKey(1), (64, 30))
+
+    def conf_loss(pp):
+        lp = jax.nn.log_softmax(enc.apply(pp["e"], feats) @ pp["h"], -1)
+        return ctc_loss(lp, tgt)
+
+    state = {"e": p, "h": head}
+    l, g = jax.jit(lambda s: (conf_loss(s),
+                              jax.grad(conf_loss)(s)))(state)
+    assert np.isfinite(float(l))
+    gmax = max(float(jnp.max(jnp.abs(v)))
+               for v in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gmax) and gmax > 0
+
+    w2l = Wav2Letter(num_classes=20)
+    wp = w2l.init(jax.random.PRNGKey(2))
+    y = jax.jit(w2l.apply)(wp, jnp.asarray(
+        rng.standard_normal((2, 16000)) * 0.1, jnp.float32))
+    assert y.shape == (2, 50, 20)
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+    net = ConvTasNet(num_sources=2, enc_kernel=16, enc_filters=64,
+                     bottleneck=32, hidden=64, num_blocks=4,
+                     num_repeats=2)
+    tp = net.init(jax.random.PRNGKey(3))
+    mix = jnp.asarray(rng.standard_normal((2, 8000)) * 0.1, jnp.float32)
+    est = jax.jit(net.apply)(tp, mix)
+    assert est.shape == (2, 2, 8000)
+    s = si_snr(est, jnp.stack([mix, mix], 1))
+    assert bool(jnp.all(jnp.isfinite(s)))

@@ -11,6 +11,7 @@ from .frontend import MelFrontendClassifier
 from .conformer import Conformer
 from .asr import Wav2Letter, DeepSpeech
 from .tasnet import ConvTasNet
+from .wavernn import WaveRNN
 from .transforms import (
     MFCC, Loudness, PitchShift, Speed, AddNoise,
     Fade, Vol, FrequencyMasking, TimeMasking,
@@ -30,7 +31,7 @@ __all__ = [
     "MuLawEncoding", "MuLawDecoding",
     "StretchSpecTime", "Resample", "GriffinLim",
     "Spectrogram", "Melspectrogram", "FusedMelspectrogram",
-    "MelFrontendClassifier", "Conformer", "Wav2Letter", "DeepSpeech", "ConvTasNet",
+    "MelFrontendClassifier", "Conformer", "Wav2Letter", "DeepSpeech", "ConvTasNet", "WaveRNN",
     "MFCC", "Loudness", "PitchShift", "Speed", "AddNoise",
     "Fade", "Vol", "FrequencyMasking", "TimeMasking",
     "Preemphasis", "Deemphasis", "ComputeDeltas", "SlidingWindowCmn",

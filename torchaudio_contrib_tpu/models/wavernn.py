@@ -1,0 +1,216 @@
+"""WaveRNN vocoder (fatchord variant, as torchaudio ships) —
+pure-functional JAX.
+
+Not in the reference (SURVEY §2 — no model zoo); mirrors torchaudio's
+``models.WaveRNN`` capability: mel-conditioned autoregressive sample
+classifier (upsample network + MelResNet conditioning, two GRU layers,
+FC head over ``n_classes`` quantization bins).
+
+TPU notes:
+
+* Teacher-forced training is the throughput path: the GRUs' input
+  projections for ALL timesteps are hoisted out of the ``lax.scan``
+  as one big ``(B·T, 3H)`` GEMM; the scan body is only the ``h·U``
+  recurrent GEMM + elementwise gates.  Conditioning (MelResNet +
+  upsampling) is convs.
+* Norms: layernorm instead of torchaudio's batchnorm in MelResNet
+  (mutable running stats are excluded by the pure-params contract —
+  same deviation as ``models/conformer.py``).
+* ``generate`` (sample-by-sample inference) is one ``lax.scan`` over
+  time with categorical sampling — sequential by nature; batch clips
+  to fill the chip.
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["WaveRNN"]
+
+
+def _dense(key, cin, cout):
+    s = math.sqrt(6.0 / (cin + cout))
+    return jax.random.uniform(key, (cin, cout), jnp.float32, -s, s)
+
+
+def _conv(key, k, cin, cout):
+    s = math.sqrt(6.0 / (k * cin + k * cout))
+    return jax.random.uniform(key, (k, cin, cout), jnp.float32, -s, s)
+
+
+def _ln(x, p):
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.var(x, -1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["g"] + p["b"]
+
+
+def _conv1d(x, w, padding="VALID"):
+    return jax.lax.conv_general_dilated(
+        x, w, (1,), padding, dimension_numbers=("NTC", "TIO", "NTC"),
+        preferred_element_type=jnp.float32)
+
+
+class WaveRNN:
+    """``apply(params, waveform (B, T), specgram (B, n_freq, T_mel))``
+    → ``(B, T, n_classes)`` logits for the NEXT sample's class.
+
+    ``T`` must equal ``hop_length · (T_mel − kernel_size + 1)`` (the
+    MelResNet eats ``kernel_size − 1`` frames, as in torchaudio).
+    """
+
+    def __init__(self, upsample_scales: Sequence[int] = (5, 5, 11),
+                 n_classes: int = 256, hop_length: int = 275,
+                 n_res_block: int = 10, n_rnn: int = 512,
+                 n_fc: int = 512, kernel_size: int = 5,
+                 n_freq: int = 128, n_hidden: int = 128,
+                 n_output: int = 128):
+        if int(jnp.prod(jnp.asarray(upsample_scales))) != hop_length:
+            raise ValueError("prod(upsample_scales) must equal "
+                             "hop_length")
+        if n_output % 4:
+            raise ValueError("n_output must divide by 4 (aux splits)")
+        self.scales = tuple(upsample_scales)
+        self.n_classes = n_classes
+        self.hop = hop_length
+        self.n_res_block = n_res_block
+        self.n_rnn = n_rnn
+        self.n_fc = n_fc
+        self.kernel = kernel_size
+        self.n_freq = n_freq
+        self.n_hidden = n_hidden
+        self.n_output = n_output
+        self.n_aux = n_output // 4
+        self._config = (self.scales, n_classes, hop_length, n_res_block,
+                        n_rnn, n_fc, kernel_size, n_freq, n_hidden,
+                        n_output)
+
+    def init(self, key):
+        keys = iter(jax.random.split(key, 32 + 2 * self.n_res_block))
+        h = self.n_hidden
+        ln = lambda c: {"g": jnp.ones((c,)), "b": jnp.zeros((c,))}
+        resnet = {
+            "conv_in": _conv(next(keys), self.kernel, self.n_freq, h),
+            "ln_in": ln(h),
+            "blocks": [{"c1": _conv(next(keys), 1, h, h), "n1": ln(h),
+                        "c2": _conv(next(keys), 1, h, h), "n2": ln(h)}
+                       for _ in range(self.n_res_block)],
+            "conv_out": _conv(next(keys), 1, h, self.n_output),
+        }
+        # smoothing convs of the upsample net: fixed-average init
+        ups = [jnp.full((2 * s + 1, 1, 1), 1.0 / (2 * s + 1))
+               for s in self.scales]
+        gru = lambda cin: {"wx": _dense(next(keys), cin, 3 * self.n_rnn),
+                           "wh": _dense(next(keys), self.n_rnn,
+                                        3 * self.n_rnn),
+                           "bx": jnp.zeros((3 * self.n_rnn,)),
+                           "bh": jnp.zeros((3 * self.n_rnn,))}
+        d_in = 1 + self.n_freq + self.n_aux
+        return {
+            "resnet": resnet, "upsample": ups,
+            "fc_in": {"w": _dense(next(keys), d_in, self.n_rnn),
+                      "b": jnp.zeros((self.n_rnn,))},
+            "gru1": gru(self.n_rnn),
+            "gru2": gru(self.n_rnn + self.n_aux),
+            "fc1": {"w": _dense(next(keys), self.n_rnn + self.n_aux,
+                                self.n_fc),
+                    "b": jnp.zeros((self.n_fc,))},
+            "fc2": {"w": _dense(next(keys), self.n_fc + self.n_aux,
+                                self.n_fc),
+                    "b": jnp.zeros((self.n_fc,))},
+            "fc3": {"w": _dense(next(keys), self.n_fc, self.n_classes),
+                    "b": jnp.zeros((self.n_classes,))},
+        }
+
+    # -- conditioning ------------------------------------------------------
+    def _melresnet(self, p, spec):                 # (B, Tm, F) -> (B, T', O)
+        y = jax.nn.relu(_ln(_conv1d(spec, p["conv_in"]), p["ln_in"]))
+        for blk in p["blocks"]:
+            z = jax.nn.relu(_ln(_conv1d(y, blk["c1"], "SAME"),
+                                blk["n1"]))
+            z = _ln(_conv1d(z, blk["c2"], "SAME"), blk["n2"])
+            y = y + z
+        return _conv1d(y, p["conv_out"])
+
+    def _stretch(self, x, factor):                 # repeat along time
+        return jnp.repeat(x, factor, axis=1)
+
+    def _upsample(self, params, spec):
+        """(B, Tm, F) → cond (B, T, F), aux (B, T, n_output)."""
+        aux = self._melresnet(params["resnet"], spec)
+        aux = self._stretch(aux, self.hop)
+        y = spec
+        for s, w in zip(self.scales, params["upsample"]):
+            y = self._smooth(self._stretch(y, s), w)
+        trim = (self.kernel - 1) // 2 * self.hop
+        y = y[:, trim:y.shape[1] - trim]
+        return y, aux
+
+    @staticmethod
+    def _smooth(y, w):
+        """Depth-shared 1-D average along time: (B, T, F), w (K, 1, 1)."""
+        b, t, f = y.shape
+        flat = y.transpose(0, 2, 1).reshape(b * f, t, 1)
+        out = jax.lax.conv_general_dilated(
+            flat, w, (1,), "SAME",
+            dimension_numbers=("NTC", "TIO", "NTC"),
+            preferred_element_type=jnp.float32)
+        return out.reshape(b, f, t).transpose(0, 2, 1)
+
+    # -- GRU ---------------------------------------------------------------
+    def _gru(self, p, xs):
+        """xs (T, B, 3H) precomputed input projections → hs (T, B, H)."""
+        hdim = self.n_rnn
+
+        def step(h, x_t):
+            gx = x_t + p["bx"]
+            gh = h @ p["wh"] + p["bh"]
+            r = jax.nn.sigmoid(gx[:, :hdim] + gh[:, :hdim])
+            z = jax.nn.sigmoid(gx[:, hdim:2 * hdim]
+                               + gh[:, hdim:2 * hdim])
+            n = jnp.tanh(gx[:, 2 * hdim:] + r * gh[:, 2 * hdim:])
+            h = (1 - z) * n + z * h
+            return h, h
+
+        h0 = jnp.zeros((xs.shape[1], hdim), xs.dtype)
+        _, hs = jax.lax.scan(step, h0, xs)
+        return hs
+
+    def _run_gru(self, p, x):                      # (B, T, Cin)
+        xs = jnp.transpose(x @ p["wx"], (1, 0, 2))  # hoisted input GEMM
+        return jnp.transpose(self._gru(p, xs), (1, 0, 2))
+
+    # -- forward -----------------------------------------------------------
+    def apply(self, params, waveform, specgram):
+        waveform = jnp.asarray(waveform)
+        specgram = jnp.asarray(specgram)
+        if waveform.ndim != 2 or specgram.ndim != 3:
+            raise ValueError("waveform (B, T), specgram (B, n_freq, Tm)")
+        spec = jnp.transpose(specgram, (0, 2, 1))   # (B, Tm, F)
+        cond, aux = self._upsample(params, spec)
+        t = waveform.shape[1]
+        if cond.shape[1] != t or aux.shape[1] != t:
+            raise ValueError(
+                f"waveform length {t} != hop*(T_mel-kernel+1) = "
+                f"{cond.shape[1]}")
+        a = [aux[..., i * self.n_aux:(i + 1) * self.n_aux]
+             for i in range(4)]
+        x = jnp.concatenate([waveform[..., None], cond, a[0]], -1)
+        x = x @ params["fc_in"]["w"] + params["fc_in"]["b"]
+        res = x
+        x = self._run_gru(params["gru1"], x)
+        x = x + res
+        res = x
+        x = self._run_gru(params["gru2"],
+                          jnp.concatenate([x, a[1]], -1))
+        x = x + res
+        x = jax.nn.relu(jnp.concatenate([x, a[2]], -1)
+                        @ params["fc1"]["w"] + params["fc1"]["b"])
+        x = jax.nn.relu(jnp.concatenate([x, a[3]], -1)
+                        @ params["fc2"]["w"] + params["fc2"]["b"])
+        return x @ params["fc3"]["w"] + params["fc3"]["b"]
+
+    def __call__(self, params, waveform, specgram):
+        return self.apply(params, waveform, specgram)
