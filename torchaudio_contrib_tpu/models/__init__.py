@@ -12,6 +12,7 @@ from .conformer import Conformer
 from .asr import Wav2Letter, DeepSpeech
 from .tasnet import ConvTasNet
 from .wavernn import WaveRNN
+from .tacotron2 import Tacotron2
 from .transforms import (
     MFCC, Loudness, PitchShift, Speed, AddNoise,
     Fade, Vol, FrequencyMasking, TimeMasking,
@@ -31,7 +32,7 @@ __all__ = [
     "MuLawEncoding", "MuLawDecoding",
     "StretchSpecTime", "Resample", "GriffinLim",
     "Spectrogram", "Melspectrogram", "FusedMelspectrogram",
-    "MelFrontendClassifier", "Conformer", "Wav2Letter", "DeepSpeech", "ConvTasNet", "WaveRNN",
+    "MelFrontendClassifier", "Conformer", "Wav2Letter", "DeepSpeech", "ConvTasNet", "WaveRNN", "Tacotron2",
     "MFCC", "Loudness", "PitchShift", "Speed", "AddNoise",
     "Fade", "Vol", "FrequencyMasking", "TimeMasking",
     "Preemphasis", "Deemphasis", "ComputeDeltas", "SlidingWindowCmn",
