@@ -13,6 +13,7 @@ from .asr import Wav2Letter, DeepSpeech
 from .tasnet import ConvTasNet
 from .wavernn import WaveRNN
 from .tacotron2 import Tacotron2
+from .wav2vec2 import Wav2Vec2
 from .transforms import (
     MFCC, Loudness, PitchShift, Speed, AddNoise,
     Fade, Vol, FrequencyMasking, TimeMasking,
@@ -32,7 +33,7 @@ __all__ = [
     "MuLawEncoding", "MuLawDecoding",
     "StretchSpecTime", "Resample", "GriffinLim",
     "Spectrogram", "Melspectrogram", "FusedMelspectrogram",
-    "MelFrontendClassifier", "Conformer", "Wav2Letter", "DeepSpeech", "ConvTasNet", "WaveRNN", "Tacotron2",
+    "MelFrontendClassifier", "Conformer", "Wav2Letter", "DeepSpeech", "ConvTasNet", "WaveRNN", "Tacotron2", "Wav2Vec2",
     "MFCC", "Loudness", "PitchShift", "Speed", "AddNoise",
     "Fade", "Vol", "FrequencyMasking", "TimeMasking",
     "Preemphasis", "Deemphasis", "ComputeDeltas", "SlidingWindowCmn",

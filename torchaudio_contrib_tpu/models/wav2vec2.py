@@ -1,0 +1,192 @@
+"""Wav2Vec2 acoustic encoder (Baevski et al. 2020) — pure-functional.
+
+Not in the reference (SURVEY §2 — no model zoo); mirrors torchaudio's
+``models.wav2vec2_model`` capability: strided conv feature extractor
+(raw waveform → ~50 Hz frames) → feature projection → transformer
+encoder with a grouped-conv relative positional embedding; an optional
+``aux_out`` linear head makes it a CTC fine-tuning model (torchaudio's
+``wav2vec2_*`` + ``aux`` layout).
+
+TPU notes: the extractor is 7 MXU convs; the conv positional embedding
+is one grouped conv; attention/FFN are the usual GEMMs with key-side
+padding masks.  Lengths propagate through the conv stack with the
+exact floor formula so padded batches give identical valid outputs
+(pinned by test).  Layernorm everywhere (the "layer_norm" extractor
+variant — torchaudio's default "group_norm" base config keeps running
+stats out anyway, but layer_norm avoids any normalization over padded
+frames leaking across the batch).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["Wav2Vec2"]
+
+
+def _dense(key, cin, cout):
+    s = math.sqrt(6.0 / (cin + cout))
+    return jax.random.uniform(key, (cin, cout), jnp.float32, -s, s)
+
+
+def _conv(key, k, cin, cout):
+    s = math.sqrt(6.0 / (k * cin + k * cout))
+    return jax.random.uniform(key, (k, cin, cout), jnp.float32, -s, s)
+
+
+def _ln(x, p):
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.var(x, -1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["g"] + p["b"]
+
+
+def _ln_p(d):
+    return {"g": jnp.ones((d,)), "b": jnp.zeros((d,))}
+
+
+class Wav2Vec2:
+    """``apply(params, waveforms (B, T), lengths=None)`` →
+    ``(features (B, T', d_model) [or logits if aux_out], out_lengths)``.
+
+    ``extractor_conv_layers`` is ``((channels, kernel, stride), ...)``
+    — the default is the standard wav2vec2 stack (total stride 320,
+    i.e. 20 ms frames at 16 kHz).
+    """
+
+    _DEFAULT_EXTRACTOR = ((512, 10, 5), (512, 3, 2), (512, 3, 2),
+                          (512, 3, 2), (512, 3, 2), (512, 2, 2),
+                          (512, 2, 2))
+
+    def __init__(self, extractor_conv_layers: Sequence[Tuple[int, int, int]]
+                 = _DEFAULT_EXTRACTOR, d_model: int = 768,
+                 num_layers: int = 12, num_heads: int = 12,
+                 ff_dim: int = 3072, pos_conv_kernel: int = 128,
+                 pos_conv_groups: int = 16,
+                 aux_out: Optional[int] = None):
+        if d_model % num_heads:
+            raise ValueError("d_model must divide num_heads")
+        if d_model % pos_conv_groups:
+            raise ValueError("d_model must divide pos_conv_groups")
+        self.extractor = tuple(tuple(l) for l in extractor_conv_layers)
+        self.d_model = d_model
+        self.num_layers = num_layers
+        self.num_heads = num_heads
+        self.ff_dim = ff_dim
+        self.pos_k = pos_conv_kernel
+        self.pos_groups = pos_conv_groups
+        self.aux_out = aux_out
+        self._config = (self.extractor, d_model, num_layers, num_heads,
+                        ff_dim, pos_conv_kernel, pos_conv_groups,
+                        aux_out)
+
+    def init(self, key):
+        keys = iter(jax.random.split(
+            key, 8 + 2 * len(self.extractor) + 8 * self.num_layers))
+        cin = 1
+        ext = []
+        for cout, k, s in self.extractor:
+            ext.append({"w": _conv(next(keys), k, cin, cout),
+                        "n": _ln_p(cout)})
+            cin = cout
+        d = self.d_model
+        layers = []
+        for _ in range(self.num_layers):
+            layers.append({
+                "ln1": _ln_p(d),
+                "wqkv": _dense(next(keys), d, 3 * d),
+                "bqkv": jnp.zeros((3 * d,)),
+                "wo": _dense(next(keys), d, d),
+                "bo": jnp.zeros((d,)),
+                "ln2": _ln_p(d),
+                "w1": _dense(next(keys), d, self.ff_dim),
+                "b1": jnp.zeros((self.ff_dim,)),
+                "w2": _dense(next(keys), self.ff_dim, d),
+                "b2": jnp.zeros((d,)),
+            })
+        p = {
+            "extractor": ext,
+            "proj_ln": _ln_p(cin),
+            "proj": {"w": _dense(next(keys), cin, d),
+                     "b": jnp.zeros((d,))},
+            "pos_conv": _conv(next(keys), self.pos_k,
+                              d // self.pos_groups, d),
+            "pos_b": jnp.zeros((d,)),
+            "enc_ln": _ln_p(d),
+            "layers": layers,
+        }
+        if self.aux_out is not None:
+            p["aux"] = {"w": _dense(next(keys), d, self.aux_out),
+                        "b": jnp.zeros((self.aux_out,))}
+        return p
+
+    def output_length(self, length):
+        """Frame count produced for an input sample count (exact)."""
+        for _, k, s in self.extractor:
+            length = (length - k) // s + 1
+        return length
+
+    def _extract(self, params, x):
+        y = x[..., None]                              # (B, T, 1)
+        for p, (_, k, s) in zip(params["extractor"], self.extractor):
+            y = jax.lax.conv_general_dilated(
+                y, p["w"], (s,), "VALID",
+                dimension_numbers=("NTC", "TIO", "NTC"),
+                preferred_element_type=jnp.float32)
+            y = jax.nn.gelu(_ln(y, p["n"]))
+        return y
+
+    def _attention(self, p, x, pad_mask):
+        b, t, d = x.shape
+        h = self.num_heads
+        hd = d // h
+        qkv = (x @ p["wqkv"] + p["bqkv"]).reshape(b, t, 3, h, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
+        if pad_mask is not None:
+            logits = jnp.where(pad_mask[:, None, None, :], logits, -1e30)
+        attn = jax.nn.softmax(logits, -1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
+        return out @ p["wo"] + p["bo"]
+
+    def apply(self, params, waveforms, lengths=None):
+        waveforms = jnp.asarray(waveforms)
+        if waveforms.ndim != 2:
+            raise ValueError("waveforms must be (batch, time)")
+        feats = self._extract(params, waveforms)      # (B, T', C)
+        t_out = feats.shape[1]
+        pad_mask = None
+        out_lengths = jnp.full((waveforms.shape[0],), t_out, jnp.int32)
+        if lengths is not None:
+            out_lengths = self.output_length(
+                jnp.asarray(lengths, jnp.int32))
+            pad_mask = (jnp.arange(t_out)[None, :]
+                        < out_lengths[:, None])
+            feats = jnp.where(pad_mask[..., None], feats, 0.0)
+
+        x = (_ln(feats, params["proj_ln"]) @ params["proj"]["w"]
+             + params["proj"]["b"])
+        # grouped-conv positional embedding (wav2vec2's relative pos)
+        pos = jax.lax.conv_general_dilated(
+            x, params["pos_conv"], (1,),
+            [((self.pos_k - 1) // 2, self.pos_k // 2)],
+            dimension_numbers=("NTC", "TIO", "NTC"),
+            feature_group_count=self.pos_groups,
+            preferred_element_type=jnp.float32) + params["pos_b"]
+        x = _ln(x + jax.nn.gelu(pos), params["enc_ln"])
+        if pad_mask is not None:
+            x = jnp.where(pad_mask[..., None], x, 0.0)
+        for p in params["layers"]:
+            x = x + self._attention(p, _ln(x, p["ln1"]), pad_mask)
+            y = _ln(x, p["ln2"])
+            x = x + jax.nn.gelu(y @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
+            if pad_mask is not None:
+                x = jnp.where(pad_mask[..., None], x, 0.0)
+        if self.aux_out is not None:
+            x = x @ params["aux"]["w"] + params["aux"]["b"]
+        return x, out_lengths
+
+    def __call__(self, params, waveforms, lengths=None):
+        return self.apply(params, waveforms, lengths)
