@@ -14,6 +14,7 @@ from .tasnet import ConvTasNet
 from .wavernn import WaveRNN
 from .tacotron2 import Tacotron2
 from .wav2vec2 import Wav2Vec2
+from .emformer import Emformer
 from .transforms import (
     MFCC, Loudness, PitchShift, Speed, AddNoise,
     Fade, Vol, FrequencyMasking, TimeMasking,
@@ -33,7 +34,7 @@ __all__ = [
     "MuLawEncoding", "MuLawDecoding",
     "StretchSpecTime", "Resample", "GriffinLim",
     "Spectrogram", "Melspectrogram", "FusedMelspectrogram",
-    "MelFrontendClassifier", "Conformer", "Wav2Letter", "DeepSpeech", "ConvTasNet", "WaveRNN", "Tacotron2", "Wav2Vec2",
+    "MelFrontendClassifier", "Conformer", "Wav2Letter", "DeepSpeech", "ConvTasNet", "WaveRNN", "Tacotron2", "Wav2Vec2", "Emformer",
     "MFCC", "Loudness", "PitchShift", "Speed", "AddNoise",
     "Fade", "Vol", "FrequencyMasking", "TimeMasking",
     "Preemphasis", "Deemphasis", "ComputeDeltas", "SlidingWindowCmn",

@@ -1,0 +1,292 @@
+"""Emformer: efficient-memory transformer encoder for streaming ASR.
+
+Not in the reference (SURVEY §2 — torchaudio-contrib has no model zoo);
+mirrors torchaudio's ``models.Emformer`` capability (Shi et al. 2021):
+block processing with hard-copied right context, cached left context,
+and an averaged memory bank, giving an encoder whose streaming
+chunkwise ``infer`` is *exactly* equivalent to the full-utterance
+``apply`` (pinned by test — the invariant that makes it an Emformer).
+
+TPU-first design: instead of one big masked (T×T) attention, the
+utterance is reshaped into segments and attention runs as a vmap over
+``(batch, segment)`` with static per-segment query/key shapes
+``(S+R+1) × (M+L+S+R)`` — linear in T, all GEMMs MXU-shaped, no
+dynamic control flow.  Visibility is coordinate-based and identical in
+both modes:
+
+- segment ``i`` queries = [its ``S`` frames, its hard-copy right
+  context (``R`` frames), one summary (fixed-divisor mean of the
+  segment)];
+- keys/values = [memory bank entries of segments ``[i-M, i)``, left
+  context frames ``[iS-L, iS)``, the segment itself, its right
+  context];
+- an utterance/left-context key at stream coordinate ``c`` is valid
+  iff ``c < length``; memory ``j`` is valid iff segment ``j`` starts
+  before ``length``; right-context frames start at
+  ``min((i+1)·S, T)`` and are valid only for samples whose stream
+  actually extends there (full-length samples own the appended
+  ``R``-frame lookahead tail; shorter samples in the batch get none —
+  their true lookahead frames are not present in the padded batch).
+
+Memory chain (as in torchaudio): the bank at layer ``n`` holds the
+summary *attention outputs* of layer ``n-1`` (layer 0's bank holds
+mean-pooled raw input segments); a segment's own summary only becomes
+visible to later segments, so streaming needs no lookahead into the
+bank.  ``tanh_on_mem`` bounds memory values.
+
+Streaming state per layer = (last ``L`` input frames, last ``M``
+incoming memories); ``infer`` consumes one ``segment_length + R``
+chunk per call (utterance slots zero-padded, lookahead slots carrying
+the next ``R`` frames) and returns ``segment_length`` outputs plus the
+new state.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["Emformer"]
+
+_NEG = -1e9
+
+
+def _dense(key, cin, cout):
+    s = math.sqrt(6.0 / (cin + cout))
+    return jax.random.uniform(key, (cin, cout), jnp.float32, -s, s)
+
+
+def _ln(x, p):
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.var(x, -1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["g"] + p["b"]
+
+
+def _ln_p(d):
+    return {"g": jnp.ones((d,)), "b": jnp.zeros((d,))}
+
+
+class Emformer:
+    """``apply(params, x (B, T+R, D), lengths)`` → ``(out (B, T, D),
+    lengths)`` — full utterance right-padded with ``R`` lookahead
+    frames (torchaudio's ``Emformer.forward`` convention); ``T`` need
+    not be a segment multiple.  ``init_state(batch)`` +
+    ``infer(params, chunk (B, S+R, D), state, utt_lengths,
+    rc_lengths)`` → ``(out (B, S, D), out_lengths, state)`` advances
+    one segment per call.
+    """
+
+    def __init__(self, input_dim: int, num_heads: int, ffn_dim: int,
+                 num_layers: int, segment_length: int,
+                 left_context_length: int = 0,
+                 right_context_length: int = 0,
+                 max_memory_size: int = 0,
+                 tanh_on_mem: bool = False):
+        if input_dim % num_heads:
+            raise ValueError("input_dim must be divisible by num_heads")
+        if segment_length < 1:
+            raise ValueError("segment_length must be >= 1")
+        self.d = input_dim
+        self.h = num_heads
+        self.ffn = ffn_dim
+        self.n_layers = num_layers
+        self.S = segment_length
+        self.L = left_context_length
+        self.R = right_context_length
+        self.M = max_memory_size
+        self.tanh_on_mem = tanh_on_mem
+        self._config = (input_dim, num_heads, ffn_dim, num_layers,
+                        segment_length, left_context_length,
+                        right_context_length, max_memory_size,
+                        tanh_on_mem)
+
+    # -- params ----------------------------------------------------
+    def init(self, key):
+        d, keys = self.d, iter(jax.random.split(key, 6 * self.n_layers))
+        layers = []
+        for _ in range(self.n_layers):
+            layers.append({
+                "ln1": _ln_p(d),
+                "wq": _dense(next(keys), d, d), "bq": jnp.zeros((d,)),
+                "wk": _dense(next(keys), d, d), "bk": jnp.zeros((d,)),
+                "wv": _dense(next(keys), d, d), "bv": jnp.zeros((d,)),
+                "wo": _dense(next(keys), d, d), "bo": jnp.zeros((d,)),
+                "ln2": _ln_p(d),
+                "w1": _dense(next(keys), d, self.ffn),
+                "b1": jnp.zeros((self.ffn,)),
+                "w2": _dense(next(keys), self.ffn, d),
+                "b2": jnp.zeros((d,)),
+            })
+        return {"layers": layers, "ln_out": _ln_p(d)}
+
+    # -- attention over one segment (leading dims arbitrary) -------
+    def _attend(self, p, q, kv, kmask):
+        h, dh = self.h, self.d // self.h
+        lead = q.shape[:-2]
+        Q, K = q.shape[-2], kv.shape[-2]
+        qh = (q @ p["wq"] + p["bq"]).reshape(*lead, Q, h, dh)
+        kh = (kv @ p["wk"] + p["bk"]).reshape(*lead, K, h, dh)
+        vh = (kv @ p["wv"] + p["bv"]).reshape(*lead, K, h, dh)
+        logits = jnp.einsum("...qhd,...khd->...hqk", qh, kh) / math.sqrt(dh)
+        logits = jnp.where(kmask[..., None, None, :], logits, _NEG)
+        w = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("...hqk,...khd->...qhd", w, vh)
+        return out.reshape(*lead, Q, self.d) @ p["wo"] + p["bo"]
+
+    def _ffn(self, p, x):
+        y = _ln(x, p["ln2"])
+        return x + jax.nn.relu(y @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
+
+    def _layer_body(self, p, utt, lc, rc, bank, masks):
+        """Shared per-segment layer body.  ``utt (..., S, D)``,
+        ``lc (..., L, D)`` / ``rc (..., R, D)`` / ``bank (..., M, D)``
+        are raw (pre-LN) values; masks = (lc_m, seg_m, rc_m, mem_m).
+        Returns (utt', rc', summary attention output)."""
+        lc_m, seg_m, rc_m, mem_m = masks
+        S, L, R, M = self.S, self.L, self.R, self.M
+        n_utt = _ln(utt, p["ln1"])
+        n_lc = _ln(lc, p["ln1"]) if L else lc
+        n_rc = _ln(rc, p["ln1"]) if R else rc
+        n_bank = _ln(bank, p["ln1"]) if M else bank
+        summary = jnp.mean(jnp.where(seg_m[..., None], n_utt, 0.0),
+                           axis=-2, keepdims=True)
+        q = jnp.concatenate([n_utt, n_rc, summary], axis=-2)
+        kv = jnp.concatenate([n_bank, n_lc, n_utt, n_rc], axis=-2)
+        kmask = jnp.concatenate([mem_m, lc_m, seg_m, rc_m], axis=-1)
+        o = self._attend(p, q, kv, kmask)
+        utt2 = self._ffn(p, utt + o[..., :S, :])
+        rc2 = self._ffn(p, rc + o[..., S:S + R, :]) if R else rc
+        m_out = o[..., -1, :]
+        if self.tanh_on_mem:
+            m_out = jnp.tanh(m_out)
+        return utt2, rc2, m_out
+
+    # -- full-utterance forward ------------------------------------
+    def apply(self, params, x, lengths=None):
+        B, TR, D = x.shape
+        if D != self.d:
+            raise ValueError(f"input dim {D} != {self.d}")
+        S, L, R, M = self.S, self.L, self.R, self.M
+        T = TR - R
+        if T < 1:
+            raise ValueError("need at least one utterance frame")
+        if lengths is None:
+            lengths = jnp.full((B,), T, jnp.int32)
+        lengths = jnp.minimum(lengths.astype(jnp.int32), T)
+        nseg = -(-T // S)
+        Tp = nseg * S
+        xp = jnp.pad(x[:, :T], ((0, 0), (0, Tp - T), (0, 0)))
+        # stream-extended values: utterance, lookahead tail, padding —
+        # position T + r holds the tail, matching stream coordinates.
+        ext = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))  # (B, Tp+R, D)
+
+        seg_ids = jnp.arange(nseg)
+        seg_c = seg_ids[:, None] * S + jnp.arange(S)[None]
+        lc_c = seg_ids[:, None] * S - L + jnp.arange(max(L, 1))[None]
+        # hard-copy right context starts where the segment's valid
+        # frames end globally: min((i+1)S, T)
+        rc_c = jnp.minimum((seg_ids[:, None] + 1) * S, T) \
+            + jnp.arange(max(R, 1))[None]
+        mem_j = seg_ids[:, None] - M + jnp.arange(max(M, 1))[None]
+
+        len_b = lengths[:, None, None]
+        # full-length samples own the appended R-frame tail
+        ext_len = (lengths + jnp.where(lengths == T, R, 0))[:, None, None]
+        seg_m = seg_c[None] < len_b
+        lc_m = (lc_c[None] >= 0) & (lc_c[None] < len_b) if L \
+            else jnp.zeros((B, nseg, 0), bool)
+        rc_m = (rc_c[None] < ext_len) if R \
+            else jnp.zeros((B, nseg, 0), bool)
+        mem_m = ((mem_j[None] >= 0) & (mem_j[None] * S < len_b)) if M \
+            else jnp.zeros((B, nseg, 0), bool)
+        masks = (lc_m, seg_m, rc_m, mem_m)
+
+        utt = jnp.where(seg_m[..., None], xp.reshape(B, nseg, S, D), 0.0)
+        if R:
+            rc = jnp.take(ext, rc_c.reshape(-1), axis=1
+                          ).reshape(B, nseg, R, D)
+            rc = jnp.where(rc_m[..., None], rc, 0.0)
+        else:
+            rc = jnp.zeros((B, nseg, 0, D))
+
+        # layer-0 memory chain: mean-pooled raw input segments
+        mems = jnp.mean(utt, axis=-2)  # (B, nseg, D)
+
+        mem_g = jnp.clip(mem_j, 0, nseg - 1).reshape(-1) if M else None
+        lc_g = jnp.clip(lc_c, 0, Tp - 1).reshape(-1) if L else None
+        for p in params["layers"]:
+            bank = jnp.take(mems, mem_g, axis=1).reshape(B, nseg, M, D) \
+                if M else jnp.zeros((B, nseg, 0, D))
+            lc = jnp.take(utt.reshape(B, Tp, D), lc_g, axis=1
+                          ).reshape(B, nseg, L, D) \
+                if L else jnp.zeros((B, nseg, 0, D))
+            utt, rc, mems = self._layer_body(p, utt, lc, rc, bank, masks)
+        out = _ln(utt, params["ln_out"]).reshape(B, Tp, D)[:, :T]
+        out = jnp.where(jnp.arange(T)[None, :, None] < lengths[:, None, None],
+                        out, 0.0)
+        return out, lengths
+
+    # -- streaming -------------------------------------------------
+    def init_state(self, batch_size: int):
+        """Zeroed streaming state; validity is derived from the
+        segment counter and cumulative per-sample lengths."""
+        L, M, D = max(self.L, 1), max(self.M, 1), self.d
+        return {"layers": [{"lc": jnp.zeros((batch_size, L, D)),
+                            "bank": jnp.zeros((batch_size, M, D))}
+                           for _ in range(self.n_layers)],
+                "seg": jnp.zeros((), jnp.int32),
+                "seen": jnp.zeros((batch_size,), jnp.int32)}
+
+    def infer(self, params, chunk, state,
+              utt_lengths: Optional[jnp.ndarray] = None,
+              rc_lengths: Optional[jnp.ndarray] = None):
+        """One segment step.  ``chunk (B, S+R, D)`` = ``S`` utterance
+        slots (zero-padded past the stream end) + ``R`` lookahead
+        frames; ``utt_lengths`` (B,) = valid new utterance frames
+        (default S), ``rc_lengths`` (B,) = valid lookahead frames
+        (default R — pass fewer at stream end)."""
+        B, SR, D = chunk.shape
+        S, L, R, M = self.S, self.L, self.R, self.M
+        if SR != S + R:
+            raise ValueError(f"chunk must have {S + R} frames, got {SR}")
+        i = state["seg"]
+        seen = state["seen"]
+        utt_len = jnp.full((B,), S, jnp.int32) if utt_lengths is None \
+            else jnp.clip(utt_lengths.astype(jnp.int32), 0, S)
+        rc_len = jnp.full((B,), R, jnp.int32) if rc_lengths is None \
+            else jnp.clip(rc_lengths.astype(jnp.int32), 0, R)
+
+        seg_m = jnp.arange(S)[None] < utt_len[:, None]
+        rc_m = (jnp.arange(max(R, 1))[None] < rc_len[:, None]) if R \
+            else jnp.zeros((B, 0), bool)
+        lc_c = i * S - L + jnp.arange(max(L, 1))[None]
+        lc_m = ((lc_c >= 0) & (lc_c < seen[:, None])) if L \
+            else jnp.zeros((B, 0), bool)
+        mem_j = i - M + jnp.arange(max(M, 1))[None]
+        mem_m = ((mem_j >= 0) & (mem_j * S < seen[:, None])) if M \
+            else jnp.zeros((B, 0), bool)
+        masks = (lc_m, seg_m, rc_m, mem_m)
+
+        utt = jnp.where(seg_m[..., None], chunk[:, :S], 0.0)
+        rc = jnp.where(rc_m[..., None], chunk[:, S:], 0.0) if R \
+            else jnp.zeros((B, 0, D))
+        m_in = jnp.mean(utt, axis=-2)  # layer-0 memory element
+        new_layers = []
+        for p, st in zip(params["layers"], state["layers"]):
+            lc = st["lc"][:, -L:] if L else jnp.zeros((B, 0, D))
+            bank = st["bank"][:, -M:] if M else jnp.zeros((B, 0, D))
+            # cache this layer's input before computing its output
+            new_layers.append({
+                "lc": jnp.concatenate([st["lc"], utt],
+                                      axis=1)[:, -max(L, 1):]
+                if L else st["lc"],
+                "bank": jnp.concatenate([st["bank"], m_in[:, None]],
+                                        axis=1)[:, -max(M, 1):]
+                if M else st["bank"],
+            })
+            utt, rc, m_in = self._layer_body(p, utt, lc, rc, bank, masks)
+        out = jnp.where(seg_m[..., None], _ln(utt, params["ln_out"]), 0.0)
+        return out, utt_len, {"layers": new_layers, "seg": i + 1,
+                              "seen": seen + utt_len}
