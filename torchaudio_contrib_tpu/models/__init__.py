@@ -15,6 +15,7 @@ from .wavernn import WaveRNN
 from .tacotron2 import Tacotron2
 from .wav2vec2 import Wav2Vec2
 from .emformer import Emformer
+from .rnnt import RNNT, RNNTPredictor, RNNTBeamSearch
 from .transforms import (
     MFCC, Loudness, PitchShift, Speed, AddNoise,
     Fade, Vol, FrequencyMasking, TimeMasking,
@@ -35,6 +36,7 @@ __all__ = [
     "StretchSpecTime", "Resample", "GriffinLim",
     "Spectrogram", "Melspectrogram", "FusedMelspectrogram",
     "MelFrontendClassifier", "Conformer", "Wav2Letter", "DeepSpeech", "ConvTasNet", "WaveRNN", "Tacotron2", "Wav2Vec2", "Emformer",
+    "RNNT", "RNNTPredictor", "RNNTBeamSearch",
     "MFCC", "Loudness", "PitchShift", "Speed", "AddNoise",
     "Fade", "Vol", "FrequencyMasking", "TimeMasking",
     "Preemphasis", "Deemphasis", "ComputeDeltas", "SlidingWindowCmn",

@@ -1,0 +1,335 @@
+"""RNN-T (transducer) model family: predictor, joiner, full model,
+device greedy decoding, host beam search.
+
+Not in the reference (SURVEY §2 — torchaudio-contrib has no model
+zoo); mirrors torchaudio's ``models.RNNT`` / ``RNNTBeamSearch``
+capability (Graves 2012).  The transcriber (acoustic encoder) is
+pluggable — any object with ``init(key)`` and ``apply(params, x,
+lengths)`` (returning features or ``(features, lengths)``) works;
+``Conformer`` and ``Emformer`` from this package both qualify, the
+latter giving the streaming Emformer-RNNT stack.
+
+TPU-first notes:
+
+* the predictor LSTM is ONE step function reused by both the training
+  ``lax.scan`` and decoding, so streaming decode and training are
+  consistent by construction;
+* ``greedy_decode`` is fully jittable: a ``lax.scan`` over time with a
+  statically-unrolled bounded inner emission loop (``max_symbols`` per
+  frame), masked flag updates instead of data-dependent branching —
+  one compiled program decodes a whole padded batch;
+* beam search runs on the host (hypothesis sets are inherently ragged)
+  but batches all hypotheses' predictor steps and joint evaluations
+  into single jitted device calls per expansion round.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["RNNTPredictor", "RNNT", "RNNTBeamSearch"]
+
+
+def _dense(key, cin, cout):
+    s = math.sqrt(6.0 / (cin + cout))
+    return jax.random.uniform(key, (cin, cout), jnp.float32, -s, s)
+
+
+def _ln(x, p):
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.var(x, -1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["g"] + p["b"]
+
+
+class RNNTPredictor:
+    """LSTM label predictor.  Blank doubles as the start-of-sequence
+    token (torchaudio's convention).  ``apply`` returns one output per
+    label *context*: position ``u`` encodes ``y_1..y_u`` (position 0 =
+    SOS only), so the output length is ``U + 1``."""
+
+    def __init__(self, num_symbols: int, embed_dim: int,
+                 hidden_dim: int, output_dim: int, num_layers: int = 1,
+                 blank: int = 0):
+        self.v = num_symbols
+        self.e = embed_dim
+        self.h = hidden_dim
+        self.o = output_dim
+        self.n_layers = num_layers
+        self.blank = blank
+
+    def init(self, key):
+        keys = iter(jax.random.split(key, 2 + 2 * self.n_layers))
+        layers = []
+        cin = self.e
+        for _ in range(self.n_layers):
+            layers.append({"wi": _dense(next(keys), cin, 4 * self.h),
+                           "wh": _dense(next(keys), self.h, 4 * self.h),
+                           "b": jnp.zeros((4 * self.h,))})
+            cin = self.h
+        return {"emb": 0.1 * jax.random.normal(next(keys),
+                                               (self.v, self.e)),
+                "layers": layers,
+                "ln": {"g": jnp.ones((self.h,)),
+                       "b": jnp.zeros((self.h,))},
+                "out": {"w": _dense(next(keys), self.h, self.o),
+                        "b": jnp.zeros((self.o,))}}
+
+    def init_state(self, batch_size: int):
+        return [(jnp.zeros((batch_size, self.h)),
+                 jnp.zeros((batch_size, self.h)))
+                for _ in range(self.n_layers)]
+
+    def step(self, params, tokens, state):
+        """One step: ``tokens (B,) int32`` → ``(out (B, O), state)``."""
+        x = params["emb"][tokens]
+        new_state = []
+        for p, (h, c) in zip(params["layers"], state):
+            gates = x @ p["wi"] + h @ p["wh"] + p["b"]
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h = jax.nn.sigmoid(o) * jnp.tanh(c)
+            new_state.append((h, c))
+            x = h
+        out = _ln(x, params["ln"]) @ params["out"]["w"] \
+            + params["out"]["b"]
+        return out, new_state
+
+    def apply(self, params, targets, target_lengths=None):
+        """``targets (B, U)`` → ``(B, U+1, O)`` label-context
+        encodings (frames past ``target_lengths`` carry the last valid
+        state's output — masked downstream by the loss)."""
+        B, U = targets.shape
+        sos = jnp.full((B,), self.blank, jnp.int32)
+        seq = jnp.concatenate([sos[:, None],
+                               targets.astype(jnp.int32)], axis=1)
+
+        def step(state, tok):
+            out, state = self.step(params, tok, state)
+            return state, out
+
+        _, outs = jax.lax.scan(step, self.init_state(B),
+                               jnp.swapaxes(seq, 0, 1))
+        return jnp.swapaxes(outs, 0, 1)                  # (B, U+1, O)
+
+
+class RNNT:
+    """Transducer = transcriber ∘ predictor ∘ joiner.
+
+    ``joint_logits(params, x, targets, lengths, target_lengths)`` →
+    ``(logits (B, T, U+1, V), out_lengths)`` feeds directly into
+    ``ops.rnnt_loss``; ``greedy_decode`` is jittable."""
+
+    def __init__(self, transcriber, num_symbols: int,
+                 encoding_dim: int, joiner_dim: int = 0,
+                 predictor_embed_dim: int = 64,
+                 predictor_hidden_dim: int = 128,
+                 predictor_layers: int = 1, blank: int = 0,
+                 joiner_activation: str = "tanh"):
+        if joiner_activation not in ("tanh", "relu"):
+            raise ValueError("joiner_activation must be tanh or relu")
+        self.transcriber = transcriber
+        self.v = num_symbols
+        self.blank = blank
+        self.joiner_dim = joiner_dim or encoding_dim
+        self.enc_dim = encoding_dim
+        self.act = jnp.tanh if joiner_activation == "tanh" \
+            else jax.nn.relu
+        self.predictor = RNNTPredictor(
+            num_symbols, predictor_embed_dim, predictor_hidden_dim,
+            self.joiner_dim, predictor_layers, blank)
+
+    def init(self, key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        return {"transcriber": self.transcriber.init(k1),
+                "predictor": self.predictor.init(k2),
+                "enc_proj": {"w": _dense(k3, self.enc_dim,
+                                         self.joiner_dim),
+                             "b": jnp.zeros((self.joiner_dim,))},
+                "joiner": {"w": _dense(k4, self.joiner_dim, self.v),
+                           "b": jnp.zeros((self.v,))}}
+
+    # -- pieces -----------------------------------------------------
+    def transcribe(self, params, x, lengths=None):
+        out = self.transcriber.apply(params["transcriber"], x, lengths)
+        if isinstance(out, tuple):
+            feats, out_lengths = out
+        else:
+            feats = out
+            out_lengths = lengths if lengths is not None else \
+                jnp.full((x.shape[0],), feats.shape[1], jnp.int32)
+        feats = feats @ params["enc_proj"]["w"] + params["enc_proj"]["b"]
+        return feats, out_lengths
+
+    def join(self, params, enc, pred):
+        """``enc (..., J)`` + ``pred (..., J)`` → logits ``(..., V)``;
+        broadcasting shapes is the caller's job."""
+        return self.act(enc + pred) @ params["joiner"]["w"] \
+            + params["joiner"]["b"]
+
+    def joint_logits(self, params, x, targets, lengths=None,
+                     target_lengths=None):
+        enc, out_lengths = self.transcribe(params, x, lengths)
+        pred = self.predictor.apply(params["predictor"], targets,
+                                    target_lengths)
+        logits = self.join(params, enc[:, :, None, :],
+                           pred[:, None, :, :])
+        return logits, out_lengths
+
+    # -- decoding ---------------------------------------------------
+    @partial(jax.jit, static_argnums=(0, 4))
+    def _greedy_on_enc(self, params, enc, out_lengths, max_symbols):
+        B = enc.shape[0]
+        pred0, state0 = self.predictor.step(
+            params["predictor"],
+            jnp.full((B,), self.blank, jnp.int32),
+            self.predictor.init_state(B))
+
+        def time_step(carry, inp):
+            pred, state = carry
+            enc_t, t = inp
+            valid_t = t < out_lengths                       # (B,)
+            toks = jnp.full((B, max_symbols), self.blank, jnp.int32)
+            done = ~valid_t
+            for k in range(max_symbols):
+                logits = self.join(params, enc_t, pred)     # (B, V)
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                emit = (~done) & (tok != self.blank)
+                toks = toks.at[:, k].set(jnp.where(emit, tok,
+                                                   self.blank))
+                new_pred, new_state = self.predictor.step(
+                    params["predictor"], tok, state)
+                m = emit[:, None]
+                pred = jnp.where(m, new_pred, pred)
+                state = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(m, n, o), new_state, state)
+                done = done | ~emit
+            return (pred, state), toks
+
+        _, toks = jax.lax.scan(time_step, (pred0, state0),
+                               (jnp.swapaxes(enc, 0, 1),
+                                jnp.arange(enc.shape[1])))
+        return jnp.swapaxes(toks, 0, 1)        # (B, T, max_symbols)
+
+    def greedy_decode(self, params, x, lengths=None,
+                      max_symbols: int = 4, compact: bool = True):
+        """Greedy transducer decode.  Returns a list of per-sample
+        token lists (``compact=True``) or the raw ``(B, T,
+        max_symbols)`` grid of emissions (blank = no emission) for
+        fully-device pipelines."""
+        enc, out_lengths = self.transcribe(params, x, lengths)
+        grid = self._greedy_on_enc(params, enc, out_lengths,
+                                   max_symbols)
+        if not compact:
+            return grid
+        g = np.asarray(grid)
+        return [[int(t) for t in row.reshape(-1) if t != self.blank]
+                for row in g]
+
+
+class RNNTBeamSearch:
+    """Time-synchronous transducer beam search (host-side hypothesis
+    bookkeeping, device-batched predictor/joiner evaluations).
+
+    Each frame runs up to ``max_symbols`` expansion rounds: every
+    hypothesis is scored against all symbols; blank extensions become
+    frame-final candidates, the best non-blank extensions survive into
+    the next round.  Identical label sequences are merged with
+    ``logaddexp``.  Returns the ``beam_width`` best hypotheses."""
+
+    def __init__(self, model: RNNT, beam_width: int = 8,
+                 max_symbols: int = 4):
+        self.model = model
+        self.beam = beam_width
+        self.max_symbols = max_symbols
+        self._step = jax.jit(
+            lambda p, toks, st: model.predictor.step(p["predictor"],
+                                                     toks, st))
+        self._join = jax.jit(
+            lambda p, enc, pred: jax.nn.log_softmax(
+                model.join(p, enc, pred), axis=-1))
+
+    def __call__(self, params, x, lengths=None
+                 ) -> List[List[Tuple[List[int], float]]]:
+        enc, out_lengths = self.model.transcribe(params, x, lengths)
+        enc = np.asarray(enc)
+        out_lengths = np.asarray(out_lengths)
+        return [self._search(params, enc[b], int(out_lengths[b]))
+                for b in range(enc.shape[0])]
+
+    def _search(self, params, enc, T):
+        blank = self.model.blank
+        pred0, state0 = self._step(
+            params, jnp.full((1,), blank, jnp.int32),
+            self.model.predictor.init_state(1))
+        # hyp = (tokens tuple, score, pred_out (J,), state leaves)
+        hyps = [((), 0.0, pred0[0], jax.tree_util.tree_map(
+            lambda a: a[0], state0))]
+        # predictor output/state per label sequence (depends only on
+        # the tokens, so one cache serves all frames)
+        cache = {(): (hyps[0][2], hyps[0][3])}
+        for t in range(T):
+            finals = {}
+
+            def _merge(d, key, val):
+                d[key] = np.logaddexp(d[key], val) if key in d else val
+
+            active = hyps
+            for _ in range(self.max_symbols):
+                if not active:
+                    break
+                pred = jnp.stack([h[2] for h in active])
+                lp = np.asarray(self._join(
+                    params, jnp.asarray(enc[t])[None], pred))
+                nxt = {}
+                for h, row in zip(active, lp):
+                    _merge(finals, h[0], h[1] + float(row[blank]))
+                    order = np.argsort(row)[::-1]
+                    kept = 0
+                    for tok in order:
+                        if tok == blank:
+                            continue
+                        cand = h[0] + (int(tok),)
+                        sc = h[1] + float(row[tok])
+                        if cand in nxt:
+                            nxt[cand] = (np.logaddexp(nxt[cand][0], sc),
+                                         nxt[cand][1])
+                        else:
+                            nxt[cand] = (sc, h)
+                        kept += 1
+                        if kept >= self.beam:
+                            break
+                top = sorted(nxt.items(), key=lambda kv: -kv[1][0]
+                             )[:self.beam]
+                if not top:
+                    break
+                toks = jnp.asarray([c[-1] for c, _ in top], jnp.int32)
+                parents = [v[1] for _, v in top]
+                state = jax.tree_util.tree_map(
+                    lambda *leaves: jnp.stack(leaves),
+                    *[h[3] for h in parents])
+                pred_out, new_state = self._step(params, toks, state)
+                active = [
+                    (c, v[0], pred_out[i], jax.tree_util.tree_map(
+                        lambda a, i=i: a[i], new_state))
+                    for i, (c, v) in enumerate(top)]
+                for h in active:
+                    cache[h[0]] = (h[2], h[3])
+            # last round's survivors must also close with a blank
+            if active:
+                pred = jnp.stack([h[2] for h in active])
+                lp = np.asarray(self._join(
+                    params, jnp.asarray(enc[t])[None], pred))
+                for h, row in zip(active, lp):
+                    _merge(finals, h[0], h[1] + float(row[blank]))
+            # carry states: rebuild hyp list for surviving sequences
+            best = sorted(finals.items(), key=lambda kv: -kv[1]
+                          )[:self.beam]
+            hyps = [(key, score) + cache[key] for key, score in best] \
+                or hyps
+        return [(list(h[0]), float(h[1])) for h in
+                sorted(hyps, key=lambda h: -h[1])]
