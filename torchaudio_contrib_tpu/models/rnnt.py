@@ -181,13 +181,20 @@ class RNNT:
         return logits, out_lengths
 
     # -- decoding ---------------------------------------------------
-    @partial(jax.jit, static_argnums=(0, 4))
-    def _greedy_on_enc(self, params, enc, out_lengths, max_symbols):
-        B = enc.shape[0]
-        pred0, state0 = self.predictor.step(
+    def greedy_init_state(self, params, batch_size: int):
+        """Decoder-side greedy carry: (last predictor output, LSTM
+        state) primed with the SOS/blank step.  Passing the returned
+        carry through successive ``_greedy_on_enc`` calls makes
+        chunkwise decoding ≡ one-shot decoding by construction."""
+        return self.predictor.step(
             params["predictor"],
-            jnp.full((B,), self.blank, jnp.int32),
-            self.predictor.init_state(B))
+            jnp.full((batch_size,), self.blank, jnp.int32),
+            self.predictor.init_state(batch_size))
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def _greedy_on_enc(self, params, enc, out_lengths, max_symbols,
+                       carry):
+        B = enc.shape[0]
 
         def time_step(carry, inp):
             pred, state = carry
@@ -210,10 +217,10 @@ class RNNT:
                 done = done | ~emit
             return (pred, state), toks
 
-        _, toks = jax.lax.scan(time_step, (pred0, state0),
-                               (jnp.swapaxes(enc, 0, 1),
-                                jnp.arange(enc.shape[1])))
-        return jnp.swapaxes(toks, 0, 1)        # (B, T, max_symbols)
+        carry, toks = jax.lax.scan(time_step, carry,
+                                   (jnp.swapaxes(enc, 0, 1),
+                                    jnp.arange(enc.shape[1])))
+        return jnp.swapaxes(toks, 0, 1), carry  # (B, T, max_symbols)
 
     def greedy_decode(self, params, x, lengths=None,
                       max_symbols: int = 4, compact: bool = True):
@@ -222,13 +229,49 @@ class RNNT:
         max_symbols)`` grid of emissions (blank = no emission) for
         fully-device pipelines."""
         enc, out_lengths = self.transcribe(params, x, lengths)
-        grid = self._greedy_on_enc(params, enc, out_lengths,
-                                   max_symbols)
+        grid, _ = self._greedy_on_enc(
+            params, enc, out_lengths, max_symbols,
+            self.greedy_init_state(params, enc.shape[0]))
         if not compact:
             return grid
         g = np.asarray(grid)
         return [[int(t) for t in row.reshape(-1) if t != self.blank]
                 for row in g]
+
+    # -- streaming --------------------------------------------------
+    def init_stream_state(self, params, batch_size: int):
+        """Joint streaming state: the transcriber's streaming state
+        (the transcriber must expose ``init_state``/``infer`` — e.g.
+        ``Emformer``) + the greedy decoder carry."""
+        if not hasattr(self.transcriber, "init_state"):
+            raise TypeError(
+                "streaming needs a transcriber with init_state/infer "
+                f"(got {type(self.transcriber).__name__})")
+        return {"enc": self.transcriber.init_state(batch_size),
+                "dec": self.greedy_init_state(params, batch_size)}
+
+    def stream_transcribe(self, params, chunk, enc_state,
+                          **infer_kwargs):
+        """One transcriber streaming step + joiner projection:
+        ``chunk`` in the transcriber's ``infer`` format →
+        ``(feats (B, S, J), out_lengths, enc_state)``."""
+        feats, out_lengths, enc_state = self.transcriber.infer(
+            params["transcriber"], chunk, enc_state, **infer_kwargs)
+        feats = feats @ params["enc_proj"]["w"] \
+            + params["enc_proj"]["b"]
+        return feats, out_lengths, enc_state
+
+    def stream_greedy_step(self, params, chunk, state,
+                           max_symbols: int = 4, **infer_kwargs):
+        """Streaming greedy decode, one transcriber chunk per call:
+        → ``(grid (B, S, max_symbols), out_lengths, state)``.  Feeding
+        every chunk reproduces ``greedy_decode``'s emission grid
+        exactly (pinned by test)."""
+        feats, out_lengths, enc_state = self.stream_transcribe(
+            params, chunk, state["enc"], **infer_kwargs)
+        grid, dec = self._greedy_on_enc(params, feats, out_lengths,
+                                        max_symbols, state["dec"])
+        return grid, out_lengths, {"enc": enc_state, "dec": dec}
 
 
 class RNNTBeamSearch:
@@ -258,10 +301,44 @@ class RNNTBeamSearch:
         enc, out_lengths = self.model.transcribe(params, x, lengths)
         enc = np.asarray(enc)
         out_lengths = np.asarray(out_lengths)
-        return [self._search(params, enc[b], int(out_lengths[b]))
-                for b in range(enc.shape[0])]
+        out = []
+        for b in range(enc.shape[0]):
+            hyps, cache = self._init_hyps(params)
+            hyps, _ = self._advance(params, enc[b],
+                                    int(out_lengths[b]), hyps, cache)
+            out.append(self._ranked(hyps))
+        return out
 
-    def _search(self, params, enc, T):
+    # -- streaming --------------------------------------------------
+    def init_state(self, params, batch_size: int):
+        """Host-side decode state, one (hypotheses, predictor cache)
+        pair per sample."""
+        return [self._init_hyps(params) for _ in range(batch_size)]
+
+    def infer(self, params, feats, out_lengths, states):
+        """Advance the beam over one chunk of *projected* encoder
+        features (from ``model.stream_transcribe``): ``feats (B, S,
+        J)`` → (per-sample ranked hypotheses so far, new states).
+        Feeding every chunk reproduces ``__call__`` exactly (pinned
+        by test)."""
+        feats = np.asarray(feats)
+        out_lengths = np.asarray(out_lengths)
+        results, new_states = [], []
+        for b, (hyps, cache) in enumerate(states):
+            hyps, cache = self._advance(params, feats[b],
+                                        int(out_lengths[b]), hyps,
+                                        cache)
+            new_states.append((hyps, cache))
+            results.append(self._ranked(hyps))
+        return results, new_states
+
+    # -- internals --------------------------------------------------
+    @staticmethod
+    def _ranked(hyps):
+        return [(list(h[0]), float(h[1])) for h in
+                sorted(hyps, key=lambda h: -h[1])]
+
+    def _init_hyps(self, params):
         blank = self.model.blank
         pred0, state0 = self._step(
             params, jnp.full((1,), blank, jnp.int32),
@@ -272,6 +349,10 @@ class RNNTBeamSearch:
         # predictor output/state per label sequence (depends only on
         # the tokens, so one cache serves all frames)
         cache = {(): (hyps[0][2], hyps[0][3])}
+        return hyps, cache
+
+    def _advance(self, params, enc, T, hyps, cache):
+        blank = self.model.blank
         for t in range(T):
             finals = {}
 
@@ -331,5 +412,6 @@ class RNNTBeamSearch:
                           )[:self.beam]
             hyps = [(key, score) + cache[key] for key, score in best] \
                 or hyps
-        return [(list(h[0]), float(h[1])) for h in
-                sorted(hyps, key=lambda h: -h[1])]
+        # keep the cache bounded to the sequences still alive
+        cache = {h[0]: (h[2], h[3]) for h in hyps}
+        return hyps, cache
