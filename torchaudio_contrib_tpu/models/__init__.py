@@ -13,7 +13,11 @@ from .asr import Wav2Letter, DeepSpeech
 from .tasnet import ConvTasNet
 from .wavernn import WaveRNN
 from .tacotron2 import Tacotron2
-from .wav2vec2 import Wav2Vec2
+from .wav2vec2 import (
+    Wav2Vec2, wav2vec2_base, wav2vec2_large,
+    hubert_base, hubert_large, hubert_xlarge,
+)
+from .hubert import HuBERTPretrainModel, span_mask
 from .emformer import Emformer
 from .rnnt import RNNT, RNNTPredictor, RNNTBeamSearch
 from .transforms import (
@@ -37,6 +41,9 @@ __all__ = [
     "Spectrogram", "Melspectrogram", "FusedMelspectrogram",
     "MelFrontendClassifier", "Conformer", "Wav2Letter", "DeepSpeech", "ConvTasNet", "WaveRNN", "Tacotron2", "Wav2Vec2", "Emformer",
     "RNNT", "RNNTPredictor", "RNNTBeamSearch",
+    "wav2vec2_base", "wav2vec2_large",
+    "hubert_base", "hubert_large", "hubert_xlarge",
+    "HuBERTPretrainModel", "span_mask",
     "MFCC", "Loudness", "PitchShift", "Speed", "AddNoise",
     "Fade", "Vol", "FrequencyMasking", "TimeMasking",
     "Preemphasis", "Deemphasis", "ComputeDeltas", "SlidingWindowCmn",

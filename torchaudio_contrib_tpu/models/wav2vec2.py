@@ -24,7 +24,8 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["Wav2Vec2"]
+__all__ = ["Wav2Vec2", "wav2vec2_base", "wav2vec2_large",
+           "hubert_base", "hubert_large", "hubert_xlarge"]
 
 
 def _dense(key, cin, cout):
@@ -151,7 +152,14 @@ class Wav2Vec2:
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
         return out @ p["wo"] + p["bo"]
 
-    def apply(self, params, waveforms, lengths=None):
+    def apply(self, params, waveforms, lengths=None, *,
+              frame_mask=None, mask_embedding=None,
+              return_features=False):
+        """Optional SSL-pretraining hooks: ``frame_mask (B, T') bool``
+        + ``mask_embedding (d_model,)`` replace the projected features
+        at masked frames with the learned mask token (HuBERT/wav2vec2
+        masked prediction); ``return_features=True`` additionally
+        returns the raw extractor output (for the feature penalty)."""
         waveforms = jnp.asarray(waveforms)
         if waveforms.ndim != 2:
             raise ValueError("waveforms must be (batch, time)")
@@ -168,6 +176,10 @@ class Wav2Vec2:
 
         x = (_ln(feats, params["proj_ln"]) @ params["proj"]["w"]
              + params["proj"]["b"])
+        if frame_mask is not None:
+            if mask_embedding is None:
+                raise ValueError("frame_mask needs mask_embedding")
+            x = jnp.where(frame_mask[..., None], mask_embedding, x)
         # grouped-conv positional embedding (wav2vec2's relative pos)
         pos = jax.lax.conv_general_dilated(
             x, params["pos_conv"], (1,),
@@ -186,7 +198,38 @@ class Wav2Vec2:
                 x = jnp.where(pad_mask[..., None], x, 0.0)
         if self.aux_out is not None:
             x = x @ params["aux"]["w"] + params["aux"]["b"]
+        if return_features:
+            return x, out_lengths, feats
         return x, out_lengths
 
     def __call__(self, params, waveforms, lengths=None):
         return self.apply(params, waveforms, lengths)
+
+
+# -- standard configurations (torchaudio's wav2vec2_*/hubert_* zoo) --
+def wav2vec2_base(aux_out: Optional[int] = None) -> Wav2Vec2:
+    """BASE: 12 layers, d 768, 12 heads, FFN 3072 (95 M params)."""
+    return Wav2Vec2(aux_out=aux_out)
+
+
+def wav2vec2_large(aux_out: Optional[int] = None) -> Wav2Vec2:
+    """LARGE: 24 layers, d 1024, 16 heads, FFN 4096 (317 M params)."""
+    return Wav2Vec2(d_model=1024, num_layers=24, num_heads=16,
+                    ff_dim=4096, aux_out=aux_out)
+
+
+def hubert_base(aux_out: Optional[int] = None) -> Wav2Vec2:
+    """HuBERT BASE — same encoder architecture as wav2vec2 BASE; the
+    HuBERT-ness is the pretraining objective (`HuBERTPretrainModel`)."""
+    return Wav2Vec2(aux_out=aux_out)
+
+
+def hubert_large(aux_out: Optional[int] = None) -> Wav2Vec2:
+    return Wav2Vec2(d_model=1024, num_layers=24, num_heads=16,
+                    ff_dim=4096, aux_out=aux_out)
+
+
+def hubert_xlarge(aux_out: Optional[int] = None) -> Wav2Vec2:
+    """XLARGE: 48 layers, d 1280, 16 heads, FFN 5120 (~1 B params)."""
+    return Wav2Vec2(d_model=1280, num_layers=48, num_heads=16,
+                    ff_dim=5120, aux_out=aux_out)
