@@ -18,6 +18,7 @@ from .wav2vec2 import (
     hubert_base, hubert_large, hubert_xlarge,
 )
 from .hubert import HuBERTPretrainModel, span_mask
+from .hdemucs import HDemucs
 from .emformer import Emformer
 from .rnnt import RNNT, RNNTPredictor, RNNTBeamSearch
 from .transforms import (
@@ -43,7 +44,7 @@ __all__ = [
     "RNNT", "RNNTPredictor", "RNNTBeamSearch",
     "wav2vec2_base", "wav2vec2_large",
     "hubert_base", "hubert_large", "hubert_xlarge",
-    "HuBERTPretrainModel", "span_mask",
+    "HuBERTPretrainModel", "span_mask", "HDemucs",
     "MFCC", "Loudness", "PitchShift", "Speed", "AddNoise",
     "Fade", "Vol", "FrequencyMasking", "TimeMasking",
     "Preemphasis", "Deemphasis", "ComputeDeltas", "SlidingWindowCmn",
