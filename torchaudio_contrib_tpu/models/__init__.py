@@ -19,6 +19,7 @@ from .wav2vec2 import (
 )
 from .hubert import HuBERTPretrainModel, span_mask
 from .hdemucs import HDemucs
+from .squim import SquimObjective, SquimSubjective
 from .emformer import Emformer
 from .rnnt import RNNT, RNNTPredictor, RNNTBeamSearch
 from .transforms import (
@@ -45,6 +46,7 @@ __all__ = [
     "wav2vec2_base", "wav2vec2_large",
     "hubert_base", "hubert_large", "hubert_xlarge",
     "HuBERTPretrainModel", "span_mask", "HDemucs",
+    "SquimObjective", "SquimSubjective",
     "MFCC", "Loudness", "PitchShift", "Speed", "AddNoise",
     "Fade", "Vol", "FrequencyMasking", "TimeMasking",
     "Preemphasis", "Deemphasis", "ComputeDeltas", "SlidingWindowCmn",

@@ -1,0 +1,249 @@
+"""Squim: speech quality and intelligibility measures (Kumar et al.
+2023) — reference-free quality prediction.
+
+Not in the reference (SURVEY §2 — torchaudio-contrib has no model
+zoo); mirrors torchaudio's ``models.SquimObjective`` (predict STOI,
+PESQ, SI-SDR from the test waveform alone) and ``SquimSubjective``
+(predict MOS from a test waveform plus a non-matching reference)
+capability.
+
+TPU-first design: a strided-conv frame encoder (one MXU conv), a
+dual-path (DPRNN) core — the frame sequence is chunked ``(n_chunks,
+chunk)`` and two BiLSTMs sweep the intra-chunk and inter-chunk axes,
+each as a single ``lax.scan`` with the orthogonal axis folded into the
+batch — attention pooling over time, and small MLP heads with
+range-appropriate output transforms (STOI ∈ (0,1) via sigmoid, PESQ ∈
+(1, 4.5), MOS ∈ (1, 5), SI-SDR linear).  Static chunking, no dynamic
+shapes; everything vmappable and shardable on the batch axis.
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["SquimObjective", "SquimSubjective"]
+
+
+def _dense(key, cin, cout):
+    s = math.sqrt(6.0 / (cin + cout))
+    return jax.random.uniform(key, (cin, cout), jnp.float32, -s, s)
+
+
+def _conv_w(key, k, cin, cout):
+    s = math.sqrt(6.0 / (k * cin + k * cout))
+    return jax.random.uniform(key, (k, cin, cout), jnp.float32, -s, s)
+
+
+def _ln(x, p):
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.var(x, -1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["g"] + p["b"]
+
+
+def _ln_p(d):
+    return {"g": jnp.ones((d,)), "b": jnp.zeros((d,))}
+
+
+def _lstm_p(key, cin, h):
+    k1, k2 = jax.random.split(key)
+    return {"wi": _dense(k1, cin, 4 * h), "wh": _dense(k2, h, 4 * h),
+            "b": jnp.zeros((4 * h,))}
+
+
+def _lstm(p, x):
+    """Unidirectional LSTM over axis 1 of ``x (B, L, C)`` → (B, L, H);
+    input GEMM hoisted out of the scan."""
+    B, L, _ = x.shape
+    H = p["wh"].shape[0]
+    gin = x @ p["wi"] + p["b"]
+
+    def cell(carry, g):
+        h, c = carry
+        g = g + h @ p["wh"]
+        i, f, o, u = jnp.split(g, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(u)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    _, hs = jax.lax.scan(cell, (jnp.zeros((B, H)), jnp.zeros((B, H))),
+                         jnp.swapaxes(gin, 0, 1))
+    return jnp.swapaxes(hs, 0, 1)
+
+
+def _bilstm(p, x):
+    fwd = _lstm(p["f"], x)
+    bwd = _lstm(p["b"], x[:, ::-1])[:, ::-1]
+    return jnp.concatenate([fwd, bwd], -1) @ p["proj"]
+
+
+def _bilstm_p(key, d, h):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {"f": _lstm_p(k1, d, h), "b": _lstm_p(k2, d, h),
+            "proj": _dense(k3, 2 * h, d)}
+
+
+class _DPRNNCore:
+    """Shared dual-path core: chunked intra/inter BiLSTM blocks."""
+
+    def __init__(self, d_model: int, hidden: int, num_blocks: int,
+                 chunk: int):
+        self.d = d_model
+        self.h = hidden
+        self.n = num_blocks
+        self.chunk = chunk
+
+    def init_blocks(self, key):
+        blocks = []
+        for k in jax.random.split(key, self.n):
+            k1, k2 = jax.random.split(k)
+            blocks.append({"intra": _bilstm_p(k1, self.d, self.h),
+                           "n1": _ln_p(self.d),
+                           "inter": _bilstm_p(k2, self.d, self.h),
+                           "n2": _ln_p(self.d)})
+        return blocks
+
+    def run(self, blocks, x):
+        """``x (B, L, D)`` → (B, L, D), L padded to a chunk multiple."""
+        B, L, D = x.shape
+        nc = -(-L // self.chunk)
+        x = jnp.pad(x, ((0, 0), (0, nc * self.chunk - L), (0, 0)))
+        x = x.reshape(B, nc, self.chunk, D)
+        for p in blocks:
+            intra = _bilstm(p["intra"], x.reshape(B * nc, self.chunk, D))
+            x = _ln(x + intra.reshape(B, nc, self.chunk, D), p["n1"])
+            xt = jnp.swapaxes(x, 1, 2).reshape(B * self.chunk, nc, D)
+            inter = _bilstm(p["inter"], xt)
+            inter = jnp.swapaxes(
+                inter.reshape(B, self.chunk, nc, D), 1, 2)
+            x = _ln(x + inter, p["n2"])
+        return x.reshape(B, nc * self.chunk, D)[:, :L]
+
+
+def _attn_pool_p(key, d):
+    k1, k2 = jax.random.split(key)
+    return {"wq": _dense(k1, d, d), "q": 0.1 * jax.random.normal(
+        k2, (d,))}
+
+
+def _attn_pool(p, x):
+    """Learned-query attention pooling: ``x (B, L, D)`` → (B, D)."""
+    logits = (x @ p["wq"]) @ p["q"] / math.sqrt(x.shape[-1])
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bl,bld->bd", w, x)
+
+
+def _head_p(key, d, hidden=64):
+    k1, k2 = jax.random.split(key)
+    return {"w1": _dense(k1, d, hidden), "b1": jnp.zeros((hidden,)),
+            "w2": _dense(k2, hidden, 1), "b2": jnp.zeros((1,))}
+
+
+def _head(p, x):
+    y = jax.nn.gelu(x @ p["w1"] + p["b1"])
+    return (y @ p["w2"] + p["b2"])[..., 0]
+
+
+class SquimObjective:
+    """``apply(params, waveforms (B, T))`` → ``(stoi, pesq, si_sdr)``
+    each ``(B,)``: STOI ∈ (0, 1), PESQ ∈ (1, 4.5), SI-SDR in dB
+    (unbounded linear)."""
+
+    METRICS = ("stoi", "pesq", "si_sdr")
+
+    def __init__(self, d_model: int = 64, enc_kernel: int = 128,
+                 enc_stride: int = 64, hidden: int = 64,
+                 num_blocks: int = 2, chunk: int = 32):
+        self.d = d_model
+        self.k = enc_kernel
+        self.s = enc_stride
+        self.core = _DPRNNCore(d_model, hidden, num_blocks, chunk)
+
+    def init(self, key):
+        k_enc, k_core, *k_heads = jax.random.split(key, 2 + 6)
+        return {
+            "enc": {"w": _conv_w(k_enc, self.k, 1, self.d),
+                    "n": _ln_p(self.d)},
+            "blocks": self.core.init_blocks(k_core),
+            "pool": {m: _attn_pool_p(k_heads[2 * i], self.d)
+                     for i, m in enumerate(self.METRICS)},
+            "head": {m: _head_p(k_heads[2 * i + 1], self.d)
+                     for i, m in enumerate(self.METRICS)},
+        }
+
+    def _encode(self, params, waveforms):
+        if waveforms.ndim != 2:
+            raise ValueError("waveforms must be (batch, time)")
+        if waveforms.shape[1] < self.k:
+            raise ValueError(f"need at least {self.k} samples")
+        # scale-invariant input normalization
+        rms = jnp.sqrt(jnp.mean(waveforms ** 2, -1, keepdims=True))
+        x = (waveforms / (rms + 1e-8))[..., None]
+        y = jax.lax.conv_general_dilated(
+            x, params["enc"]["w"], (self.s,), "VALID",
+            dimension_numbers=("NTC", "TIO", "NTC"),
+            preferred_element_type=jnp.float32)
+        y = jax.nn.gelu(_ln(y, params["enc"]["n"]))
+        return self.core.run(params["blocks"], y)
+
+    def apply(self, params, waveforms) -> Tuple[jnp.ndarray, ...]:
+        z = self._encode(params, waveforms)
+        out = []
+        for m in self.METRICS:
+            v = _head(params["head"][m],
+                      _attn_pool(params["pool"][m], z))
+            if m == "stoi":
+                v = jax.nn.sigmoid(v)
+            elif m == "pesq":
+                v = 1.0 + 3.5 * jax.nn.sigmoid(v)
+            out.append(v)
+        return tuple(out)
+
+    def __call__(self, params, waveforms):
+        return self.apply(params, waveforms)
+
+
+class SquimSubjective:
+    """``apply(params, test (B, T), reference (B, T'))`` → MOS ``(B,)``
+    ∈ (1, 5).  The reference is a clean *non-matching* utterance
+    (NORESQA-MOS style): both waveforms run through a shared encoder +
+    DPRNN core, the test representation cross-attends into the
+    reference, and a head maps the pooled pair to MOS."""
+
+    def __init__(self, d_model: int = 64, enc_kernel: int = 128,
+                 enc_stride: int = 64, hidden: int = 64,
+                 num_blocks: int = 2, chunk: int = 32):
+        self.d = d_model
+        self.obj = SquimObjective(d_model, enc_kernel, enc_stride,
+                                  hidden, num_blocks, chunk)
+
+    def init(self, key):
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        d = self.d
+        enc = self.obj.init(k1)
+        return {
+            "enc": enc["enc"], "blocks": enc["blocks"],
+            "cross": {"wq": _dense(k2, d, d), "wk": _dense(k3, d, d),
+                      "wv": _dense(k4, d, d), "n": _ln_p(d)},
+            "pool": _attn_pool_p(k5, 2 * d),
+            "head": _head_p(jax.random.fold_in(key, 7), 2 * d),
+        }
+
+    def apply(self, params, test, reference):
+        zt = self.obj._encode(params, test)
+        zr = self.obj._encode(params, reference)
+        c = params["cross"]
+        q = _ln(zt, c["n"]) @ c["wq"]
+        k = zr @ c["wk"]
+        v = zr @ c["wv"]
+        logits = jnp.einsum("bqd,bkd->bqk", q, k) / math.sqrt(self.d)
+        att = jnp.einsum("bqk,bkd->bqd",
+                         jax.nn.softmax(logits, -1), v)
+        z = jnp.concatenate([zt, att], -1)
+        mos = _head(params["head"], _attn_pool(params["pool"], z))
+        return 1.0 + 4.0 * jax.nn.sigmoid(mos)
+
+    def __call__(self, params, test, reference):
+        return self.apply(params, test, reference)
