@@ -1,0 +1,90 @@
+"""Pipeline bundles (`pipelines/__init__.py`): bundle → runnable
+model, no-silent-random-weights contract, checkpoint loading, CTC
+label decode, TTS text processor, RNNT bundle composition."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from torchaudio_contrib_tpu import pipelines as P
+from torchaudio_contrib_tpu.utils.checkpoint import save_params
+
+
+def test_get_model_requires_key_or_checkpoint():
+    with pytest.raises(ValueError, match="no pretrained weights"):
+        P.SQUIM_OBJECTIVE.get_model()
+
+
+def test_squim_bundle_runs():
+    model, params = P.SQUIM_OBJECTIVE.get_model(jax.random.PRNGKey(0))
+    wav = jnp.asarray(np.random.default_rng(0)
+                      .standard_normal((1, 2000)), jnp.float32)
+    stoi, pesq, si_sdr = model.apply(params, wav)
+    assert stoi.shape == (1,)
+    assert P.SQUIM_OBJECTIVE.sample_rate == 16000
+
+
+def test_checkpoint_round_trip(tmp_path):
+    model, params = P.SQUIM_OBJECTIVE.get_model(jax.random.PRNGKey(1))
+    path = str(tmp_path / "squim.npz")
+    save_params(path, params)
+    model2, params2 = P.SQUIM_OBJECTIVE.get_model(checkpoint=path)
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(params2)
+    assert all(np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(a, b))
+
+
+def test_asr_bundle_labels_and_decode():
+    b = P.WAV2VEC2_ASR_BASE_960H
+    labels = b.get_labels()
+    assert labels[0] == "-" and "|" in labels
+    # CTC collapse: blank=0, repeats merge, | becomes space
+    ids = [0, 8, 8, 0, 2, 1, 1, 3, 0, 3]
+    assert b.decode(ids) == "HE TT"
+
+
+def test_asr_bundle_model_runs():
+    model, params = P.WAV2VEC2_ASR_BASE_960H.get_model(
+        jax.random.PRNGKey(2))
+    wav = jnp.asarray(np.random.default_rng(1)
+                      .standard_normal((1, 4000)), jnp.float32)
+    logits, lengths = model.apply(params, wav)
+    assert logits.shape[-1] == len(P.WAV2VEC2_ASR_BASE_960H.labels)
+    assert logits.shape[1] == int(lengths[0])
+
+
+def test_tts_bundle_text_processor():
+    tp = P.TACOTRON2_WAVERNN_CHAR_LJSPEECH.get_text_processor()
+    ids, lengths = tp(["Hello!", "hi"])
+    assert ids.shape == (2, 6) and lengths.tolist() == [6, 2]
+    assert (ids[1, 2:] == 0).all()
+    assert "".join(tp.symbols[i] for i in ids[0][:6]) == "hello!"
+
+
+def test_rnnt_bundle_composes():
+    b = P.EMFORMER_RNNT_BASE_LIBRISPEECH
+    model, params = b.get_model(jax.random.PRNGKey(3))
+    fe = b.get_feature_extractor()
+    wav = jnp.asarray(np.random.default_rng(2)
+                      .standard_normal((1, 16000)), jnp.float32)
+    mel = fe(wav)                                 # (1, n_mels, T)
+    x = jnp.swapaxes(mel, 1, 2)                   # (1, T, n_mels)
+    R = b.right_context_length
+    hyp = model.greedy_decode(
+        params, x, lengths=jnp.asarray([x.shape[1] - R]),
+        max_symbols=1)
+    assert isinstance(hyp, list) and len(hyp) == 1
+    dec = b.get_decoder(model, beam_width=2)
+    out = dec(params, x[:, :24])
+    assert len(out) == 1 and len(out[0]) >= 1
+
+
+def test_separation_bundles_expose_sources():
+    assert P.HDEMUCS_HIGH_MUSDB.sources == ("drums", "bass", "other",
+                                            "vocals")
+    assert P.CONVTASNET_BASE_LIBRI2MIX.sample_rate == 8000
+    model, params = P.CONVTASNET_BASE_LIBRI2MIX.get_model(
+        jax.random.PRNGKey(4))
+    y = model.apply(params, jnp.zeros((1, 1600), jnp.float32))
+    assert y.shape[1] == 2

@@ -1,0 +1,202 @@
+"""Pipeline bundles: pre-assembled model + frontend + vocabulary
+stacks (torchaudio's ``pipelines`` capability).
+
+Not in the reference (SURVEY §2); mirrors torchaudio's bundle API
+shape — ``BUNDLE.get_model()``, ``.sample_rate``, ``.get_labels()``,
+RNN-T bundles' ``get_feature_extractor()/get_decoder()``, the TTS
+bundle's ``get_text_processor()/get_tacotron2()/get_vocoder()`` —
+with one honest difference: **this environment has no network egress,
+so bundles cannot download pretrained weights**.  ``get_model(key)``
+returns the architecture with fresh random parameters;
+``get_model(checkpoint=...)`` loads user-supplied weights saved with
+:mod:`..utils.checkpoint` (``save_params``).  The bundle constants
+pin the *architectures and preprocessing* of the corresponding
+torchaudio bundles so checkpoints trained elsewhere drop in.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from .. import models as M
+from ..models import layers as _layers
+from ..utils.checkpoint import load_params
+
+__all__ = [
+    "Wav2Vec2Bundle", "Wav2Vec2ASRBundle", "RNNTBundle",
+    "Tacotron2TTSBundle", "SourceSeparationBundle", "SquimBundle",
+    "WAV2VEC2_BASE", "WAV2VEC2_LARGE", "HUBERT_BASE", "HUBERT_LARGE",
+    "WAV2VEC2_ASR_BASE_960H", "HUBERT_ASR_LARGE",
+    "EMFORMER_RNNT_BASE_LIBRISPEECH",
+    "TACOTRON2_WAVERNN_CHAR_LJSPEECH",
+    "HDEMUCS_HIGH_MUSDB", "CONVTASNET_BASE_LIBRI2MIX",
+    "SQUIM_OBJECTIVE", "SQUIM_SUBJECTIVE",
+]
+
+# torchaudio's wav2vec2 CTC character vocabulary
+_ASR_LABELS = ("-", "|", "E", "T", "A", "O", "N", "I", "H", "S", "R",
+               "D", "L", "U", "M", "W", "C", "F", "G", "Y", "P", "B",
+               "V", "K", "'", "X", "J", "Q", "Z")
+
+
+def _resolve(model, key, checkpoint):
+    if checkpoint is not None:
+        like = model.init(jax.random.PRNGKey(0))
+        return model, load_params(checkpoint, like)
+    if key is None:
+        raise ValueError(
+            "no pretrained weights are downloadable in this "
+            "environment: pass key=PRNGKey for fresh parameters or "
+            "checkpoint=<path> for weights saved with "
+            "utils.checkpoint.save_params")
+    return model, model.init(key)
+
+
+@dataclass(frozen=True)
+class Wav2Vec2Bundle:
+    """Self-supervised encoder bundle."""
+    _factory: Callable
+    sample_rate: int = 16000
+
+    def get_model(self, key=None, checkpoint=None):
+        return _resolve(self._factory(), key, checkpoint)
+
+
+@dataclass(frozen=True)
+class Wav2Vec2ASRBundle:
+    """CTC fine-tuned ASR bundle: encoder + character head."""
+    _factory: Callable
+    labels: Tuple[str, ...] = _ASR_LABELS
+    sample_rate: int = 16000
+
+    def get_labels(self) -> Tuple[str, ...]:
+        return self.labels
+
+    def get_model(self, key=None, checkpoint=None):
+        return _resolve(self._factory(aux_out=len(self.labels)),
+                        key, checkpoint)
+
+    def decode(self, ids: Sequence[int]) -> str:
+        """Collapse a CTC greedy id sequence to text (blank=0,
+        ``|`` = word boundary)."""
+        out, prev = [], -1
+        for i in ids:
+            if i != prev and i != 0:
+                out.append(self.labels[i])
+            prev = i
+        return "".join(out).replace("|", " ").strip()
+
+
+@dataclass(frozen=True)
+class RNNTBundle:
+    """Streaming Emformer-RNNT ASR bundle."""
+    n_mels: int = 80
+    num_symbols: int = 1024
+    segment_length: int = 16
+    right_context_length: int = 4
+    sample_rate: int = 16000
+    hop_length: int = 160
+
+    def _encoder(self):
+        return M.Emformer(
+            input_dim=self.n_mels, num_heads=4, ffn_dim=1024,
+            num_layers=8, segment_length=self.segment_length,
+            left_context_length=30,
+            right_context_length=self.right_context_length,
+            max_memory_size=4, tanh_on_mem=True)
+
+    def get_model(self, key=None, checkpoint=None):
+        model = M.RNNT(self._encoder(),
+                       num_symbols=self.num_symbols,
+                       encoding_dim=self.n_mels, joiner_dim=256,
+                       predictor_embed_dim=256,
+                       predictor_hidden_dim=256)
+        return _resolve(model, key, checkpoint)
+
+    def get_feature_extractor(self):
+        """Log-mel frontend matching the encoder's frame rate."""
+        return _layers.Pipeline(
+            *_layers.Melspectrogram(
+                num_mels=self.n_mels, sample_rate=self.sample_rate,
+                fft_length=400, hop_length=self.hop_length),
+            _layers.AmplitudeToDb(power=2.0))
+
+    def get_decoder(self, model, beam_width: int = 8):
+        return M.RNNTBeamSearch(model, beam_width=beam_width)
+
+
+class _CharTextProcessor:
+    """Character-level text → id sequences (torchaudio's
+    ``_get_chars`` convention: pad/blank first)."""
+
+    symbols = "_-!'(),.:;? abcdefghijklmnopqrstuvwxyz"
+
+    def __call__(self, texts: Sequence[str]):
+        ids = [[self.symbols.index(c) for c in t.lower()
+                if c in self.symbols] for t in texts]
+        lengths = np.asarray([len(i) for i in ids], np.int32)
+        T = max(1, int(lengths.max()) if len(lengths) else 1)
+        out = np.zeros((len(ids), T), np.int32)
+        for r, seq in enumerate(ids):
+            out[r, :len(seq)] = seq
+        return out, lengths
+
+
+@dataclass(frozen=True)
+class Tacotron2TTSBundle:
+    """Character Tacotron2 + WaveRNN vocoder bundle."""
+    n_mels: int = 80
+    sample_rate: int = 22050
+    hop_length: int = 275
+
+    def get_text_processor(self):
+        return _CharTextProcessor()
+
+    def get_tacotron2(self, key=None, checkpoint=None):
+        model = M.Tacotron2(
+            n_symbols=len(_CharTextProcessor.symbols),
+            n_mels=self.n_mels)
+        return _resolve(model, key, checkpoint)
+
+    def get_vocoder(self, key=None, checkpoint=None):
+        model = M.WaveRNN(upsample_scales=(5, 5, 11),
+                          hop_length=self.hop_length,
+                          n_freq=self.n_mels)
+        return _resolve(model, key, checkpoint)
+
+
+@dataclass(frozen=True)
+class SourceSeparationBundle:
+    _factory: Callable
+    sample_rate: int = 44100
+    sources: Tuple[str, ...] = ("drums", "bass", "other", "vocals")
+
+    def get_model(self, key=None, checkpoint=None):
+        return _resolve(self._factory(), key, checkpoint)
+
+
+@dataclass(frozen=True)
+class SquimBundle:
+    _factory: Callable
+    sample_rate: int = 16000
+
+    def get_model(self, key=None, checkpoint=None):
+        return _resolve(self._factory(), key, checkpoint)
+
+
+WAV2VEC2_BASE = Wav2Vec2Bundle(M.wav2vec2_base)
+WAV2VEC2_LARGE = Wav2Vec2Bundle(M.wav2vec2_large)
+HUBERT_BASE = Wav2Vec2Bundle(M.hubert_base)
+HUBERT_LARGE = Wav2Vec2Bundle(M.hubert_large)
+WAV2VEC2_ASR_BASE_960H = Wav2Vec2ASRBundle(M.wav2vec2_base)
+HUBERT_ASR_LARGE = Wav2Vec2ASRBundle(M.hubert_large)
+EMFORMER_RNNT_BASE_LIBRISPEECH = RNNTBundle()
+TACOTRON2_WAVERNN_CHAR_LJSPEECH = Tacotron2TTSBundle()
+HDEMUCS_HIGH_MUSDB = SourceSeparationBundle(M.HDemucs)
+CONVTASNET_BASE_LIBRI2MIX = SourceSeparationBundle(
+    M.ConvTasNet, sample_rate=8000, sources=("speech1", "speech2"))
+SQUIM_OBJECTIVE = SquimBundle(M.SquimObjective)
+SQUIM_SUBJECTIVE = SquimBundle(M.SquimSubjective)
