@@ -36,6 +36,11 @@ def test_train_frontend_example():
     assert "eval accuracy" in stdout
 
 
+def test_streaming_asr_example():
+    stdout = _run(["streaming_asr.py", "--tiny"])
+    assert "greedy==full OK" in stdout
+
+
 def test_vocoder_example(tmp_path):
     stdout = _run(["vocoder_roundtrip.py"])
     assert "mel spectral convergence" in stdout
