@@ -152,12 +152,17 @@ class Conformer:
         if pad_mask is not None:
             y = jnp.where(pad_mask[..., None], y, 0.0)
         y = jax.nn.glu(y @ p["pw1"], axis=-1)
-        y = jax.lax.conv_general_dilated(
-            y, p["dw"], window_strides=(1,),
-            padding=[(self.conv_kernel // 2,) * 2],
-            dimension_numbers=("NTC", "TIO", "NTC"),
-            feature_group_count=self.d_model,
-            preferred_element_type=jnp.float32)
+        # depthwise conv as kernel-tap shifted multiply-adds: same VPU
+        # work as feature_group_count=D on TPU (depthwise never uses
+        # the MXU), but its VJP is plain elementwise ops — the grouped
+        # conv's batch_group_count VJP mis-partitions under GSPMD when
+        # the batch axis is mesh-sharded (grad doubled by the spare
+        # mesh axis; repro pinned in tests/test_tp.py).
+        pad = self.conv_kernel // 2
+        T = y.shape[1]
+        yp = jnp.pad(y, ((0, 0), (pad, pad), (0, 0)))
+        y = sum(yp[:, j:j + T] * p["dw"][j, 0]
+                for j in range(self.conv_kernel))
         y = jax.nn.silu(_layernorm(y, p["norm"]))
         return x + y @ p["pw2"]
 

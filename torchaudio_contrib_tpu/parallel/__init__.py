@@ -6,6 +6,7 @@ from .corpus import (
 )
 from .multihost import initialize_multihost, make_pod_mesh
 from .timeshard import time_sharded_stft, time_sharded_melspectrogram
+from .tp import tensor_parallel_specs, shard_params
 
 __all__ = [
     "make_mesh", "shard_batch", "replicate", "sharded_apply",
@@ -14,4 +15,5 @@ __all__ = [
     "CorpusStats",
     "initialize_multihost", "make_pod_mesh",
     "time_sharded_stft", "time_sharded_melspectrogram",
+    "tensor_parallel_specs", "shard_params",
 ]
