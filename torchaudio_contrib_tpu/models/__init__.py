@@ -20,6 +20,10 @@ from .wav2vec2 import (
 from .hubert import HuBERTPretrainModel, span_mask
 from .hdemucs import HDemucs
 from .squim import SquimObjective, SquimSubjective
+from .hifigan import (
+    HiFiGANVocoder,
+    hifigan_vocoder_v1, hifigan_vocoder_v2, hifigan_vocoder_v3,
+)
 from .emformer import Emformer
 from .rnnt import RNNT, RNNTPredictor, RNNTBeamSearch
 from .transforms import (
@@ -47,6 +51,8 @@ __all__ = [
     "hubert_base", "hubert_large", "hubert_xlarge",
     "HuBERTPretrainModel", "span_mask", "HDemucs",
     "SquimObjective", "SquimSubjective",
+    "HiFiGANVocoder",
+    "hifigan_vocoder_v1", "hifigan_vocoder_v2", "hifigan_vocoder_v3",
     "MFCC", "Loudness", "PitchShift", "Speed", "AddNoise",
     "Fade", "Vol", "FrequencyMasking", "TimeMasking",
     "Preemphasis", "Deemphasis", "ComputeDeltas", "SlidingWindowCmn",
