@@ -95,6 +95,145 @@ def test_audiofolder_and_path(tmp_path):
     assert sorted(rels) == [os.path.join("a", "x.wav"), "y.wav"]
 
 
+def test_cmuarctic(tmp_path):
+    base = tmp_path / "ARCTIC" / "cmu_us_aew_arctic"
+    (base / "wav").mkdir(parents=True)
+    (base / "etc").mkdir()
+    lines = []
+    for i in range(2):
+        utt = f"arctic_a{i:04d}"
+        write_wav(str(base / "wav" / f"{utt}.wav"),
+                  _tone(900 + i * 50), 16000)
+        lines.append(f'( {utt} "Sentence number {i}." )')
+    (base / "etc" / "txt.done.data").write_text("\n".join(lines))
+    ds = D.CMUARCTIC(str(tmp_path))
+    assert len(ds) == 2
+    wav, sr, text, utt = ds[1]
+    assert wav.shape[-1] == 950 and sr == 16000
+    assert text == "Sentence number 1." and utt == "arctic_a0001"
+
+
+def test_libritts(tmp_path):
+    base = tmp_path / "LibriTTS" / "dev-clean" / "19" / "198"
+    base.mkdir(parents=True)
+    utt = "19_198_000000_000001"
+    write_wav(str(base / f"{utt}.wav"), _tone(1200, 24000), 24000)
+    (base / f"{utt}.original.txt").write_text("Original, text!")
+    (base / f"{utt}.normalized.txt").write_text("original text")
+    ds = D.LIBRITTS(str(tmp_path), url="dev-clean")
+    wav, sr, orig, norm, spk, chap, uid = ds[0]
+    assert (sr, orig, norm, spk, chap, uid) == (
+        24000, "Original, text!", "original text", 19, 198, utt)
+
+
+def test_vctk(tmp_path):
+    base = tmp_path / "VCTK-Corpus-0.92"
+    (base / "wav48_silence_trimmed" / "p225").mkdir(parents=True)
+    (base / "txt" / "p225").mkdir(parents=True)
+    for utt, has_txt in (("001", True), ("002", False)):
+        for mic in ("mic1", "mic2"):
+            write_wav(str(base / "wav48_silence_trimmed" / "p225" /
+                          f"p225_{utt}_{mic}.wav"), _tone(700), 16000)
+        if has_txt:
+            (base / "txt" / "p225" / f"p225_{utt}.txt").write_text(
+                "Please call Stella.")
+    ds = D.VCTK_092(str(tmp_path))
+    assert len(ds) == 1              # transcript-less utt excluded
+    wav, sr, text, spk, utt = ds[0]
+    assert (text, spk, utt) == ("Please call Stella.", "p225", "001")
+    assert "mic2" in ds.path(0)
+    assert len(D.VCTK_092(str(tmp_path), mic_id="mic1")) == 1
+    with pytest.raises(ValueError):
+        D.VCTK_092(str(tmp_path), mic_id="mic3")
+
+
+def test_gtzan(tmp_path):
+    for genre in ("blues", "rock"):
+        d = tmp_path / "genres" / genre
+        d.mkdir(parents=True)
+        write_wav(str(d / f"{genre}.00000.wav"), _tone(600, 22050),
+                  22050)
+    ds = D.GTZAN(str(tmp_path))
+    assert len(ds) == 2
+    assert sorted(ds[i][2] for i in range(2)) == ["blues", "rock"]
+
+
+def test_commonvoice(tmp_path):
+    (tmp_path / "clips").mkdir()
+    rows = ["client_id\tpath\tsentence",
+            "abc\tclip_0.mp3\thello there",
+            "def\tclip_1.mp3\tgood bye"]
+    (tmp_path / "train.tsv").write_text("\n".join(rows))
+    for i in range(2):
+        write_wav(str(tmp_path / "clips" / f"clip_{i}.wav"),
+                  _tone(400 + i * 100), 16000)
+    ds = D.COMMONVOICE(str(tmp_path))
+    assert len(ds) == 2
+    wav, sr, meta = ds[1]
+    assert wav.shape[-1] == 500
+    assert meta["sentence"] == "good bye" and meta["client_id"] == "def"
+    with pytest.raises(FileNotFoundError, match="cannot download"):
+        D.COMMONVOICE(str(tmp_path), tsv="dev.tsv")
+
+
+def test_musdb_hq(tmp_path):
+    track = tmp_path / "train" / "A Great Band - Song"
+    track.mkdir(parents=True)
+    for i, src in enumerate(("mixture", "bass", "drums", "other",
+                             "vocals")):
+        wav = np.stack([_tone(2000 + (i % 2)), _tone(2000 + (i % 2))])
+        write_wav(str(track / f"{src}.wav"), wav, 44100)
+    ds = D.MUSDB_HQ(str(tmp_path), subset="train")
+    assert len(ds) == 1
+    stems, sr, nf, name = ds[0]
+    assert stems.shape == (4, 2, 2000)   # truncated to common length
+    assert sr == 44100 and nf == 2000
+    assert name == "A Great Band - Song"
+    mix = D.MUSDB_HQ(str(tmp_path), subset="train",
+                     sources=["mixture"])[0][0]
+    assert mix.shape == (1, 2, 2000)
+    with pytest.raises(ValueError):
+        D.MUSDB_HQ(str(tmp_path), subset="dev")
+
+
+def test_tedlium(tmp_path):
+    data = tmp_path / "TEDLIUM_release-3" / "data"
+    (data / "stm").mkdir(parents=True)
+    (data / "sph").mkdir()
+    sr = 16000
+    write_wav(str(data / "sph" / "TalkA.wav"), _tone(3 * sr), sr)
+    (data / "stm" / "TalkA.stm").write_text(
+        "TalkA 1 speaker_a 0.50 1.25 <o,f0,male> hello world\n"
+        "TalkA 1 speaker_a 1.25 2.00 second segment here\n")
+    ds = D.TEDLIUM(str(tmp_path))
+    assert len(ds) == 2
+    seg, got_sr, text, talk, spk, ident = ds[0]
+    assert got_sr == sr and seg.shape[-1] == int(0.75 * sr)
+    assert text == "hello world"
+    assert (talk, spk) == ("TalkA", "speaker_a")
+    assert ds[1][2] == "second segment here"
+    assert ds[0][5] != ds[1][5]          # identifiers distinct
+
+
+def test_fluentspeechcommands(tmp_path):
+    base = tmp_path / "fluent_speech_commands_dataset"
+    (base / "data").mkdir(parents=True)
+    (base / "wavs" / "speakers" / "s1").mkdir(parents=True)
+    write_wav(str(base / "wavs" / "speakers" / "s1" / "u1.wav"),
+              _tone(800), 16000)
+    (base / "data" / "train_data.csv").write_text(
+        ",path,speakerId,transcription,action,object,location\n"
+        "0,wavs/speakers/s1/u1.wav,s1,turn on the lights,activate,"
+        "lights,none\n")
+    ds = D.FLUENTSPEECHCOMMANDS(str(tmp_path))
+    wav, sr, name, spk, text, act, obj, loc = ds[0]
+    assert (name, spk, act, obj, loc) == (
+        "u1", "s1", "activate", "lights", "none")
+    assert text == "turn on the lights"
+    with pytest.raises(ValueError):
+        D.FLUENTSPEECHCOMMANDS(str(tmp_path), subset="eval")
+
+
 def test_pad_collate_mono_and_multichannel():
     batch, lengths = D.pad_collate([_tone(100), _tone(60)])
     assert batch.shape == (2, 100) and lengths.tolist() == [100, 60]

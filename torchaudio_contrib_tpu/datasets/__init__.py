@@ -31,7 +31,9 @@ from ..io import read_wav
 
 __all__ = [
     "AudioFolder", "LIBRISPEECH", "LJSPEECH", "SPEECHCOMMANDS",
-    "YESNO", "pad_collate", "bucket_indices", "batch_iterator",
+    "YESNO", "CMUARCTIC", "LIBRITTS", "VCTK_092", "GTZAN",
+    "COMMONVOICE", "MUSDB_HQ", "TEDLIUM", "FLUENTSPEECHCOMMANDS",
+    "pad_collate", "bucket_indices", "batch_iterator",
 ]
 
 
@@ -183,6 +185,306 @@ class YESNO(AudioFolder):
         name = os.path.splitext(os.path.basename(path))[0]
         labels = [int(c) for c in name.split("_")]
         return wav, sr, labels
+
+
+class CMUARCTIC(AudioFolder):
+    """CMU ARCTIC layout: ``root/ARCTIC/cmu_us_<spk>_arctic/wav/
+    arctic_?0000.wav`` + ``etc/txt.done.data`` lines of the form
+    ``( arctic_a0001 "Text." )``.
+
+    ``__getitem__`` → ``(waveform, sample_rate, transcript,
+    utterance_id)`` (torchaudio's tuple)."""
+
+    def __init__(self, root: str, url: str = "cmu_us_aew_arctic",
+                 folder_in_archive: str = "ARCTIC"):
+        base = os.path.join(root, folder_in_archive, url)
+        _require_dir(base, "ARCTIC/cmu_us_<spk>_arctic/{wav,etc}")
+        super().__init__(os.path.join(base, "wav"), ".wav")
+        self._trans = {}
+        with open(os.path.join(base, "etc", "txt.done.data"),
+                  encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line.startswith("("):
+                    continue
+                body = line[1:line.rfind(")")].strip()
+                utt, _, text = body.partition(" ")
+                self._trans[utt] = text.strip().strip('"')
+
+    def __getitem__(self, n: int):
+        path = self._files[n]
+        wav, sr = self._load(path)
+        utt = os.path.splitext(os.path.basename(path))[0]
+        text = self._trans.get(utt)
+        if text is None:
+            raise KeyError(f"no transcript for {utt}")
+        return wav, sr, text, utt
+
+
+class LIBRITTS(AudioFolder):
+    """LibriTTS layout: ``root/LibriTTS/<url>/<spk>/<chap>/
+    <spk>_<chap>_<seg>_<utt>.wav`` with sibling ``.original.txt`` and
+    ``.normalized.txt`` transcript files per utterance.
+
+    ``__getitem__`` → ``(waveform, sample_rate, original_text,
+    normalized_text, speaker_id, chapter_id, utterance_id)``."""
+
+    def __init__(self, root: str, url: str = "train-clean-100",
+                 folder_in_archive: str = "LibriTTS",
+                 ext: str = ".wav"):
+        base = os.path.join(root, folder_in_archive, url)
+        _require_dir(base, "LibriTTS/<subset>/<spk>/<chap>/*" + ext)
+        super().__init__(base, ext)
+
+    @staticmethod
+    def _read_text(path):
+        if not os.path.isfile(path):
+            raise FileNotFoundError(f"missing transcript {path}")
+        with open(path, encoding="utf-8") as f:
+            return f.read().strip()
+
+    def __getitem__(self, n: int):
+        path = self._files[n]
+        wav, sr = self._load(path)
+        stem = os.path.splitext(path)[0]
+        utt = os.path.basename(stem)
+        spk, chap = utt.split("_")[:2]
+        return (wav, sr, self._read_text(stem + ".original.txt"),
+                self._read_text(stem + ".normalized.txt"),
+                int(spk), int(chap), utt)
+
+
+class VCTK_092:
+    """VCTK 0.92 layout: ``root/VCTK-Corpus-0.92/wav48_silence_trimmed/
+    <spk>/<spk>_<utt>_<mic>{ext}`` + ``txt/<spk>/<spk>_<utt>.txt``.
+
+    ``__getitem__`` → ``(waveform, sample_rate, transcript,
+    speaker_id, utterance_id)``.  The release ships FLAC; point
+    ``ext`` at a converted tree (module docstring)."""
+
+    def __init__(self, root: str, mic_id: str = "mic2",
+                 folder_in_archive: str = "VCTK-Corpus-0.92",
+                 ext: str = ".wav"):
+        if mic_id not in ("mic1", "mic2"):
+            raise ValueError("mic_id must be 'mic1' or 'mic2'")
+        base = os.path.join(root, folder_in_archive)
+        _require_dir(base, "VCTK-Corpus-0.92/{wav48_silence_trimmed,txt}")
+        self._audio = os.path.join(base, "wav48_silence_trimmed")
+        self._txt = os.path.join(base, "txt")
+        self.mic_id = mic_id
+        suffix = f"_{mic_id}{ext}"
+        self._items: List[Tuple[str, str]] = []   # (speaker, utt)
+        for spk in sorted(os.listdir(self._audio)):
+            d = os.path.join(self._audio, spk)
+            if not os.path.isdir(d):
+                continue
+            for nme in sorted(os.listdir(d)):
+                if not nme.endswith(suffix):
+                    continue
+                utt = nme[:-len(suffix)].split("_", 1)[1]
+                # torchaudio keeps only utterances with a transcript
+                if os.path.isfile(os.path.join(
+                        self._txt, spk, f"{spk}_{utt}.txt")):
+                    self._items.append((spk, utt))
+        self._suffix = suffix
+
+    def __len__(self):
+        return len(self._items)
+
+    def path(self, n: int) -> str:
+        spk, utt = self._items[n]
+        return os.path.join(self._audio, spk,
+                            f"{spk}_{utt}{self._suffix}")
+
+    def __getitem__(self, n: int):
+        spk, utt = self._items[n]
+        wav, sr = read_wav(self.path(n))
+        with open(os.path.join(self._txt, spk,
+                               f"{spk}_{utt}.txt"),
+                  encoding="utf-8") as f:
+            text = f.read().strip()
+        return np.asarray(wav, np.float32), sr, text, spk, utt
+
+
+class GTZAN(AudioFolder):
+    """GTZAN layout: ``root/genres/<genre>/<genre>.000NN.wav``.
+
+    ``__getitem__`` → ``(waveform, sample_rate, genre_label)``."""
+
+    def __init__(self, root: str, folder_in_archive: str = "genres",
+                 ext: str = ".wav"):
+        base = os.path.join(root, folder_in_archive)
+        _require_dir(base, "genres/<genre>/*.wav")
+        super().__init__(base, ext)
+
+    def __getitem__(self, n: int):
+        path = self._files[n]
+        wav, sr = self._load(path)
+        return wav, sr, os.path.basename(os.path.dirname(path))
+
+
+class COMMONVOICE:
+    """Common Voice layout: ``root/{clips/,<tsv>}`` where the TSV has
+    a header row and a ``path`` column naming the clip file.
+
+    ``__getitem__`` → ``(waveform, sample_rate, metadata dict)``
+    (torchaudio's tuple).  Clips ship as MP3; ``ext`` remaps entries
+    onto a converted tree (e.g. ``.wav``)."""
+
+    def __init__(self, root: str, tsv: str = "train.tsv",
+                 ext: Optional[str] = ".wav"):
+        _require_dir(root, "<lang>/{clips,*.tsv}")
+        meta = os.path.join(root, tsv)
+        if not os.path.isfile(meta):
+            raise FileNotFoundError(
+                f"{meta} does not exist. This environment cannot "
+                "download datasets; place the corpus TSVs there.")
+        self._clips = os.path.join(root, "clips")
+        self.ext = ext
+        with open(meta, newline="", encoding="utf-8") as f:
+            reader = csv.DictReader(f, delimiter="\t",
+                                    quoting=csv.QUOTE_NONE)
+            self._rows = list(reader)
+
+    def __len__(self):
+        return len(self._rows)
+
+    def path(self, n: int) -> str:
+        name = self._rows[n]["path"]
+        if self.ext is not None:
+            name = os.path.splitext(name)[0] + self.ext
+        return os.path.join(self._clips, name)
+
+    def __getitem__(self, n: int):
+        wav, sr = read_wav(self.path(n))
+        return np.asarray(wav, np.float32), sr, dict(self._rows[n])
+
+
+class MUSDB_HQ:
+    """MUSDB18-HQ layout: ``root/<subset>/<track>/<source>.wav`` with
+    sources bass/drums/other/vocals (+ mixture).
+
+    ``__getitem__`` → ``(waveforms (num_sources, channels, time),
+    sample_rate, num_frames, track_name)`` (torchaudio's tuple,
+    sources stacked in the order given)."""
+
+    _ALL = ("bass", "drums", "other", "vocals")
+
+    def __init__(self, root: str, subset: str = "train",
+                 sources: Optional[Sequence[str]] = None):
+        if subset not in ("train", "test"):
+            raise ValueError("subset must be 'train' or 'test'")
+        base = os.path.join(root, subset)
+        _require_dir(base, "musdb18hq/{train,test}/<track>/*.wav")
+        self.sources = tuple(sources) if sources is not None \
+            else self._ALL
+        self._tracks = [t for t in sorted(os.listdir(base))
+                        if os.path.isdir(os.path.join(base, t))]
+        self._base = base
+
+    def __len__(self):
+        return len(self._tracks)
+
+    def path(self, n: int) -> str:
+        return os.path.join(self._base, self._tracks[n])
+
+    def __getitem__(self, n: int):
+        track = self._tracks[n]
+        stems, sr = [], None
+        for src in self.sources:
+            wav, s = read_wav(os.path.join(self._base, track,
+                                           src + ".wav"))
+            wav = np.atleast_2d(np.asarray(wav, np.float32))
+            if sr is not None and s != sr:
+                raise ValueError(f"mixed sample rates in {track}")
+            sr = s
+            stems.append(wav)
+        T = min(w.shape[-1] for w in stems)
+        out = np.stack([w[..., :T] for w in stems])
+        return out, sr, T, track
+
+
+class TEDLIUM:
+    """TED-LIUM release-3 layout: ``root/TEDLIUM_release-3/data/
+    {stm/<talk>.stm, sph/<talk>{ext}}``; each STM line is
+    ``<talk> <chan> <speaker> <start> <end> [<label>] <transcript>``
+    and indexes one segment of the talk's audio.
+
+    ``__getitem__`` → ``(waveform segment, sample_rate, transcript,
+    talk_id, speaker_id, identifier)``.  Audio ships as SPH; point
+    ``ext`` at a converted tree (default ``.wav``)."""
+
+    def __init__(self, root: str,
+                 folder_in_archive: str = "TEDLIUM_release-3",
+                 ext: str = ".wav"):
+        data = os.path.join(root, folder_in_archive, "data")
+        _require_dir(data, "TEDLIUM_release-3/data/{stm,sph}")
+        self._sph = os.path.join(data, "sph")
+        self.ext = ext
+        self._segs: List[Tuple[str, str, float, float, str]] = []
+        stm_dir = os.path.join(data, "stm")
+        for nme in sorted(os.listdir(stm_dir)):
+            if not nme.endswith(".stm"):
+                continue
+            with open(os.path.join(stm_dir, nme),
+                      encoding="utf-8") as f:
+                for line in f:
+                    parts = line.strip().split(None, 5)
+                    if len(parts) < 6:
+                        continue
+                    talk, _, spk, start, end, rest = parts
+                    # optional leading <o,f0,male>-style label field
+                    if rest.startswith("<"):
+                        rest = rest.partition(">")[2].strip()
+                    self._segs.append((talk, spk, float(start),
+                                       float(end), rest))
+
+    def __len__(self):
+        return len(self._segs)
+
+    def path(self, n: int) -> str:
+        return os.path.join(self._sph, self._segs[n][0] + self.ext)
+
+    def __getitem__(self, n: int):
+        talk, spk, start, end, text = self._segs[n]
+        wav, sr = read_wav(self.path(n))
+        wav = np.asarray(wav, np.float32)
+        seg = wav[..., int(round(start * sr)):int(round(end * sr))]
+        return seg, sr, text, talk, spk, f"{talk}_{n}"
+
+
+class FLUENTSPEECHCOMMANDS:
+    """Fluent Speech Commands layout:
+    ``root/fluent_speech_commands_dataset/{data/<subset>_data.csv,
+    wavs/...}`` with CSV columns ``(index, path, speakerId,
+    transcription, action, object, location)``.
+
+    ``__getitem__`` → ``(waveform, sample_rate, file_name,
+    speaker_id, transcription, action, object, location)``."""
+
+    def __init__(self, root: str, subset: str = "train"):
+        if subset not in ("train", "valid", "test"):
+            raise ValueError("subset must be train/valid/test")
+        base = os.path.join(root, "fluent_speech_commands_dataset")
+        _require_dir(base, "fluent_speech_commands_dataset/{data,wavs}")
+        self._base = base
+        meta = os.path.join(base, "data", f"{subset}_data.csv")
+        with open(meta, newline="", encoding="utf-8") as f:
+            self._rows = list(csv.DictReader(f))
+
+    def __len__(self):
+        return len(self._rows)
+
+    def path(self, n: int) -> str:
+        return os.path.join(self._base, self._rows[n]["path"])
+
+    def __getitem__(self, n: int):
+        r = self._rows[n]
+        wav, sr = read_wav(self.path(n))
+        name = os.path.splitext(os.path.basename(r["path"]))[0]
+        return (np.asarray(wav, np.float32), sr, name,
+                r["speakerId"], r["transcription"], r["action"],
+                r["object"], r["location"])
 
 
 # -- batching -------------------------------------------------------
