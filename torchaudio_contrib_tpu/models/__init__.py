@@ -20,6 +20,10 @@ from .wav2vec2 import (
 from .hubert import HuBERTPretrainModel, span_mask
 from .hdemucs import HDemucs
 from .squim import SquimObjective, SquimSubjective
+from .decoder import (
+    CTCDecoderLM, ZeroLM, ARPALM,
+    CTCDecoder, CTCDecoderOutput, ctc_decoder,
+)
 from .hifigan import (
     HiFiGANVocoder,
     hifigan_vocoder_v1, hifigan_vocoder_v2, hifigan_vocoder_v3,
@@ -53,6 +57,8 @@ __all__ = [
     "SquimObjective", "SquimSubjective",
     "HiFiGANVocoder",
     "hifigan_vocoder_v1", "hifigan_vocoder_v2", "hifigan_vocoder_v3",
+    "CTCDecoderLM", "ZeroLM", "ARPALM",
+    "CTCDecoder", "CTCDecoderOutput", "ctc_decoder",
     "MFCC", "Loudness", "PitchShift", "Speed", "AddNoise",
     "Fade", "Vol", "FrequencyMasking", "TimeMasking",
     "Preemphasis", "Deemphasis", "ComputeDeltas", "SlidingWindowCmn",
