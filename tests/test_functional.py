@@ -101,6 +101,53 @@ def test_mel_filter_vs_independent_numpy():
     np.testing.assert_allclose(fb, ref, atol=1e-10)
 
 
+def test_slaney_mel_scale_and_norm_vs_independent_numpy():
+    """Slaney-scale round trip, anchors, and area-normalized filters
+    vs an independent float64 reconstruction (librosa's algorithm)."""
+    f = np.linspace(0, 11025, 100)
+    m = ops.hertz_to_mel(f, mel_scale="slaney")
+    np.testing.assert_allclose(ops.mel_to_hertz(m, mel_scale="slaney"),
+                               f, rtol=1e-10, atol=1e-8)
+    # anchors: linear region 200/3 Hz per mel; 1000 Hz -> 15 mel
+    assert abs(ops.hertz_to_mel(200.0, mel_scale="slaney") - 3.0) < 1e-9
+    assert abs(ops.hertz_to_mel(1000.0, mel_scale="slaney") - 15.0) < 1e-9
+    with pytest.raises(ValueError):
+        ops.hertz_to_mel(1.0, mel_scale="mel")
+    with pytest.raises(ValueError):
+        ops.mel_to_hertz(1.0, mel_scale="mel")
+
+    num_mels, sr, fmin, fmax, nbins = 80, 22050, 0.0, 8000.0, 513
+    fb = np.asarray(ops.create_mel_filter(
+        num_mels, sr, fmin, fmax, nbins, mel_scale="slaney",
+        norm="slaney"), np.float64)
+    # independent reconstruction
+    f_sp = 200.0 / 3.0
+    lstep = np.log(6.4) / 27.0
+    mel = lambda h: np.where(np.asarray(h) >= 1000.0,
+                             15.0 + np.log(np.maximum(h, 1e-12) / 1000.0) / lstep,
+                             np.asarray(h) / f_sp)
+    imel = lambda mm: np.where(np.asarray(mm) >= 15.0,
+                               1000.0 * np.exp(lstep * (np.asarray(mm) - 15.0)),
+                               f_sp * np.asarray(mm))
+    pts = imel(np.linspace(mel(fmin), mel(fmax), num_mels + 2))
+    freqs = np.linspace(0, sr / 2, nbins)
+    ref = np.zeros((nbins, num_mels))
+    for j in range(num_mels):
+        lo, c, hi = pts[j], pts[j + 1], pts[j + 2]
+        tri = np.minimum((freqs - lo) / (c - lo),
+                         (hi - freqs) / (hi - c))
+        ref[:, j] = np.maximum(0, tri) * 2.0 / (hi - lo)
+    np.testing.assert_allclose(fb, ref, atol=1e-12)
+    with pytest.raises(ValueError):
+        ops.create_mel_filter(8, sr, 0.0, None, 65, norm="l2")
+    # jnp input path hits the jnp branch of the scale functions
+    mj = ops.hertz_to_mel(jnp.asarray([500.0, 4000.0]),
+                          mel_scale="slaney")
+    np.testing.assert_allclose(np.asarray(
+        ops.mel_to_hertz(mj, mel_scale="slaney")), [500.0, 4000.0],
+        rtol=1e-5)
+
+
 def test_apply_filterbank_is_projection(rng):
     x = rng.random((2, 3, 257, 50)).astype(np.float32)
     fb = ops.create_mel_filter(64, 16000, 0.0, None, 257)

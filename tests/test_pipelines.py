@@ -88,3 +88,19 @@ def test_separation_bundles_expose_sources():
         jax.random.PRNGKey(4))
     y = model.apply(params, jnp.zeros((1, 1600), jnp.float32))
     assert y.shape[1] == 2
+
+
+def test_hifigan_bundle_mel_to_waveform():
+    b = P.HIFIGAN_VOCODER_V3_LJSPEECH
+    assert b.sample_rate == 22050
+    fe = b.get_mel_transform()
+    T = 4 * b.hop_length
+    wav = jnp.asarray(np.random.default_rng(5)
+                      .standard_normal((1, T)) * 0.1, jnp.float32)
+    mel = fe(wav)
+    assert mel.shape == (1, b.n_mels, T // b.hop_length)
+    assert float(jnp.max(mel)) <= 0.0 + 12.0   # log-domain sanity
+    voc, params = b.get_vocoder(jax.random.PRNGKey(6))
+    out = voc.apply(params, mel)
+    # vocoder restores exactly hop_length samples per frame
+    assert out.shape == (1, 1, T)

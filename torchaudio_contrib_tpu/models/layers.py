@@ -191,25 +191,31 @@ class Filterbank(Transform):
 
 
 class MelFilterbank(Filterbank):
-    """Triangular HTK-mel filterbank, built in float64 from config.
-    [ref: layers.py::MelFilterbank — UNVERIFIED]"""
+    """Triangular mel filterbank, built in float64 from config.
+    Defaults to the reference's HTK scale with no normalization
+    [ref: layers.py::MelFilterbank — UNVERIFIED]; ``mel_scale=
+    "slaney"``/``norm="slaney"`` select the librosa-default variant."""
 
     def __init__(self, num_mels: int = 128, sample_rate: float = 22050,
                  f_min: float = 0.0, f_max: Optional[float] = None,
-                 num_bins: int = 1025, dtype=jnp.float32):
+                 num_bins: int = 1025, mel_scale: str = "htk",
+                 norm: Optional[str] = None, dtype=jnp.float32):
         self.num_mels = num_mels
         self.sample_rate = sample_rate
         self.f_min = f_min
         self.f_max = f_max if f_max is not None else sample_rate / 2.0
         self.num_bins = num_bins
+        self.mel_scale = mel_scale
+        self.norm = norm
         self.dtype = dtype
         self._config = (num_mels, sample_rate, f_min, self.f_max, num_bins,
-                        str(jnp.dtype(dtype)))
+                        mel_scale, norm, str(jnp.dtype(dtype)))
 
     def get_filterbank(self) -> jnp.ndarray:
         return create_mel_filter(self.num_mels, self.sample_rate,
                                  self.f_min, self.f_max, self.num_bins,
-                                 dtype=self.dtype)
+                                 mel_scale=self.mel_scale,
+                                 norm=self.norm, dtype=self.dtype)
 
 
 class ChromaFilterbank(Filterbank):

@@ -35,42 +35,83 @@ __all__ = [
 _ArrayLike = Union[float, np.ndarray, jnp.ndarray]
 
 
-def hertz_to_mel(freq: _ArrayLike) -> _ArrayLike:
-    """HTK mel scale: ``2595·log10(1 + f/700)``.
-    [ref: functional.py::hertz_to_mel — UNVERIFIED]"""
-    if isinstance(freq, jnp.ndarray):
-        return 2595.0 * jnp.log10(1.0 + freq / 700.0)
-    return 2595.0 * np.log10(1.0 + np.asarray(freq, dtype=np.float64) / 700.0)
+def hertz_to_mel(freq: _ArrayLike,
+                 mel_scale: str = "htk") -> _ArrayLike:
+    """HTK mel scale ``2595·log10(1 + f/700)`` (the reference's
+    formula [ref: functional.py::hertz_to_mel — UNVERIFIED]), or
+    ``mel_scale="slaney"`` for the librosa/Slaney-toolbox scale
+    (linear below 1 kHz, log above — torchaudio's
+    ``melscale_fbanks(mel_scale=)`` capability)."""
+    if mel_scale == "htk":
+        if isinstance(freq, jnp.ndarray):
+            return 2595.0 * jnp.log10(1.0 + freq / 700.0)
+        return 2595.0 * np.log10(
+            1.0 + np.asarray(freq, dtype=np.float64) / 700.0)
+    if mel_scale != "slaney":
+        raise ValueError("mel_scale must be 'htk' or 'slaney'")
+    xp = jnp if isinstance(freq, jnp.ndarray) else np
+    f = freq if isinstance(freq, jnp.ndarray) \
+        else np.asarray(freq, dtype=np.float64)
+    f_sp = 200.0 / 3.0                       # Hz per mel below 1 kHz
+    logstep = np.log(6.4) / 27.0             # above 1 kHz
+    return xp.where(f >= 1000.0,
+                    15.0 + xp.log(xp.maximum(f, 1e-10) / 1000.0)
+                    / logstep,
+                    f / f_sp)
 
 
-def mel_to_hertz(mel: _ArrayLike) -> _ArrayLike:
-    """Inverse HTK mel scale: ``700·(10^(m/2595) − 1)``."""
-    if isinstance(mel, jnp.ndarray):
-        return 700.0 * (10.0 ** (mel / 2595.0) - 1.0)
-    return 700.0 * (10.0 ** (np.asarray(mel, dtype=np.float64) / 2595.0) - 1.0)
+def mel_to_hertz(mel: _ArrayLike,
+                 mel_scale: str = "htk") -> _ArrayLike:
+    """Inverse HTK mel scale ``700·(10^(m/2595) − 1)``, or the
+    inverse Slaney scale with ``mel_scale="slaney"``."""
+    if mel_scale == "htk":
+        if isinstance(mel, jnp.ndarray):
+            return 700.0 * (10.0 ** (mel / 2595.0) - 1.0)
+        return 700.0 * (10.0 ** (np.asarray(mel, dtype=np.float64)
+                                 / 2595.0) - 1.0)
+    if mel_scale != "slaney":
+        raise ValueError("mel_scale must be 'htk' or 'slaney'")
+    xp = jnp if isinstance(mel, jnp.ndarray) else np
+    m = mel if isinstance(mel, jnp.ndarray) \
+        else np.asarray(mel, dtype=np.float64)
+    f_sp = 200.0 / 3.0
+    logstep = np.log(6.4) / 27.0
+    return xp.where(m >= 15.0,
+                    1000.0 * xp.exp(logstep * (m - 15.0)),
+                    f_sp * m)
 
 
 @functools.lru_cache(maxsize=32)
 def _mel_filter_np(num_mels: int, sample_rate: float, f_min: float,
-                   f_max: float, num_bins: int) -> np.ndarray:
+                   f_max: float, num_bins: int,
+                   mel_scale: str = "htk",
+                   norm: Optional[str] = None) -> np.ndarray:
     """Float64 triangular mel filterbank ``(num_bins, num_mels)``.
 
     Linear-frequency bin centers ``linspace(0, sr/2, num_bins)``; triangle
-    corners linearly spaced on the HTK mel scale between ``f_min``/``f_max``
-    — the reference's construction [ref: functional.py::create_mel_filter —
-    UNVERIFIED], no Slaney area normalization.
+    corners linearly spaced on the chosen mel scale between
+    ``f_min``/``f_max``.  Defaults are the reference's construction —
+    HTK scale, no area normalization [ref: functional.py::
+    create_mel_filter — UNVERIFIED]; ``mel_scale="slaney"`` /
+    ``norm="slaney"`` give the librosa-default variant (torchaudio's
+    ``melscale_fbanks`` options).
     """
     all_freqs = np.linspace(0.0, sample_rate / 2.0, num_bins)
-    m_min = float(hertz_to_mel(f_min))
-    m_max = float(hertz_to_mel(f_max))
+    m_min = float(hertz_to_mel(f_min, mel_scale))
+    m_max = float(hertz_to_mel(f_max, mel_scale))
     m_pts = np.linspace(m_min, m_max, num_mels + 2)
-    f_pts = np.asarray(mel_to_hertz(m_pts), dtype=np.float64)
+    f_pts = np.asarray(mel_to_hertz(m_pts, mel_scale),
+                       dtype=np.float64)
 
     f_diff = f_pts[1:] - f_pts[:-1]                        # (num_mels+1,)
     slopes = f_pts[None, :] - all_freqs[:, None]           # (num_bins, num_mels+2)
     down = -slopes[:, :-2] / f_diff[None, :-1]             # rising edge
     up = slopes[:, 2:] / f_diff[None, 1:]                  # falling edge
     fb = np.maximum(0.0, np.minimum(down, up))
+    if norm == "slaney":
+        fb = fb * (2.0 / (f_pts[2:] - f_pts[:-2]))[None, :]
+    elif norm is not None:
+        raise ValueError("norm must be None or 'slaney'")
     return fb
 
 
@@ -79,16 +120,23 @@ def create_mel_filter(num_mels: int = 128,
                       f_min: float = 0.0,
                       f_max: Optional[float] = None,
                       num_bins: int = 1025,
+                      mel_scale: str = "htk",
+                      norm: Optional[str] = None,
                       dtype=jnp.float32) -> jnp.ndarray:
     """Mel filterbank matrix ``(num_bins, num_mels)``.
 
     ``num_bins`` is the number of one-sided FFT bins (``fft_length//2+1``).
-    ``f_max`` defaults to the Nyquist frequency.
+    ``f_max`` defaults to the Nyquist frequency.  ``mel_scale``
+    ("htk"/"slaney") picks the pitch scale and ``norm`` (None/"slaney")
+    the triangle area normalization; the (htk, None) default is the
+    reference's filterbank, ("slaney", "slaney") is librosa's default
+    (e.g. the published HiFi-GAN training recipe).
     """
     if f_max is None:
         f_max = sample_rate / 2.0
     fb = _mel_filter_np(int(num_mels), float(sample_rate), float(f_min),
-                        float(f_max), int(num_bins))
+                        float(f_max), int(num_bins),
+                        str(mel_scale), norm)
     return jnp.asarray(fb, dtype=dtype)
 
 

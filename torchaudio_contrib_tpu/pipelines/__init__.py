@@ -32,6 +32,7 @@ __all__ = [
     "WAV2VEC2_ASR_BASE_960H", "HUBERT_ASR_LARGE",
     "EMFORMER_RNNT_BASE_LIBRISPEECH",
     "TACOTRON2_WAVERNN_CHAR_LJSPEECH",
+    "HiFiGANVocoderBundle", "HIFIGAN_VOCODER_V3_LJSPEECH",
     "HDEMUCS_HIGH_MUSDB", "CONVTASNET_BASE_LIBRI2MIX",
     "SQUIM_OBJECTIVE", "SQUIM_SUBJECTIVE",
 ]
@@ -169,6 +170,54 @@ class Tacotron2TTSBundle:
 
 
 @dataclass(frozen=True)
+class HiFiGANVocoderBundle:
+    """HiFi-GAN mel→waveform vocoder bundle (torchaudio's
+    ``prototype.pipelines.HIFIGAN_VOCODER_V3_LJSPEECH`` surface):
+    ``get_vocoder()`` + ``get_mel_transform()`` computing the
+    published training recipe's log-mel — fft 1024 / hop 256 /
+    librosa-default (Slaney) mel / ``log(clamp(mel, 1e-5))`` on a
+    reflect-padded, uncentered STFT."""
+    _factory: Callable = M.hifigan_vocoder_v3
+    sample_rate: int = 22050
+    n_mels: int = 80
+    fft_length: int = 1024
+    hop_length: int = 256
+    f_min: float = 0.0
+    f_max: float = 8000.0
+
+    def get_vocoder(self, key=None, checkpoint=None):
+        return _resolve(self._factory(in_channels=self.n_mels),
+                        key, checkpoint)
+
+    def get_mel_transform(self):
+        from ..ops.stft import stft as _stft
+        from ..ops.filters import create_mel_filter
+        import jax.numpy as jnp
+
+        fb = create_mel_filter(
+            self.n_mels, self.sample_rate, self.f_min, self.f_max,
+            self.fft_length // 2 + 1, mel_scale="slaney",
+            norm="slaney")
+        pad = (self.fft_length - self.hop_length) // 2
+
+        def transform(waveform):
+            """``(..., T)`` float32 → ``(..., n_mels, frames)``
+            log-mel, frames = T // hop."""
+            x = jnp.asarray(waveform)
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)],
+                        mode="reflect")
+            spec = _stft(x, self.fft_length, self.hop_length,
+                         center=False)
+            mag = jnp.sqrt(jnp.square(spec.real)
+                           + jnp.square(spec.imag) + 1e-9)
+            mel = jnp.einsum("...ft,fm->...mt", mag, fb,
+                             precision=jax.lax.Precision.HIGHEST)
+            return jnp.log(jnp.clip(mel, 1e-5))
+
+        return transform
+
+
+@dataclass(frozen=True)
 class SourceSeparationBundle:
     _factory: Callable
     sample_rate: int = 44100
@@ -195,6 +244,7 @@ WAV2VEC2_ASR_BASE_960H = Wav2Vec2ASRBundle(M.wav2vec2_base)
 HUBERT_ASR_LARGE = Wav2Vec2ASRBundle(M.hubert_large)
 EMFORMER_RNNT_BASE_LIBRISPEECH = RNNTBundle()
 TACOTRON2_WAVERNN_CHAR_LJSPEECH = Tacotron2TTSBundle()
+HIFIGAN_VOCODER_V3_LJSPEECH = HiFiGANVocoderBundle()
 HDEMUCS_HIGH_MUSDB = SourceSeparationBundle(M.HDemucs)
 CONVTASNET_BASE_LIBRI2MIX = SourceSeparationBundle(
     M.ConvTasNet, sample_rate=8000, sources=("speech1", "speech2"))
