@@ -60,6 +60,9 @@ from .modfx import overdrive, contrast, phaser, flanger
 from .vad import vad, vad_onset
 from .convolve import convolve, fftconvolve
 from .rir import simulate_rir_ism
+from .dsp import (oscillator_bank, adsr_envelope, extend_pitch,
+                  sinc_impulse_response, frequency_impulse_response,
+                  filter_waveform)
 from .align import forced_align, merge_tokens, TokenSpan
 from .edit import edit_distance, edit_distance_batched
 from .rnnt import rnnt_loss
@@ -94,6 +97,9 @@ __all__ = [
     "compute_deltas", "preemphasis", "deemphasis",
     "spectral_centroid", "spectral_bandwidth", "spectral_rolloff",
     "spectral_flatness", "zero_crossing_rate",
+    "oscillator_bank", "adsr_envelope", "extend_pitch",
+    "sinc_impulse_response", "frequency_impulse_response",
+    "filter_waveform",
     "lfilter", "filtfilt", "biquad", "lowpass_biquad", "highpass_biquad",
     "bandpass_biquad", "bandreject_biquad", "allpass_biquad",
     "equalizer_biquad", "bass_biquad", "treble_biquad",

@@ -1,0 +1,225 @@
+"""DSP synthesis/filter-design primitives (oscillators, envelopes,
+windowed-sinc and arbitrary-response FIRs, time-varying filtering).
+
+Not in the reference (SURVEY §2); mirrors torchaudio's
+``prototype.functional`` DSP surface (``oscillator_bank``,
+``adsr_envelope``, ``extend_pitch``, ``sinc_impulse_response``,
+``frequency_impulse_response``, ``filter_waveform``).  [ref-recon:
+torchaudio/prototype/functional/_dsp.py — UNVERIFIED, mount empty]
+
+TPU shape: everything is batched array math — the oscillator phase
+accumulation is one associative ``cumsum`` (log-depth on device, the
+phase-vocoder trick), the time-varying filter is a framed batched FIR
+convolution (one ``conv_general_dilated`` on the MXU) + overlap-add —
+no Python loops over time anywhere.
+"""
+from __future__ import annotations
+
+import math
+import warnings
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "oscillator_bank", "adsr_envelope", "extend_pitch",
+    "sinc_impulse_response", "frequency_impulse_response",
+    "filter_waveform",
+]
+
+
+def oscillator_bank(frequencies: jnp.ndarray,
+                    amplitudes: jnp.ndarray,
+                    sample_rate: float,
+                    reduction: str = "sum") -> jnp.ndarray:
+    """Additive synthesis from instantaneous frequencies/amplitudes.
+
+    ``frequencies``/``amplitudes`` are ``(..., time, n_oscillators)``
+    in Hz / linear gain.  Phase is the running integral
+    ``2π·cumsum(f)/sr`` (associative scan); oscillators above Nyquist
+    are muted (with a warning, torchaudio's behavior).  ``reduction``
+    ∈ ``"sum" | "mean" | "none"``.
+    """
+    frequencies = jnp.asarray(frequencies)
+    amplitudes = jnp.asarray(amplitudes)
+    if frequencies.shape != amplitudes.shape:
+        raise ValueError("frequencies and amplitudes must match "
+                         f"({frequencies.shape} vs {amplitudes.shape})")
+    nyquist = sample_rate / 2.0
+    invalid = jnp.abs(frequencies) >= nyquist
+    # eager-visible warning when possible (concrete arrays only)
+    if not isinstance(frequencies, jax.core.Tracer) and bool(
+            jnp.any(invalid)):
+        warnings.warn("oscillator frequencies at or above Nyquist "
+                      "are muted", UserWarning, stacklevel=2)
+    amplitudes = jnp.where(invalid, 0.0, amplitudes)
+    phase = 2.0 * math.pi * jnp.cumsum(
+        frequencies / sample_rate, axis=-2)
+    out = amplitudes * jnp.sin(phase)
+    if reduction == "sum":
+        return jnp.sum(out, axis=-1)
+    if reduction == "mean":
+        return jnp.mean(out, axis=-1)
+    if reduction == "none":
+        return out
+    raise ValueError("reduction must be 'sum', 'mean' or 'none'")
+
+
+def adsr_envelope(num_frames: int,
+                  attack: float = 0.0, hold: float = 0.0,
+                  decay: float = 0.0, sustain: float = 1.0,
+                  release: float = 0.0, n_decay: int = 2,
+                  dtype=jnp.float32) -> jnp.ndarray:
+    """Attack-hold-decay-sustain-release envelope over ``num_frames``.
+
+    Phase lengths are fractions of the total duration
+    (``attack+hold+decay+release ≤ 1``); the decay leg is polynomial
+    of order ``n_decay``; the remainder sustains at ``sustain``.
+    """
+    for name, v in (("attack", attack), ("hold", hold),
+                    ("decay", decay), ("release", release)):
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"{name} must be in [0, 1]")
+    if attack + hold + decay + release > 1.0 + 1e-9:
+        raise ValueError("attack+hold+decay+release must be <= 1")
+    t = np.linspace(0.0, 1.0, num_frames, dtype=np.float64)
+    env = np.full(num_frames, float(sustain), np.float64)
+    a_end = attack
+    h_end = a_end + hold
+    d_end = h_end + decay
+    r_start = 1.0 - release
+    if attack > 0:
+        m = t < a_end
+        env[m] = t[m] / attack
+    env[(t >= a_end) & (t < h_end)] = 1.0
+    if decay > 0:
+        m = (t >= h_end) & (t < d_end)
+        frac = (t[m] - h_end) / decay        # 0→1 across the leg
+        env[m] = sustain + (1.0 - sustain) * (1.0 - frac) ** n_decay
+    if release > 0:
+        m = t >= r_start
+        env[m] = sustain * (1.0 - t[m]) / release
+    return jnp.asarray(env, dtype)
+
+
+def extend_pitch(base: jnp.ndarray,
+                 pattern: Union[int, Sequence[float]]) -> jnp.ndarray:
+    """Expand a fundamental series ``(..., time, 1)`` to harmonics.
+
+    ``pattern`` is an int ``n`` (multiples 1..n) or explicit
+    multipliers; output ``(..., time, n)`` feeds
+    :func:`oscillator_bank`.
+    """
+    base = jnp.asarray(base)
+    if isinstance(pattern, int):
+        mult = jnp.arange(1, pattern + 1, dtype=base.dtype)
+    else:
+        mult = jnp.asarray(pattern, base.dtype)
+        if mult.ndim != 1:
+            raise ValueError("pattern must be an int or 1-D")
+    return base * mult
+
+
+def sinc_impulse_response(cutoff: jnp.ndarray,
+                          window_size: int = 513,
+                          high_pass: bool = False) -> jnp.ndarray:
+    """Windowed-sinc FIR kernels for per-element cutoffs.
+
+    ``cutoff (...,)`` in [0, 1] relative to Nyquist → kernels
+    ``(..., window_size)`` (Hamming window, unit DC gain;
+    ``high_pass=True`` spectrally inverts).  ``window_size`` must be
+    odd so the inversion delta lands on the center tap.
+    """
+    if window_size % 2 != 1:
+        raise ValueError("window_size must be odd")
+    cutoff = jnp.asarray(cutoff)
+    half = window_size // 2
+    n = jnp.arange(-half, half + 1, dtype=jnp.float32)
+    c = cutoff[..., None]
+    ir = c * jnp.sinc(c * n)
+    win = jnp.asarray(np.hamming(window_size), jnp.float32)
+    ir = ir * win
+    ir = ir / jnp.maximum(jnp.sum(ir, -1, keepdims=True), 1e-12)
+    if high_pass:
+        delta = jnp.zeros(window_size,
+                          ir.dtype).at[half].set(1.0)
+        ir = delta - ir
+    return ir
+
+
+def frequency_impulse_response(magnitudes: jnp.ndarray
+                               ) -> jnp.ndarray:
+    """Linear-phase FIR matching a one-sided magnitude response.
+
+    ``magnitudes (..., n_freqs)`` (≥ 0, bins ``linspace(0, Nyquist)``)
+    → kernels ``(..., 2·(n_freqs−1))``: zero-phase irFFT, rotated to
+    causal (fftshift), Hann-windowed.
+    """
+    mag = jnp.asarray(magnitudes)
+    if mag.ndim < 1 or mag.shape[-1] < 2:
+        raise ValueError("magnitudes must have >= 2 frequency bins")
+    ir = jnp.fft.irfft(mag.astype(jnp.float32), axis=-1)
+    ir = jnp.fft.fftshift(ir, axes=-1)
+    win = jnp.asarray(np.hanning(ir.shape[-1]), ir.dtype)
+    return ir * win
+
+
+def filter_waveform(waveform: jnp.ndarray,
+                    kernels: jnp.ndarray,
+                    delay_compensation: Optional[int] = None
+                    ) -> jnp.ndarray:
+    """Time-varying FIR filtering: chunk the clip, filter each chunk
+    with its own kernel, overlap-add the tails.
+
+    ``waveform (..., time)``; ``kernels (..., num_filters, K)``
+    (leading dims broadcast against the waveform's).  The time axis
+    splits into ``num_filters`` equal chunks (zero-padded up);
+    convolution tails (K−1 samples) carry into the next chunk by
+    overlap-add — block FIR, exact where adjacent kernels are equal.
+    Output is cropped back to ``time`` after dropping ``K//2``
+    leading samples (linear-phase delay; override with
+    ``delay_compensation``).
+    """
+    waveform = jnp.asarray(waveform)
+    kernels = jnp.asarray(kernels)
+    if kernels.ndim < 2:
+        raise ValueError("kernels must be (..., num_filters, K)")
+    t = waveform.shape[-1]
+    f, k = kernels.shape[-2], kernels.shape[-1]
+    chunk = -(-t // f)                        # ceil
+    batch_shape = jnp.broadcast_shapes(waveform.shape[:-1],
+                                       kernels.shape[:-2])
+    x = jnp.broadcast_to(waveform, batch_shape + (t,))
+    kn = jnp.broadcast_to(kernels, batch_shape + (f, k))
+    b = int(np.prod(batch_shape)) if batch_shape else 1
+    x = x.reshape(b, t)
+    x = jnp.pad(x, ((0, 0), (0, chunk * f - t)))
+    xc = x.reshape(b, f, chunk)               # (B, F, chunk)
+    kn = kn.reshape(b, f, k)
+
+    # full per-chunk convolution as ONE depthwise conv: (B·F) chunks
+    # become channels, each with its own (flipped) kernel
+    xin = xc.reshape(1, b * f, chunk)
+    kin = jnp.flip(kn.reshape(b * f, 1, k), -1)
+    pad = k - 1
+    y = jax.lax.conv_general_dilated(
+        xin, kin, window_strides=(1,), padding=[(pad, pad)],
+        dimension_numbers=("NCT", "OIT", "NCT"),
+        feature_group_count=b * f,
+        preferred_element_type=jnp.float32)
+    y = y.reshape(b, f, chunk + k - 1)
+
+    # overlap-add the K−1 tails into the next chunk's head
+    total = chunk * f + k - 1
+    out = jnp.zeros((b, total), jnp.float32)
+    idx = (jnp.arange(f)[:, None] * chunk
+           + jnp.arange(chunk + k - 1)[None, :])
+    out = out.at[:, idx.reshape(-1)].add(
+        y.reshape(b, -1), indices_are_sorted=False)
+    delay = k // 2 if delay_compensation is None else \
+        int(delay_compensation)
+    out = out[:, delay:delay + t]
+    return out.reshape(batch_shape + (t,)) if batch_shape \
+        else out[0]
