@@ -18,6 +18,7 @@ from .windows import (
     check_nola,
 )
 from .stft import stft, istft, frame_signal, num_frames, stft_output_length
+from .spectro import spectrogram, melspectrogram
 from .complexops import complex_norm, angle, magphase
 from .filters import (
     hertz_to_mel,
@@ -97,6 +98,7 @@ __all__ = [
     "compute_deltas", "preemphasis", "deemphasis",
     "spectral_centroid", "spectral_bandwidth", "spectral_rolloff",
     "spectral_flatness", "zero_crossing_rate",
+    "spectrogram", "melspectrogram",
     "oscillator_bank", "adsr_envelope", "extend_pitch",
     "sinc_impulse_response", "frequency_impulse_response",
     "filter_waveform",
