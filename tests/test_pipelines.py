@@ -104,3 +104,18 @@ def test_hifigan_bundle_mel_to_waveform():
     out = voc.apply(params, mel)
     # vocoder restores exactly hop_length samples per frame
     assert out.shape == (1, 1, T)
+
+
+def test_asr_bundle_lexicon_decoder():
+    b = P.WAV2VEC2_ASR_BASE_960H
+    dec = b.get_decoder({"THE": ["T", "H", "E"], "CAT": ["C", "A", "T"]},
+                        beam_size=8)
+    labels = b.get_labels()
+    idx = {s: i for i, s in enumerate(labels)}
+    seq = ["T", "H", "E", "|", "C", "A", "T", "|"]
+    lp = np.full((len(seq), len(labels)), -10.0)
+    for t, s in enumerate(seq):
+        lp[t, idx[s]] = 0.0
+    lp = lp - np.log(np.exp(lp).sum(1, keepdims=True))
+    out = dec(lp)[0][0]
+    assert out.words == ["THE", "CAT"]

@@ -90,6 +90,15 @@ class Wav2Vec2ASRBundle:
             prev = i
         return "".join(out).replace("|", " ").strip()
 
+    def get_decoder(self, lexicon, lm=None, **kwargs):
+        """Lexicon-constrained beam decoder over this bundle's
+        labels (``models.ctc_decoder``); ``lexicon`` maps words to
+        spellings in ``self.labels``, ``lm`` is a
+        ``models.CTCDecoderLM`` (e.g. ``ARPALM``)."""
+        return M.ctc_decoder(lexicon, list(self.labels), lm=lm,
+                             blank_token=self.labels[0],
+                             sil_token="|", **kwargs)
+
 
 @dataclass(frozen=True)
 class RNNTBundle:
