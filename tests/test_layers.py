@@ -184,3 +184,28 @@ def test_apply_filterbank_config_distinguishes_arrays(rng):
     # equal content still compares/hashes equal
     l3 = tac.ApplyFilterbank(np.asarray(fb1))
     assert l1 == l3 and hash(l1) == hash(l3)
+
+
+def test_barkspectrogram_and_chromagram_factories():
+    import numpy as np
+    import jax.numpy as jnp
+    from torchaudio_contrib_tpu import ops
+    from torchaudio_contrib_tpu.models.layers import (
+        Barkspectrogram, Chromagram, BarkFilterbank)
+    x = jnp.asarray(np.random.default_rng(11)
+                    .standard_normal((2, 1, 2000)), jnp.float32)
+    bark = Barkspectrogram(n_barks=24, sample_rate=16000,
+                           fft_length=512, hop_length=128)
+    out = bark(x)
+    assert out.shape[:3] == (2, 1, 24)
+    # pipeline == manual chain with the same bank
+    fb = BarkFilterbank(24, 16000, num_bins=257).get_filterbank()
+    spec = ops.complex_norm(ops.stft(x, 512, 128), 2.0)
+    ref = ops.apply_filterbank(spec, fb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    chroma = Chromagram(sample_rate=16000, fft_length=512,
+                        hop_length=128)
+    cg = chroma(x)
+    assert cg.shape[:3] == (2, 1, 12)
+    assert bool(jnp.all(jnp.isfinite(cg)))

@@ -1,11 +1,13 @@
 from .layers import (
     Transform, Pipeline,
     STFT, ISTFT, ComplexNorm,
-    Filterbank, MelFilterbank, ChromaFilterbank, ApplyFilterbank,
+    Filterbank, MelFilterbank, BarkFilterbank, ChromaFilterbank,
+    ApplyFilterbank,
     AmplitudeToDb, DbToAmplitude,
     MuLawEncoding, MuLawDecoding,
     StretchSpecTime, Resample, GriffinLim,
     Spectrogram, Melspectrogram, FusedMelspectrogram,
+    Barkspectrogram, Chromagram,
 )
 from .frontend import MelFrontendClassifier
 from .conformer import Conformer
@@ -44,7 +46,9 @@ from .transforms import (
 __all__ = [
     "Transform", "Pipeline",
     "STFT", "ISTFT", "ComplexNorm",
-    "Filterbank", "MelFilterbank", "ChromaFilterbank", "ApplyFilterbank",
+    "Filterbank", "MelFilterbank", "BarkFilterbank",
+    "ChromaFilterbank", "ApplyFilterbank",
+    "Barkspectrogram", "Chromagram",
     "AmplitudeToDb", "DbToAmplitude",
     "MuLawEncoding", "MuLawDecoding",
     "StretchSpecTime", "Resample", "GriffinLim",

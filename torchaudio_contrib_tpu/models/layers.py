@@ -50,11 +50,13 @@ from ..ops import (
 __all__ = [
     "Transform", "Pipeline",
     "STFT", "ISTFT", "ComplexNorm",
-    "Filterbank", "MelFilterbank", "ApplyFilterbank",
+    "Filterbank", "MelFilterbank", "BarkFilterbank",
+    "ChromaFilterbank", "ApplyFilterbank",
     "AmplitudeToDb", "DbToAmplitude",
     "MuLawEncoding", "MuLawDecoding",
     "StretchSpecTime", "Resample", "GriffinLim",
     "Spectrogram", "Melspectrogram", "FusedMelspectrogram",
+    "Barkspectrogram", "Chromagram",
 ]
 
 
@@ -216,6 +218,34 @@ class MelFilterbank(Filterbank):
                                  self.f_min, self.f_max, self.num_bins,
                                  mel_scale=self.mel_scale,
                                  norm=self.norm, dtype=self.dtype)
+
+
+class BarkFilterbank(Filterbank):
+    """Triangular Bark-scale filterbank (rebuild-only; torchaudio's
+    ``barkscale_fbanks`` capability).  Same splice points as
+    :class:`MelFilterbank`."""
+
+    def __init__(self, n_barks: int = 128, sample_rate: float = 22050,
+                 f_min: float = 0.0, f_max: Optional[float] = None,
+                 num_bins: int = 1025, bark_scale: str = "traunmuller",
+                 dtype=jnp.float32):
+        self.n_barks = n_barks
+        self.sample_rate = sample_rate
+        self.f_min = f_min
+        self.f_max = f_max if f_max is not None else sample_rate / 2.0
+        self.num_bins = num_bins
+        self.bark_scale = bark_scale
+        self.dtype = dtype
+        self._config = (n_barks, sample_rate, f_min, self.f_max,
+                        num_bins, bark_scale, str(jnp.dtype(dtype)))
+
+    def get_filterbank(self) -> jnp.ndarray:
+        from ..ops.filters import create_bark_filter
+        return create_bark_filter(self.n_barks, self.sample_rate,
+                                  self.f_min, self.f_max,
+                                  self.num_bins,
+                                  bark_scale=self.bark_scale,
+                                  dtype=self.dtype)
 
 
 class ChromaFilterbank(Filterbank):
@@ -548,3 +578,40 @@ def Melspectrogram(num_mels: int = 128,
                                    f_max=f_max, num_bins=num_bins)
     return Pipeline(*spec.transforms,
                     ApplyFilterbank(filterbank, trainable=trainable))
+
+
+def Barkspectrogram(n_barks: int = 128,
+                    sample_rate: float = 22050,
+                    f_min: float = 0.0,
+                    f_max: Optional[float] = None,
+                    bark_scale: str = "traunmuller",
+                    trainable: bool = False,
+                    **spectrogram_kwargs) -> Pipeline:
+    """``Pipeline(STFT, ComplexNorm(2), ApplyFilterbank(bark))``
+    factory (torchaudio's ``BarkSpectrogram`` capability) — the
+    :func:`Melspectrogram` shape with a Bark-scale bank."""
+    power = spectrogram_kwargs.pop("power", 2.0)
+    spec = Spectrogram(power=power, **spectrogram_kwargs)
+    fb = BarkFilterbank(n_barks=n_barks, sample_rate=sample_rate,
+                        f_min=f_min, f_max=f_max,
+                        num_bins=spec[0].num_freqs,
+                        bark_scale=bark_scale)
+    return Pipeline(*spec.transforms,
+                    ApplyFilterbank(fb, trainable=trainable))
+
+
+def Chromagram(n_chroma: int = 12,
+               sample_rate: float = 22050,
+               tuning: float = 0.0,
+               base_c: bool = True,
+               trainable: bool = False,
+               **spectrogram_kwargs) -> Pipeline:
+    """``Pipeline(STFT, ComplexNorm(2), ApplyFilterbank(chroma))``
+    factory (torchaudio's ``ChromaSpectrogram`` capability)."""
+    power = spectrogram_kwargs.pop("power", 2.0)
+    spec = Spectrogram(power=power, **spectrogram_kwargs)
+    fb = ChromaFilterbank(n_chroma=n_chroma, sample_rate=sample_rate,
+                          num_bins=spec[0].num_freqs, tuning=tuning,
+                          base_c=base_c)
+    return Pipeline(*spec.transforms,
+                    ApplyFilterbank(fb, trainable=trainable))
