@@ -151,3 +151,71 @@ def test_validation_errors():
         enc.apply(params, jnp.ones((1, 10, 8)))
     with pytest.raises(ValueError):
         enc.infer(params, jnp.ones((1, 5, 16)), enc.init_state(1))
+
+
+# ------------------------------------------------------ ConvEmformer
+@pytest.fixture(scope="module")
+def conv_small():
+    from torchaudio_contrib_tpu.models.emformer import ConvEmformer
+    enc = ConvEmformer(input_dim=16, num_heads=2, ffn_dim=32,
+                       num_layers=2, segment_length=4,
+                       kernel_size=3, left_context_length=3,
+                       right_context_length=2, max_memory_size=2,
+                       tanh_on_mem=True)
+    params = enc.init(jax.random.PRNGKey(5))
+    return enc, params
+
+
+def test_conv_emformer_streaming_equals_full(conv_small):
+    """The Emformer contract holds with the convolution module: the
+    conv cache carries exactly the previous segment's post-attention
+    tail, so chunkwise infer ≡ full apply (ragged + non-multiple T)."""
+    enc, params = conv_small
+    rng = np.random.default_rng(6)
+    B, T, R = 3, 11, enc.R
+    lengths = np.array([11, 11, 6])
+    x = rng.standard_normal((B, T + R, 16)).astype(np.float32)
+    for b, l in enumerate(lengths):
+        if l < T:
+            x[b, l:] = 0.0
+    y_full, _ = enc.apply(params, jnp.asarray(x), jnp.asarray(lengths))
+    y_str = _stream(enc, params, jnp.asarray(x), lengths, T)
+    for b, l in enumerate(lengths):
+        np.testing.assert_allclose(np.asarray(y_str[b, :l]),
+                                   np.asarray(y_full[b, :l]),
+                                   atol=2e-5, err_msg=f"sample {b}")
+
+
+def test_conv_emformer_streaming_equals_full_jit(conv_small):
+    enc, params = conv_small
+    rng = np.random.default_rng(7)
+    T, R = 8, enc.R
+    x = rng.standard_normal((1, T + R, 16)).astype(np.float32)
+    y_full, _ = enc.apply(params, jnp.asarray(x))
+    y_str = _stream(enc, params, jnp.asarray(x), np.array([T]), T,
+                    jit=True)
+    np.testing.assert_allclose(np.asarray(y_str[:, :T]),
+                               np.asarray(y_full), atol=2e-5)
+
+
+def test_conv_emformer_grads_and_conv_matters(conv_small):
+    enc, params = conv_small
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((2, 8 + enc.R, 16)),
+                    jnp.float32)
+    g = jax.grad(lambda p: jnp.sum(enc.apply(p, x)[0] ** 2))(params)
+    dead = [jax.tree_util.keystr(k)
+            for k, v in jax.tree_util.tree_leaves_with_path(g)
+            if float(jnp.max(jnp.abs(v))) == 0.0]
+    assert not dead, dead
+    # zeroing the conv depthwise kernel changes the output
+    import copy
+    p2 = jax.tree_util.tree_map(lambda v: v, params)
+    for lp in p2["layers"]:
+        lp["conv"]["dw"] = jnp.zeros_like(lp["conv"]["dw"])
+    y1, _ = enc.apply(params, x)
+    y2, _ = enc.apply(p2, x)
+    assert float(jnp.max(jnp.abs(y1 - y2))) > 1e-4
+    from torchaudio_contrib_tpu.models.emformer import ConvEmformer
+    with pytest.raises(ValueError, match="kernel_size"):
+        ConvEmformer(16, 2, 32, 1, 4, kernel_size=0)

@@ -30,7 +30,7 @@ from .hifigan import (
     HiFiGANVocoder,
     hifigan_vocoder_v1, hifigan_vocoder_v2, hifigan_vocoder_v3,
 )
-from .emformer import Emformer
+from .emformer import Emformer, ConvEmformer
 from .rnnt import RNNT, RNNTPredictor, RNNTBeamSearch
 from .transforms import (
     MFCC, Loudness, PitchShift, Speed, AddNoise,
@@ -54,6 +54,7 @@ __all__ = [
     "StretchSpecTime", "Resample", "GriffinLim",
     "Spectrogram", "Melspectrogram", "FusedMelspectrogram",
     "MelFrontendClassifier", "Conformer", "Wav2Letter", "DeepSpeech", "ConvTasNet", "WaveRNN", "Tacotron2", "Wav2Vec2", "Emformer",
+    "ConvEmformer",
     "RNNT", "RNNTPredictor", "RNNTBeamSearch",
     "wav2vec2_base", "wav2vec2_large",
     "hubert_base", "hubert_large", "hubert_xlarge",

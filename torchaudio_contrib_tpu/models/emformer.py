@@ -48,7 +48,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["Emformer"]
+__all__ = ["Emformer", "ConvEmformer"]
 
 _NEG = -1e9
 
@@ -139,11 +139,19 @@ class Emformer:
         y = _ln(x, p["ln2"])
         return x + jax.nn.relu(y @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
 
-    def _layer_body(self, p, utt, lc, rc, bank, masks):
+    def _post_attention(self, p, utt_a, rc_a, masks, conv_cache):
+        """Hook between the attention residual and the FFN —
+        identity here; :class:`ConvEmformer` inserts its convolution
+        module.  Returns ``(utt_a, rc_a, new_cache)``."""
+        return utt_a, rc_a, None
+
+    def _layer_body(self, p, utt, lc, rc, bank, masks,
+                    conv_cache=None):
         """Shared per-segment layer body.  ``utt (..., S, D)``,
         ``lc (..., L, D)`` / ``rc (..., R, D)`` / ``bank (..., M, D)``
         are raw (pre-LN) values; masks = (lc_m, seg_m, rc_m, mem_m).
-        Returns (utt', rc', summary attention output)."""
+        Returns (utt', rc', summary attention output, new conv
+        cache — None for the plain Emformer)."""
         lc_m, seg_m, rc_m, mem_m = masks
         S, L, R, M = self.S, self.L, self.R, self.M
         n_utt = _ln(utt, p["ln1"])
@@ -156,12 +164,16 @@ class Emformer:
         kv = jnp.concatenate([n_bank, n_lc, n_utt, n_rc], axis=-2)
         kmask = jnp.concatenate([mem_m, lc_m, seg_m, rc_m], axis=-1)
         o = self._attend(p, q, kv, kmask)
-        utt2 = self._ffn(p, utt + o[..., :S, :])
-        rc2 = self._ffn(p, rc + o[..., S:S + R, :]) if R else rc
+        utt_a = utt + o[..., :S, :]
+        rc_a = rc + o[..., S:S + R, :] if R else rc
+        utt_a, rc_a, new_cache = self._post_attention(
+            p, utt_a, rc_a, masks, conv_cache)
+        utt2 = self._ffn(p, utt_a)
+        rc2 = self._ffn(p, rc_a) if R else rc_a
         m_out = o[..., -1, :]
         if self.tanh_on_mem:
             m_out = jnp.tanh(m_out)
-        return utt2, rc2, m_out
+        return utt2, rc2, m_out, new_cache
 
     # -- full-utterance forward ------------------------------------
     def apply(self, params, x, lengths=None):
@@ -222,7 +234,8 @@ class Emformer:
             lc = jnp.take(utt.reshape(B, Tp, D), lc_g, axis=1
                           ).reshape(B, nseg, L, D) \
                 if L else jnp.zeros((B, nseg, 0, D))
-            utt, rc, mems = self._layer_body(p, utt, lc, rc, bank, masks)
+            utt, rc, mems, _ = self._layer_body(p, utt, lc, rc, bank,
+                                                masks)
         out = _ln(utt, params["ln_out"]).reshape(B, Tp, D)[:, :T]
         out = jnp.where(jnp.arange(T)[None, :, None] < lengths[:, None, None],
                         out, 0.0)
@@ -278,15 +291,128 @@ class Emformer:
             lc = st["lc"][:, -L:] if L else jnp.zeros((B, 0, D))
             bank = st["bank"][:, -M:] if M else jnp.zeros((B, 0, D))
             # cache this layer's input before computing its output
-            new_layers.append({
+            new_st = {
                 "lc": jnp.concatenate([st["lc"], utt],
                                       axis=1)[:, -max(L, 1):]
                 if L else st["lc"],
                 "bank": jnp.concatenate([st["bank"], m_in[:, None]],
                                         axis=1)[:, -max(M, 1):]
                 if M else st["bank"],
-            })
-            utt, rc, m_in = self._layer_body(p, utt, lc, rc, bank, masks)
+            }
+            utt, rc, m_in, new_cache = self._layer_body(
+                p, utt, lc, rc, bank, masks,
+                conv_cache=st.get("conv"))
+            if new_cache is not None:
+                new_st["conv"] = new_cache
+            new_layers.append(new_st)
         out = jnp.where(seg_m[..., None], _ln(utt, params["ln_out"]), 0.0)
         return out, utt_len, {"layers": new_layers, "seg": i + 1,
                               "seen": seen + utt_len}
+
+
+class ConvEmformer(Emformer):
+    """Emformer with a per-layer convolution module (torchaudio's
+    ``prototype.models.ConvEmformer`` capability [ref-recon:
+    torchaudio/prototype/models/conv_emformer.py — UNVERIFIED,
+    mount empty]).
+
+    Each layer inserts a Conformer-style convolution module between
+    the attention residual and the FFN: pre-LN → pointwise GLU →
+    CAUSAL depthwise conv (kernel ``kernel_size``, left-padded by the
+    previous segment's last ``kernel_size−1`` post-attention frames)
+    → SiLU → pointwise projection → residual.  The right-context
+    frames ride the same conv as a continuation of the segment, so
+    chunkwise ``infer`` stays EXACTLY equal to the full-utterance
+    ``apply`` (pinned by test) — the streaming state gains one
+    ``(B, kernel_size−1, D)`` conv cache per layer.  The exact inner
+    ordering of torchaudio's layer (macaron halves etc.) is
+    unverifiable against the empty mount; the invariant this class
+    pins is the Emformer contract itself (streaming ≡ full).
+    """
+
+    def __init__(self, input_dim: int, num_heads: int, ffn_dim: int,
+                 num_layers: int, segment_length: int,
+                 kernel_size: int = 31, **emformer_kwargs):
+        if kernel_size < 1:
+            raise ValueError("kernel_size must be >= 1")
+        super().__init__(input_dim, num_heads, ffn_dim, num_layers,
+                         segment_length, **emformer_kwargs)
+        self.K = kernel_size
+        self._config = self._config + (kernel_size,)
+
+    def init(self, key):
+        k_base, k_conv = jax.random.split(key)
+        params = super().init(k_base)
+        d, K = self.d, self.K
+        keys = iter(jax.random.split(k_conv, 3 * self.n_layers))
+        for lp in params["layers"]:
+            s = math.sqrt(6.0 / (K + 2 * d))
+            lp["conv"] = {
+                "ln": _ln_p(d),
+                "pw1": _dense(next(keys), d, 2 * d),
+                "pb1": jnp.zeros((2 * d,)),
+                "dw": jax.random.uniform(next(keys), (K, 1, d),
+                                         jnp.float32, -s, s),
+                "pw2": _dense(next(keys), d, d),
+                "pb2": jnp.zeros((d,)),
+            }
+        return params
+
+    def init_state(self, batch_size: int):
+        state = super().init_state(batch_size)
+        Km1 = self.K - 1
+        for st in state["layers"]:
+            st["conv"] = jnp.zeros((batch_size, max(Km1, 1), self.d))
+        return state
+
+    def _post_attention(self, p, utt_a, rc_a, masks, conv_cache):
+        _, seg_m, rc_m, _ = masks
+        S, R, D, K = self.S, self.R, self.d, self.K
+        Km1 = K - 1
+        # zero invalid slots so the conv never mixes attention garbage
+        # (identical operation in both modes — equality-preserving)
+        utt_a = jnp.where(seg_m[..., None], utt_a, 0.0)
+        if R:
+            rc_a = jnp.where(rc_m[..., None], rc_a, 0.0)
+
+        if conv_cache is None:
+            # full mode: utt_a is (B, nseg, S, D) — the cache for
+            # segment i is segment i-1's last K-1 post-attention
+            # frames, gathered from the flattened tensor
+            B, nseg = utt_a.shape[0], utt_a.shape[1]
+            if Km1:
+                flat = utt_a.reshape(B, nseg * S, D)
+                coords = (jnp.arange(nseg)[:, None] * S - Km1
+                          + jnp.arange(Km1)[None])
+                g = jnp.take(flat, jnp.clip(coords, 0).reshape(-1),
+                             axis=1).reshape(B, nseg, Km1, D)
+                cache_v = jnp.where((coords >= 0)[None, ..., None],
+                                    g, 0.0)
+            else:
+                cache_v = jnp.zeros((B, nseg, 0, D))
+            new_cache = None
+        else:
+            cache_v = conv_cache[:, :Km1]        # (B, K-1, D)
+            new_cache = jnp.concatenate(
+                [conv_cache, utt_a], axis=-2)[:, -max(Km1, 1):] \
+                if Km1 else conv_cache
+
+        x = jnp.concatenate([cache_v, utt_a] + ([rc_a] if R else []),
+                            axis=-2)
+        y = _ln(x, p["conv"]["ln"])
+        y = y @ p["conv"]["pw1"] + p["conv"]["pb1"]
+        a, b = jnp.split(y, 2, axis=-1)
+        y = a * jax.nn.sigmoid(b)                # GLU
+        lead = y.shape[:-2]
+        y2 = y.reshape((-1,) + y.shape[-2:])
+        out = jax.lax.conv_general_dilated(
+            y2, p["conv"]["dw"], window_strides=(1,),
+            padding="VALID", dimension_numbers=("NTC", "TIO", "NTC"),
+            feature_group_count=D,
+            preferred_element_type=jnp.float32)
+        out = out.reshape(lead + (S + R, D))
+        out = jax.nn.silu(out) @ p["conv"]["pw2"] + p["conv"]["pb2"]
+        utt_a = utt_a + out[..., :S, :]
+        if R:
+            rc_a = rc_a + out[..., S:, :]
+        return utt_a, rc_a, new_cache
