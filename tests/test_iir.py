@@ -145,3 +145,46 @@ def test_bad_coeffs_raise():
         iir.lfilter(x, (0.0, 1.0), (1.0,))
     with pytest.raises(ValueError):
         iir.lfilter(x, np.zeros((2, 2)), (1.0,))
+
+
+def test_riaa_biquad_response():
+    """RIAA playback EQ: ~0 dB at 1 kHz, bass boosted, treble cut;
+    unsupported rates raise."""
+    import numpy as np
+    import jax.numpy as jnp
+    from torchaudio_contrib_tpu import ops
+
+    sr = 44100
+    def resp(freq):
+        t = np.arange(sr // 2) / sr
+        x = jnp.asarray(np.sin(2 * np.pi * freq * t), jnp.float32)
+        y = np.asarray(ops.riaa_biquad(x, sr))
+        n = y.size // 2
+        return np.sqrt(np.mean(y[n:] ** 2)) / np.sqrt(0.5)
+
+    g1k = resp(1000.0)
+    np.testing.assert_allclose(g1k, 1.0, rtol=0.05)
+    assert resp(100.0) > 2.0 * g1k        # bass boost
+    assert resp(10000.0) < 0.5 * g1k      # treble cut
+    for rate in (48000, 88200, 96000):
+        out = ops.riaa_biquad(jnp.ones(64, jnp.float32), rate)
+        assert out.shape == (64,)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="supports"):
+        ops.riaa_biquad(jnp.ones(8), 16000)
+
+
+def test_fbanks_aliases_match_builders():
+    import numpy as np
+    from torchaudio_contrib_tpu import ops
+    a = ops.melscale_fbanks(257, 0.0, 8000.0, 40, 16000,
+                            norm="slaney", mel_scale="slaney")
+    b = ops.create_mel_filter(40, 16000, 0.0, 8000.0, 257,
+                              mel_scale="slaney", norm="slaney")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    a = ops.linear_fbanks(129, 0.0, 4000.0, 20, 8000)
+    b = ops.create_linear_filter(20, 8000, 0.0, 4000.0, 129)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    a = ops.barkscale_fbanks(257, 0.0, 8000.0, 24, 16000)
+    b = ops.create_bark_filter(24, 16000, 0.0, 8000.0, 257)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

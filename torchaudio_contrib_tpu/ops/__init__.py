@@ -28,6 +28,9 @@ from .filters import (
     create_mel_filter,
     create_linear_filter,
     create_bark_filter,
+    melscale_fbanks,
+    linear_fbanks,
+    barkscale_fbanks,
     apply_filterbank,
 )
 from .db import amplitude_to_db, db_to_amplitude
@@ -50,7 +53,8 @@ from .spectral import (spectral_centroid, spectral_bandwidth,
                        zero_crossing_rate)
 from .iir import (lfilter, filtfilt, biquad, lowpass_biquad, highpass_biquad,
                   bandpass_biquad, bandreject_biquad, allpass_biquad,
-                  equalizer_biquad, bass_biquad, treble_biquad)
+                  equalizer_biquad, bass_biquad, treble_biquad,
+                  riaa_biquad)
 from .loudness import loudness, a_weighting
 from .chroma import create_chroma_filter
 from .cqt import cqt_frequencies, create_cqt_kernel, cqt, pseudo_cqt
@@ -83,6 +87,7 @@ __all__ = [
     "complex_norm", "angle", "magphase",
     "hertz_to_mel", "mel_to_hertz", "hertz_to_bark", "bark_to_hertz",
     "create_mel_filter", "create_linear_filter", "create_bark_filter",
+    "melscale_fbanks", "linear_fbanks", "barkscale_fbanks",
     "apply_filterbank",
     "amplitude_to_db", "db_to_amplitude",
     "mu_law_encoding", "mu_law_decoding",
@@ -105,6 +110,7 @@ __all__ = [
     "lfilter", "filtfilt", "biquad", "lowpass_biquad", "highpass_biquad",
     "bandpass_biquad", "bandreject_biquad", "allpass_biquad",
     "equalizer_biquad", "bass_biquad", "treble_biquad",
+    "riaa_biquad",
     "loudness", "a_weighting",
     "create_chroma_filter",
     "cqt_frequencies", "create_cqt_kernel", "cqt", "pseudo_cqt",

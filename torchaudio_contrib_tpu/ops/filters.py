@@ -29,6 +29,9 @@ __all__ = [
     "bark_to_hertz",
     "create_mel_filter",
     "create_bark_filter",
+    "melscale_fbanks",
+    "linear_fbanks",
+    "barkscale_fbanks",
     "apply_filterbank",
 ]
 
@@ -262,3 +265,32 @@ def create_bark_filter(n_barks: int = 128,
     fb = _bark_filter_np(int(n_barks), float(sample_rate), float(f_min),
                          float(f_max), int(num_bins), bark_scale)
     return jnp.asarray(fb, dtype=dtype)
+
+
+# -- torchaudio-style aliases (argument order per torchaudio's
+#    functional.*_fbanks; same matrices as the create_* builders) ----
+def melscale_fbanks(n_freqs: int, f_min: float, f_max: float,
+                    n_mels: int, sample_rate: float,
+                    norm: Optional[str] = None,
+                    mel_scale: str = "htk") -> jnp.ndarray:
+    """torchaudio's ``melscale_fbanks`` surface →
+    :func:`create_mel_filter` ``(n_freqs, n_mels)``."""
+    return create_mel_filter(n_mels, sample_rate, f_min, f_max,
+                             n_freqs, mel_scale=mel_scale, norm=norm)
+
+
+def linear_fbanks(n_freqs: int, f_min: float, f_max: float,
+                  n_filter: int, sample_rate: float) -> jnp.ndarray:
+    """torchaudio's ``linear_fbanks`` surface →
+    :func:`create_linear_filter`."""
+    return create_linear_filter(n_filter, sample_rate, f_min, f_max,
+                                n_freqs)
+
+
+def barkscale_fbanks(n_freqs: int, f_min: float, f_max: float,
+                     n_barks: int, sample_rate: float,
+                     bark_scale: str = "traunmuller") -> jnp.ndarray:
+    """torchaudio's ``barkscale_fbanks`` surface →
+    :func:`create_bark_filter`."""
+    return create_bark_filter(n_barks, sample_rate, f_min, f_max,
+                              n_freqs, bark_scale=bark_scale)

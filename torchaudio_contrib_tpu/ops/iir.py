@@ -47,6 +47,7 @@ __all__ = [
     "equalizer_biquad",
     "bass_biquad",
     "treble_biquad",
+    "riaa_biquad",
 ]
 
 _SCAN_MAX_ORDER = 8   # associative scan memory is T·K² — beyond this,
@@ -292,6 +293,35 @@ def treble_biquad(waveform, sample_rate: float, gain_db: float,
     """RBJ high-shelf (treble control)."""
     b, a = _rbj("highshelf", sample_rate, central_freq, Q, gain_db)
     return lfilter(waveform, a, b)
+
+
+# SoX riaa zero/pole tables per supported sample rate [ref-recon:
+# sox biquads.c / torchaudio functional.riaa_biquad — UNVERIFIED]
+_RIAA_ZP = {
+    44100: ((-0.2014898, 0.9233820), (0.7083149, 0.9924091)),
+    48000: ((-0.1766069, 0.9321590), (0.7396325, 0.9931330)),
+    88200: ((-0.1168735, 0.9648312), (0.8590646, 0.9964002)),
+    96000: ((-0.1141486, 0.9676817), (0.8699137, 0.9966946)),
+}
+
+
+def riaa_biquad(waveform, sample_rate: float) -> jnp.ndarray:
+    """RIAA phono playback EQ (SoX ``riaa``): bass boost / treble cut
+    from tabulated zero/pole pairs, gain-normalized to 0 dB at 1 kHz.
+    Supported sample rates: 44100/48000/88200/96000."""
+    zp = _RIAA_ZP.get(int(sample_rate))
+    if zp is None:
+        raise ValueError(
+            f"riaa_biquad supports {sorted(_RIAA_ZP)} Hz, got "
+            f"{sample_rate}")
+    (z0, z1), (p0, p1) = zp
+    b = np.array([1.0, -(z0 + z1), z0 * z1], np.float64)
+    a = np.array([1.0, -(p0 + p1), p0 * p1], np.float64)
+    # normalize to unit gain at 1 kHz
+    w = 2.0 * math.pi * 1000.0 / sample_rate
+    e = np.exp(-1j * w * np.arange(3))
+    g = abs(np.dot(a, e) / np.dot(b, e))
+    return lfilter(waveform, tuple(a), tuple(b * g))
 
 
 def filtfilt(waveform: jnp.ndarray, a_coeffs, b_coeffs,
