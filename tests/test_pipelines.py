@@ -119,3 +119,42 @@ def test_asr_bundle_lexicon_decoder():
     lp = lp - np.log(np.exp(lp).sum(1, keepdims=True))
     out = dec(lp)[0][0]
     assert out.words == ["THE", "CAT"]
+
+
+def test_named_model_factories():
+    from torchaudio_contrib_tpu import models as M
+    assert M.conv_tasnet_base(3).ns == 3
+    assert M.hdemucs_low().nfft == 1024
+    assert M.hdemucs_medium().nfft == 2048
+    assert M.hdemucs_high().nfft == 4096
+    assert M.squim_objective_base().d == 64
+    assert M.squim_subjective_base() is not None
+    w = M.wav2vec2_model(d_model=32, num_layers=1, num_heads=4,
+                         ff_dim=64)
+    assert w.d_model == 32
+    v = M.hifigan_vocoder(in_channels=8, upsample_rates=(4,),
+                          upsample_kernel_sizes=(8,),
+                          upsample_initial_channel=16,
+                          resblock_kernel_sizes=(3,),
+                          resblock_dilation_sizes=((1,),))
+    assert v.upsample_factor == 4
+    pre = M.hubert_pretrain_base(num_classes=7)
+    assert pre.num_classes == 7
+    with pytest.raises(ValueError, match="encoding_dim"):
+        M.emformer_rnnt_model(input_dim=16, encoding_dim=32,
+                              num_symbols=10, segment_length=4,
+                              right_context_length=2)
+    # a tiny emformer-rnnt actually runs greedy decode
+    m = M.emformer_rnnt_model(
+        input_dim=16, num_symbols=11, segment_length=4,
+        right_context_length=2, num_heads=2, ffn_dim=32,
+        num_layers=1, predictor_embed_dim=8,
+        predictor_hidden_dim=16, predictor_layers=1, joiner_dim=16)
+    params = m.init(jax.random.PRNGKey(9))
+    x = jnp.asarray(np.random.default_rng(9)
+                    .standard_normal((1, 8 + 2, 16)), jnp.float32)
+    hyp = m.greedy_decode(params, x, lengths=jnp.asarray([8]),
+                          max_symbols=1)
+    assert len(hyp) == 1
+    base = M.emformer_rnnt_base()
+    assert base.v == 4097

@@ -22,6 +22,14 @@ from .wav2vec2 import (
 from .hubert import HuBERTPretrainModel, span_mask
 from .hdemucs import HDemucs
 from .squim import SquimObjective, SquimSubjective
+from .factories import (
+    conv_tasnet_base, hdemucs_low, hdemucs_medium, hdemucs_high,
+    emformer_rnnt_model, emformer_rnnt_base,
+    squim_objective_base, squim_subjective_base,
+    wav2vec2_model, hifigan_vocoder,
+    hubert_pretrain_base, hubert_pretrain_large,
+    hubert_pretrain_xlarge,
+)
 from .decoder import (
     CTCDecoderLM, ZeroLM, ARPALM,
     CTCDecoder, CTCDecoderOutput, ctc_decoder,
@@ -64,6 +72,12 @@ __all__ = [
     "hifigan_vocoder_v1", "hifigan_vocoder_v2", "hifigan_vocoder_v3",
     "CTCDecoderLM", "ZeroLM", "ARPALM",
     "CTCDecoder", "CTCDecoderOutput", "ctc_decoder",
+    "conv_tasnet_base", "hdemucs_low", "hdemucs_medium",
+    "hdemucs_high", "emformer_rnnt_model", "emformer_rnnt_base",
+    "squim_objective_base", "squim_subjective_base",
+    "wav2vec2_model", "hifigan_vocoder",
+    "hubert_pretrain_base", "hubert_pretrain_large",
+    "hubert_pretrain_xlarge",
     "MFCC", "Loudness", "PitchShift", "Speed", "AddNoise",
     "Fade", "Vol", "FrequencyMasking", "TimeMasking",
     "Preemphasis", "Deemphasis", "ComputeDeltas", "SlidingWindowCmn",
