@@ -142,3 +142,45 @@ def test_cmn_grad():
     g = jax.grad(lambda x: E.sliding_window_cmn(
         x, 20, 10, norm_vars=True).sum())(s)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_apply_codec_wav_family():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from torchaudio_contrib_tpu import ops
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.clip(rng.standard_normal(4000) * 0.3, -1, 1),
+                    jnp.float32)
+
+    def snr_db(y):
+        n = np.asarray(y) - np.asarray(x)
+        return 10 * np.log10(float(jnp.sum(x ** 2))
+                             / max(float(np.sum(n ** 2)), 1e-12))
+
+    # PCM: more bits, less noise; 16-bit is near-transparent
+    assert snr_db(ops.apply_codec(x, 16000)) > 80
+    assert snr_db(ops.apply_codec(x, 16000, encoding="PCM_S",
+                                  bits_per_sample=8)) < 60
+    s8 = snr_db(ops.apply_codec(x, 16000, encoding="PCM_U"))
+    assert 30 < s8 < 60
+    # law codecs: ~35-40 dB at 8 bits, better than linear 8-bit for
+    # small signals
+    su = snr_db(ops.apply_codec(x, 16000, encoding="ULAW"))
+    sa = snr_db(ops.apply_codec(x, 16000, encoding="ALAW"))
+    assert 25 < su < 55 and 25 < sa < 55
+    # jit-able
+    j = jax.jit(lambda w: ops.apply_codec(w, 16000,
+                                          encoding="ALAW"))(x)
+    np.testing.assert_allclose(
+        np.asarray(j),
+        np.asarray(ops.apply_codec(x, 16000, encoding="ALAW")),
+        atol=1e-6)
+    with pytest.raises(ValueError, match="wav"):
+        ops.apply_codec(x, 16000, format="mp3")
+    with pytest.raises(ValueError, match="unknown encoding"):
+        ops.apply_codec(x, 16000, encoding="GSM")
+    with pytest.raises(ValueError, match="bits_per_sample"):
+        ops.apply_codec(x, 16000, encoding="PCM_S", bits_per_sample=12)

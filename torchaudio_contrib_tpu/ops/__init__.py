@@ -60,7 +60,7 @@ from .chroma import create_chroma_filter
 from .cqt import cqt_frequencies, create_cqt_kernel, cqt, pseudo_cqt
 from .pitchdetect import detect_pitch_frequency
 from .effects import (fade, gain, dither, dcshift, sliding_window_cmn,
-                      add_noise, speed)
+                      add_noise, speed, apply_codec)
 from .modfx import overdrive, contrast, phaser, flanger
 from .vad import vad, vad_onset
 from .convolve import convolve, fftconvolve
@@ -116,7 +116,7 @@ __all__ = [
     "cqt_frequencies", "create_cqt_kernel", "cqt", "pseudo_cqt",
     "detect_pitch_frequency",
     "fade", "gain", "dither", "dcshift", "sliding_window_cmn",
-    "add_noise", "speed",
+    "add_noise", "speed", "apply_codec",
     "overdrive", "contrast", "phaser", "flanger",
     "vad", "vad_onset",
     "convolve", "fftconvolve", "simulate_rir_ism",

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["fade", "gain", "dither", "dcshift", "sliding_window_cmn",
-           "add_noise", "speed"]
+           "add_noise", "speed", "apply_codec"]
 
 _FADE_SHAPES = ("linear", "exponential", "logarithmic",
                 "quarter_sine", "half_sine")
@@ -218,3 +218,58 @@ def sliding_window_cmn(specgram: jnp.ndarray, cmn_window: int = 600,
         var = jnp.maximum(s2 / cnt - mean * mean, 1e-10)
         out = out / jnp.sqrt(var)
     return out
+
+
+def apply_codec(waveform: jnp.ndarray, sample_rate: int,
+                format: str = "wav", encoding: str | None = None,
+                bits_per_sample: int | None = None) -> jnp.ndarray:
+    """Simulate a lossy/quantizing codec round trip (torchaudio's
+    ``functional.apply_codec`` capability for the WAV family).
+
+    ``format`` must be ``"wav"`` — compressed formats (mp3/vorbis/
+    gsm/...) need ffmpeg/sox backends that do not exist in this
+    zero-egress build and raise loudly.  ``encoding`` ∈ ``"PCM_S"``
+    (default, ``bits_per_sample`` 8/16/24/32), ``"PCM_U"`` (8),
+    ``"ULAW"``/``"ALAW"`` (8).  Pure traced math (quantize →
+    dequantize; G.711 companding for the law codecs), so it is
+    jit-able and differentiable-through in the straight-through sense
+    (gradients of the rounding are zero).
+    """
+    if format != "wav":
+        raise ValueError(
+            f"apply_codec supports format='wav' only (got "
+            f"{format!r}): compressed codecs need ffmpeg/sox, not "
+            "available in this build")
+    x = jnp.clip(waveform.astype(jnp.float32), -1.0, 1.0)
+    enc = (encoding or "PCM_S").upper()
+    if enc == "PCM_S":
+        bits = bits_per_sample or 16
+        if bits not in (8, 16, 24, 32):
+            raise ValueError("PCM_S bits_per_sample must be "
+                             "8/16/24/32")
+        q = float(2 ** (bits - 1))
+        return jnp.clip(jnp.round(x * q), -q, q - 1) / q
+    if enc == "PCM_U":
+        if bits_per_sample not in (None, 8):
+            raise ValueError("PCM_U supports 8 bits")
+        u = jnp.clip(jnp.round((x + 1.0) * 127.5), 0, 255)
+        return u / 127.5 - 1.0
+    if enc == "ULAW":
+        from .mulaw import mu_law_encoding, mu_law_decoding
+        return mu_law_decoding(mu_law_encoding(x, 256), 256)
+    if enc == "ALAW":
+        A = 87.6
+        lnA1 = 1.0 + jnp.log(A)
+        ax = jnp.abs(x)
+        comp = jnp.where(ax < 1.0 / A, A * ax / lnA1,
+                         (1.0 + jnp.log(jnp.maximum(A * ax, 1.0)))
+                         / lnA1)
+        code = jnp.clip(jnp.round(jnp.sign(x) * comp * 127.5 + 127.5),
+                        0, 255)
+        y = (code - 127.5) / 127.5
+        ay = jnp.abs(y)
+        exp = jnp.where(ay < 1.0 / lnA1, ay * lnA1 / A,
+                        jnp.exp(ay * lnA1 - 1.0) / A)
+        return jnp.sign(y) * exp
+    raise ValueError(f"unknown encoding {encoding!r} (PCM_S, PCM_U, "
+                     "ULAW, ALAW)")
