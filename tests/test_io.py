@@ -97,3 +97,27 @@ def test_wav_loader_with_corpus(tmp_path, clip):
         frames_per_chunk=8)
     stats = pre.run(range(8))
     assert stats.files_done == 8 and len(outs) == 8
+
+
+def test_toplevel_load_save_info(tmp_path):
+    import numpy as np
+    import torchaudio_contrib_tpu as tac
+    rng = np.random.default_rng(3)
+    wav = np.clip(rng.standard_normal((2, 500)) * 0.3, -1, 1
+                  ).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    tac.save(p, wav, 16000)
+    meta = tac.info(p)
+    assert meta["sample_rate"] == 16000
+    assert meta["num_frames"] == 500 and meta["channels"] == 2
+    out, sr = tac.load(p)
+    assert sr == 16000 and out.shape == (2, 500)
+    np.testing.assert_allclose(np.asarray(out), wav, atol=2 ** -14)
+    # time-major round trip
+    tm, _ = tac.load(p, channels_first=False)
+    assert tm.shape == (500, 2)
+    p2 = str(tmp_path / "t2.wav")
+    tac.save(p2, np.asarray(tm), 16000, channels_first=False)
+    out2, _ = tac.load(p2)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out),
+                               atol=2 ** -14)

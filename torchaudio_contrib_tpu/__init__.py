@@ -91,9 +91,39 @@ from .models import (
 
 from .utils import view_as_real, view_as_complex
 
+
+def load(path, channels_first: bool = True):
+    """torchaudio's top-level ``load``: decode a WAV file with the
+    package codec → ``(waveform jnp (channels, frames), sample_rate)``
+    (``channels_first=False`` transposes).  Compressed formats need a
+    one-time external conversion (see :mod:`.datasets`)."""
+    import jax.numpy as _jnp
+    data, sr = io.read_wav(path)
+    wav = _jnp.asarray(data)
+    return (wav if channels_first else wav.T), sr
+
+
+def save(path, src, sample_rate: int, channels_first: bool = True,
+         bits_per_sample: int = 16) -> None:
+    """torchaudio's top-level ``save``: encode to WAV via the package
+    codec (PCM 16/24/32 or float32 bits)."""
+    import numpy as _np
+    arr = _np.asarray(src)
+    if arr.ndim == 2 and not channels_first:
+        arr = arr.T
+    io.write_wav(path, arr, sample_rate, bits=bits_per_sample)
+
+
+def info(path) -> dict:
+    """torchaudio's top-level ``info``: WAV header metadata
+    (``sample_rate``, ``num_frames``, ``channels``, ``bits``, ...)
+    without decoding samples."""
+    return io.wav_info(path)
+
 __all__ = [
     "ops", "models", "parallel", "utils", "io", "compliance",
     "datasets", "pipelines", "sox_effects", "kaldi_io",
+    "load", "save", "info",
     "stft", "istft", "frame_signal", "num_frames", "stft_output_length",
     "complex_norm", "angle", "magphase",
     "hertz_to_mel", "mel_to_hertz", "hertz_to_bark", "bark_to_hertz",
