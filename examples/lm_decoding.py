@@ -65,9 +65,10 @@ def main():
     fused = ctc_decoder(LEXICON, TOKENS, lm=ARPALM(ARPA),
                         lm_weight=3.0, nbest=2, beam_size=16)
 
+    hyps = fused(lp)[0]
     print("acoustic-only :", [h.words for h in acoustic(lp)[0]])
-    print("with bigram LM:", [h.words for h in fused(lp)[0]])
-    best = fused(lp)[0][0]
+    print("with bigram LM:", [h.words for h in hyps])
+    best = hyps[0]
     print(f"best: {best.words} score={best.score:.3f} "
           f"tokens={fused.idxs_to_tokens(best.tokens)} "
           f"timesteps={best.timesteps}")

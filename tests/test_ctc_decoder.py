@@ -158,3 +158,21 @@ def test_greedy_agreement_on_unambiguous_lattice():
     out = dec(lp)[0][0]
     assert out.words == ["abc", "ba"]
     assert out.timesteps[0] == 0
+
+
+def test_final_flush_expands_all_homophones():
+    """When emissions end mid-word (no trailing sil), every word
+    completing at the trie node must be hypothesized — the LM can
+    prefer a homophone that is not the first lexicon entry."""
+    tokens = ["-", "|", "r", "e", "d"]
+    lexicon = {"red": ["r", "e", "d"], "read": ["r", "e", "d"]}
+    arpa = ["\\data\\", "ngram 1=3", "", "\\1-grams:",
+            "-3.0\tred", "-0.1\tread", "-1.0\t<unk>", "", "\\end\\"]
+    lm = ARPALM(arpa)
+    dec = ctc_decoder(lexicon, tokens, lm=lm, lm_weight=2.0,
+                      nbest=4, beam_size=8)
+    lp = _emit([2, 3, 4], n_classes=5)       # r e d, no trailing |
+    out = dec(lp)[0]
+    words = [h.words for h in out]
+    assert ["read"] in words and ["red"] in words
+    assert out[0].words == ["read"]          # LM-preferred homophone

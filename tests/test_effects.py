@@ -184,3 +184,24 @@ def test_apply_codec_wav_family():
         ops.apply_codec(x, 16000, encoding="GSM")
     with pytest.raises(ValueError, match="bits_per_sample"):
         ops.apply_codec(x, 16000, encoding="PCM_S", bits_per_sample=12)
+
+
+def test_apply_codec_zero_levels():
+    """Silence must round-trip to exact zero for every encoding
+    (real WAV decoders have a zero code)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from torchaudio_contrib_tpu import ops
+    z = jnp.zeros(32, jnp.float32)
+    for enc in ("PCM_S", "PCM_U", "ALAW"):
+        out = ops.apply_codec(z, 16000, encoding=enc)
+        assert float(jnp.max(jnp.abs(out))) == 0.0, enc
+    # ULAW rides the reference mu-law grid, whose zero code decodes
+    # to ~8.6e-5 (torch semantics) — bounded, not exactly zero
+    out = ops.apply_codec(z, 16000, encoding="ULAW")
+    assert float(jnp.max(jnp.abs(out))) < 1e-4
+    # PCM_U decode grid matches (code-128)/128
+    x = jnp.asarray([-1.0, -0.5, 0.25, 0.9921875], jnp.float32)
+    got = np.asarray(ops.apply_codec(x, 16000, encoding="PCM_U"))
+    code = np.clip(np.round(np.asarray(x) * 128) + 128, 0, 255)
+    np.testing.assert_allclose(got, (code - 128) / 128, atol=0)

@@ -170,3 +170,20 @@ def test_apply_effects_file(tmp_path, tone):
     tm, _ = SE.apply_effects_file(p, [["gain", "-6"]],
                                   channels_first=False)
     assert tm.shape[0] == tone.shape[-1]
+
+
+def test_review_fixes_channels_vol_fade(tone):
+    sr = 16000
+    # 1-D input + channel-expanding chain keeps the channel axis
+    out, _ = SE.apply_effects_tensor(tone[0], sr, [["channels", "2"]])
+    assert out.shape == (2, tone.shape[-1])
+    # negative power-type vol raises instead of amplifying
+    with pytest.raises(ValueError, match="non-negative"):
+        SE.apply_effects_tensor(tone, sr, [["vol", "-4", "power"]])
+    # fade 'p' is sox's inverted parabola: gain r(2-r)
+    n = int(0.1 * sr)
+    out, _ = SE.apply_effects_tensor(tone, sr, [["fade", "p", "0.1"]])
+    r = np.arange(n) / (n - 1)
+    np.testing.assert_allclose(
+        np.asarray(out[0, :n]),
+        np.asarray(tone[0, :n]) * r * (2 - r), atol=1e-5)

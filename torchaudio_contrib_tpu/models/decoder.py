@@ -299,28 +299,33 @@ class CTCDecoder:
                 kv for kv in ranked[:self.beam_size]
                 if kv[1][0] > best - self.beam_threshold)
 
-        # finish: flush any word completed at the current node, then
-        # add the LM end-of-sentence score
+        # finish: flush words completed at the current node (one
+        # hypothesis PER homophone, as the in-loop silence path
+        # does), then add the LM end-of-sentence score
         final = {}
-        for (nid, prev, _lms_key), \
-                (score, node, lms, toks, times, words) in beams.items():
-            if node.words:
-                w = node.words[0]
-                s2, wlp = lm.score(lms, w)
-                score = score + self.lm_weight * wlp + self.word_score
-                lms, words = s2, words + (w,)
-            elif node is not self._trie and self.unk_word is not None \
-                    and self.unk_score > -math.inf:
-                s2, wlp = lm.score(lms, self.unk_word)
-                score = (score + self.lm_weight * wlp
-                         + self.unk_score)
-                lms, words = s2, words + (self.unk_word,)
-            elif node is not self._trie:
-                continue                      # dead-end partial word
+
+        def _final(score, lms, toks, times, words):
             score = score + self.lm_weight * lm.finish(lms)
             key = (tuple(words), tuple(toks))
             if key not in final or final[key][0] < score:
                 final[key] = (score, toks, times, words)
+
+        for (nid, prev, _lms_key), \
+                (score, node, lms, toks, times, words) in beams.items():
+            if node.words:
+                for w in node.words:
+                    s2, wlp = lm.score(lms, w)
+                    _final(score + self.lm_weight * wlp
+                           + self.word_score, s2, toks, times,
+                           words + (w,))
+            elif node is not self._trie and self.unk_word is not None \
+                    and self.unk_score > -math.inf:
+                s2, wlp = lm.score(lms, self.unk_word)
+                _final(score + self.lm_weight * wlp + self.unk_score,
+                       s2, toks, times, words + (self.unk_word,))
+            elif node is self._trie:
+                _final(score, lms, toks, times, words)
+            # else: dead-end partial word — dropped
 
         ranked = sorted(final.values(), key=lambda v: -v[0])
         return [CTCDecoderOutput(toks, words, score, times)

@@ -17,7 +17,7 @@ __all__ = ["fade", "gain", "dither", "dcshift", "sliding_window_cmn",
            "add_noise", "speed", "apply_codec"]
 
 _FADE_SHAPES = ("linear", "exponential", "logarithmic",
-                "quarter_sine", "half_sine")
+                "quarter_sine", "half_sine", "parabola")
 
 
 def _fade_curve(n: int, shape: str, dtype) -> jnp.ndarray:
@@ -32,6 +32,8 @@ def _fade_curve(n: int, shape: str, dtype) -> jnp.ndarray:
         return jnp.sin(r * np.pi / 2.0)
     if shape == "half_sine":
         return (1.0 - jnp.cos(r * np.pi)) / 2.0
+    if shape == "parabola":                   # sox fade 'p'
+        return r * (2.0 - r)
     raise ValueError(
         f"unknown fade shape {shape!r}; expected one of {_FADE_SHAPES}")
 
@@ -252,8 +254,10 @@ def apply_codec(waveform: jnp.ndarray, sample_rate: int,
     if enc == "PCM_U":
         if bits_per_sample not in (None, 8):
             raise ValueError("PCM_U supports 8 bits")
-        u = jnp.clip(jnp.round((x + 1.0) * 127.5), 0, 255)
-        return u / 127.5 - 1.0
+        # WAV PCM_U grid: code = x·128 + 128, decode (code−128)/128 —
+        # zero encodes exactly (code 128 → 0), like real decoders
+        u = jnp.clip(jnp.round(x * 128.0) + 128.0, 0, 255)
+        return (u - 128.0) / 128.0
     if enc == "ULAW":
         from .mulaw import mu_law_encoding, mu_law_decoding
         return mu_law_decoding(mu_law_encoding(x, 256), 256)
@@ -264,9 +268,10 @@ def apply_codec(waveform: jnp.ndarray, sample_rate: int,
         comp = jnp.where(ax < 1.0 / A, A * ax / lnA1,
                          (1.0 + jnp.log(jnp.maximum(A * ax, 1.0)))
                          / lnA1)
-        code = jnp.clip(jnp.round(jnp.sign(x) * comp * 127.5 + 127.5),
-                        0, 255)
-        y = (code - 127.5) / 127.5
+        # signed 8-bit companded grid with an exact zero level
+        code = jnp.clip(jnp.round(jnp.sign(x) * comp * 128.0),
+                        -128, 127)
+        y = code / 128.0
         ay = jnp.abs(y)
         exp = jnp.where(ay < 1.0 / lnA1, ay * lnA1 / A,
                         jnp.exp(ay * lnA1 - 1.0) / A)

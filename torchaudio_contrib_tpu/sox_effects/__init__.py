@@ -85,7 +85,7 @@ def _norm(wave, db):
 
 def _fade(wave, sr, args):
     shapes = {"q": "quarter_sine", "h": "half_sine", "t": "linear",
-              "l": "logarithmic", "p": "exponential"}
+              "l": "logarithmic", "p": "parabola"}
     args = list(args)
     shape = "linear"
     if args and args[0].lower() in shapes:
@@ -191,7 +191,10 @@ def _apply_one(wave, sr, name, args, key):
         if kind == "amplitude":
             return wave * f, sr
         if kind == "power":
-            return wave * math.sqrt(abs(f)), sr
+            if f < 0:
+                raise ValueError(
+                    "vol type 'power' requires a non-negative factor")
+            return wave * math.sqrt(f), sr
         if kind == "db":
             return _ops.gain(wave, f), sr
         raise ValueError(f"vol type {kind!r} not supported")
@@ -287,7 +290,11 @@ def apply_effects_tensor(waveform, sample_rate: int,
                               list(eff[1:]), key)
     if not channels_first:
         wave = wave.T
-    return (wave[0] if squeeze else wave), sr
+    # only un-batch if the chain kept a single channel (a
+    # channel-expanding effect like ["channels","2"] must survive)
+    if squeeze and wave.shape[0] == 1:
+        return wave[0], sr
+    return wave, sr
 
 
 def apply_effects_file(path: str,
