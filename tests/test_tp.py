@@ -133,3 +133,25 @@ def test_depthwise_conv_grad_under_batch_sharding():
     a = np.asarray(ref["layers"][0]["conv"]["dw"])
     b = np.asarray(g["layers"][0]["conv"]["dw"])
     np.testing.assert_allclose(b, a, atol=3e-5)
+
+
+def test_hifigan_sharded_equals_replicated():
+    """The vocoder's conv pytree (w1/w2 resblock pairs, transposed-
+    conv 'w' kernels) flows through the name rules: sharded forward
+    matches replicated."""
+    mesh = make_mesh(n_data=4, n_model=2)
+    net = tac.HiFiGANVocoder(in_channels=8, upsample_rates=(4, 2),
+                             upsample_kernel_sizes=(8, 4),
+                             upsample_initial_channel=16,
+                             resblock_kernel_sizes=(3,),
+                             resblock_dilation_sizes=((1, 2),))
+    params = net.init(jax.random.PRNGKey(3))
+    mel = jnp.asarray(np.random.default_rng(4)
+                      .standard_normal((4, 8, 12)), jnp.float32)
+    ref = net.apply(params, mel)
+    sp = shard_params(params, mesh)
+    mel_s = jax.device_put(mel,
+                           NamedSharding(mesh, P("data", None, None)))
+    out = jax.jit(net.apply)(sp, mel_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
