@@ -176,3 +176,14 @@ def test_final_flush_expands_all_homophones():
     words = [h.words for h in out]
     assert ["read"] in words and ["red"] in words
     assert out[0].words == ["read"]          # LM-preferred homophone
+
+
+def test_arpa_gzip_loading(tmp_path):
+    import gzip
+    p = str(tmp_path / "lm.arpa.gz")
+    with gzip.open(p, "wt", encoding="utf-8") as f:
+        f.write("\n".join(ARPA))
+    lm = ARPALM(p)
+    assert lm.order == 2
+    _, s = lm.score(lm.start(), "ab")
+    np.testing.assert_allclose(s, -0.17609, atol=1e-6)

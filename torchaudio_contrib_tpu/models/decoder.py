@@ -76,8 +76,14 @@ class ARPALM(CTCDecoderLM):
 
     def __init__(self, path_or_lines, unk_score: float = -10.0):
         if isinstance(path_or_lines, str):
-            with open(path_or_lines, encoding="utf-8") as f:
-                lines = f.read().splitlines()
+            if path_or_lines.endswith(".gz"):
+                import gzip
+                with gzip.open(path_or_lines, "rt",
+                               encoding="utf-8") as f:
+                    lines = f.read().splitlines()
+            else:
+                with open(path_or_lines, encoding="utf-8") as f:
+                    lines = f.read().splitlines()
         else:
             lines = list(path_or_lines)
         self._probs: Dict[Tuple[str, ...], float] = {}
