@@ -32,32 +32,33 @@ def emit(name, seconds, work, unit):
                       "ms": round(seconds * 1e3, 2)}), flush=True)
 
 
-def main():
+def main(smoke: bool = False):
     rng = np.random.default_rng(0)
     dev = jax.devices()[0]
     print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '')}",
           flush=True)
+    B = 1 if smoke else 8
+    FR = 16 if smoke else 256             # mel frames (~3 s at hop 256)
 
     # HiFi-GAN vocoder: batch 8 x 3 s of 22.05 kHz mel frames (hop 256)
     for name, factory in (("hifigan_v1", hifigan_vocoder_v1),
                           ("hifigan_v3", hifigan_vocoder_v3)):
         net = factory()
         params = net.init(jax.random.PRNGKey(0))
-        frames = 256                      # ~3 s at hop 256 / 22.05 kHz
-        mel = jnp.asarray(rng.standard_normal((8, 80, frames)),
+        mel = jnp.asarray(rng.standard_normal((B, 80, FR)),
                           jnp.float32)
         sec = time_device_loop(lambda m: net.apply(params, m), mel,
-                               k=4)
-        emit(f"{name}-voc-fwd", sec, 8 * frames * 256, "samples")
+                               k=2 if smoke else 4)
+        emit(f"{name}-voc-fwd", sec, B * FR * 256, "samples")
 
     # Conformer encoder (ASR-scale): batch 16 x 10 s of 100 fps feats
-    enc = Conformer(input_dim=80, d_model=256, num_layers=12,
+    BT, T, LYR = (2, 50, 2) if smoke else (16, 1000, 12)
+    enc = Conformer(input_dim=80, d_model=256, num_layers=LYR,
                     num_heads=4, conv_kernel=31)
     p = enc.init(jax.random.PRNGKey(1))
-    feats = jnp.asarray(rng.standard_normal((16, 1000, 80)),
-                        jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((BT, T, 80)), jnp.float32)
     sec = time_device_loop(lambda x: enc.apply(p, x), feats, k=4)
-    emit("conformer12-fwd", sec, 16 * 1000, "frames")
+    emit(f"conformer{LYR}-fwd", sec, BT * T, "frames")
 
     def loss(pp, x):
         return jnp.sum(enc.apply(pp, x) ** 2)
@@ -66,16 +67,20 @@ def main():
 
     sec = time_device_loop(
         lambda x: jax.tree_util.tree_leaves(g(p, x))[0], feats, k=4)
-    emit("conformer12-fwdbwd", sec, 16 * 1000, "frames")
+    emit(f"conformer{LYR}-fwdbwd", sec, BT * T, "frames")
 
     # ConvTasNet base: batch 4 x 4 s of 8 kHz separation
-    net = ConvTasNet()
+    net = ConvTasNet() if not smoke else ConvTasNet(
+        enc_filters=64, bottleneck=32, hidden=64, num_blocks=2,
+        num_repeats=1)
     tp = net.init(jax.random.PRNGKey(2))
-    mix = jnp.asarray(rng.standard_normal((4, 32000)) * 0.1,
+    BS, TS = (1, 4000) if smoke else (4, 32000)
+    mix = jnp.asarray(rng.standard_normal((BS, TS)) * 0.1,
                       jnp.float32)
-    sec = time_device_loop(lambda m: net.apply(tp, m), mix, k=4)
-    emit("convtasnet-fwd", sec, 4 * 32000, "samples")
+    sec = time_device_loop(lambda m: net.apply(tp, m), mix, k=2)
+    emit("convtasnet-fwd", sec, BS * TS, "samples")
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(smoke="--smoke" in sys.argv)
