@@ -82,6 +82,8 @@ from .models import (
     wav2vec2_base, wav2vec2_large,
     hubert_base, hubert_large, hubert_xlarge,
     HuBERTPretrainModel, span_mask, HDemucs,
+    ConformerWav2Vec2, conformer_wav2vec2_model,
+    conformer_wav2vec2_base,
     SquimObjective, SquimSubjective,
     HiFiGANVocoder,
     hifigan_vocoder_v1, hifigan_vocoder_v2, hifigan_vocoder_v3,
@@ -183,6 +185,8 @@ __all__ = [
     "wav2vec2_base", "wav2vec2_large",
     "hubert_base", "hubert_large", "hubert_xlarge",
     "HuBERTPretrainModel", "span_mask", "HDemucs",
+    "ConformerWav2Vec2", "conformer_wav2vec2_model",
+    "conformer_wav2vec2_base",
     "SquimObjective", "SquimSubjective",
     "HiFiGANVocoder",
     "hifigan_vocoder_v1", "hifigan_vocoder_v2", "hifigan_vocoder_v3",

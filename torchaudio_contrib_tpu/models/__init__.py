@@ -20,6 +20,10 @@ from .wav2vec2 import (
     hubert_base, hubert_large, hubert_xlarge,
 )
 from .hubert import HuBERTPretrainModel, span_mask
+from .conformer_w2v2 import (
+    ConformerWav2Vec2, conformer_wav2vec2_model,
+    conformer_wav2vec2_base,
+)
 from .hdemucs import HDemucs
 from .squim import SquimObjective, SquimSubjective
 from .factories import (
@@ -67,6 +71,8 @@ __all__ = [
     "wav2vec2_base", "wav2vec2_large",
     "hubert_base", "hubert_large", "hubert_xlarge",
     "HuBERTPretrainModel", "span_mask", "HDemucs",
+    "ConformerWav2Vec2", "conformer_wav2vec2_model",
+    "conformer_wav2vec2_base",
     "SquimObjective", "SquimSubjective",
     "HiFiGANVocoder",
     "hifigan_vocoder_v1", "hifigan_vocoder_v2", "hifigan_vocoder_v3",
