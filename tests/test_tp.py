@@ -155,3 +155,20 @@ def test_hifigan_sharded_equals_replicated():
     out = jax.jit(net.apply)(sp, mel_s)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5)
+
+
+def test_contract_rule_picks_channel_dims_not_spatial():
+    """4-D conv kernels named 'w' shard their input-CHANNEL dim (2),
+    never a spatial dim; recurrent 'wh' weights replicate (a sharded
+    contraction inside a scan step would put a collective on every
+    timestep)."""
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = {
+        "w": jnp.zeros((4, 4, 6, 8)),      # 2-D conv (kh, kw, cin, cout)
+        "w2": jnp.zeros((3, 6, 8)),        # 1-D conv (k, cin, cout)
+        "wh": jnp.zeros((16, 64)),         # recurrent hidden weight
+    }
+    specs = tensor_parallel_specs(params, mesh)
+    assert specs["w"].spec == P(None, None, "model", None)
+    assert specs["w2"].spec == P(None, "model", None)
+    assert specs["wh"].spec == P()

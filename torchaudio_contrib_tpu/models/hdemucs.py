@@ -303,11 +303,12 @@ class HDemucs:
                 f"mix must be (batch, {self.C}, time), got {mix.shape}")
         B, C, T = mix.shape
         Tp = self.valid_length(T)
-        x = jnp.pad(mix, ((0, 0), (0, 0), (0, Tp - T)))
-        # per-sample standardization (demucs convention)
-        mu = jnp.mean(x, (1, 2), keepdims=True)
-        sd = jnp.std(x, (1, 2), keepdims=True) + 1e-5
-        x = (x - mu) / sd
+        # per-sample standardization (demucs convention) — stats on
+        # the ORIGINAL samples, before padding: otherwise the input
+        # scale would jump with T mod the padding unit (up to ~sqrt 2)
+        mu = jnp.mean(mix, (1, 2), keepdims=True)
+        sd = jnp.std(mix, (1, 2), keepdims=True) + 1e-5
+        x = jnp.pad((mix - mu) / sd, ((0, 0), (0, 0), (0, Tp - T)))
         L = Tp // self.hop
 
         # frequency branch input: CaC spectrogram (B, F0, L, 2C)

@@ -101,8 +101,10 @@ class RNNTPredictor:
 
     def apply(self, params, targets, target_lengths=None):
         """``targets (B, U)`` → ``(B, U+1, O)`` label-context
-        encodings (frames past ``target_lengths`` carry the last valid
-        state's output — masked downstream by the loss)."""
+        encodings.  The scan consumes the padded row verbatim, so
+        positions past ``target_lengths`` are pad-token-dependent and
+        carry no contract — ``ops.rnnt_loss`` masks them; do not read
+        them as sequence encodings."""
         B, U = targets.shape
         sos = jnp.full((B,), self.blank, jnp.int32)
         seq = jnp.concatenate([sos[:, None],
@@ -369,7 +371,12 @@ class RNNTBeamSearch:
                 nxt = {}
                 for h, row in zip(active, lp):
                     _merge(finals, h[0], h[1] + float(row[blank]))
-                    order = np.argsort(row)[::-1]
+                    # only the top `beam` non-blank tokens can survive:
+                    # partial-select beats a full vocab argsort on the
+                    # host decode path (V can be 4k+)
+                    k = min(self.beam + 1, row.size)
+                    part = np.argpartition(row, row.size - k)[-k:]
+                    order = part[np.argsort(row[part])[::-1]]
                     kept = 0
                     for tok in order:
                         if tok == blank:
@@ -387,6 +394,10 @@ class RNNTBeamSearch:
                 top = sorted(nxt.items(), key=lambda kv: -kv[1][0]
                              )[:self.beam]
                 if not top:
+                    # blank-only vocabulary: these hypotheses' blank
+                    # closes were already merged above — clear so the
+                    # post-loop close does not double-count them
+                    active = []
                     break
                 toks = jnp.asarray([c[-1] for c, _ in top], jnp.int32)
                 parents = [v[1] for _, v in top]

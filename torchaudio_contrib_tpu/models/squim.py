@@ -220,15 +220,18 @@ class SquimSubjective:
                                   hidden, num_blocks, chunk)
 
     def init(self, key):
-        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        k_enc, k_core, k2, k3, k4, k5, k6 = jax.random.split(key, 7)
         d = self.d
-        enc = self.obj.init(k1)
+        # build only the shared encoder + DPRNN core (the objective
+        # model's pools/heads are not part of this network)
         return {
-            "enc": enc["enc"], "blocks": enc["blocks"],
+            "enc": {"w": _conv_w(k_enc, self.obj.k, 1, d),
+                    "n": _ln_p(d)},
+            "blocks": self.obj.core.init_blocks(k_core),
             "cross": {"wq": _dense(k2, d, d), "wk": _dense(k3, d, d),
                       "wv": _dense(k4, d, d), "n": _ln_p(d)},
             "pool": _attn_pool_p(k5, 2 * d),
-            "head": _head_p(jax.random.fold_in(key, 7), 2 * d),
+            "head": _head_p(k6, 2 * d),
         }
 
     def apply(self, params, test, reference):

@@ -31,7 +31,11 @@ __all__ = ["tensor_parallel_specs", "shard_params", "EXPAND_KEYS",
 EXPAND_KEYS = frozenset({
     "wqkv", "wq", "wk", "wv", "wi", "w1", "emb", "label_emb",
     "pos_conv", "wg"})
-CONTRACT_KEYS = frozenset({"wo", "w2", "wh", "proj", "w"})
+# NOTE: recurrent hidden-state weights ("wh") deliberately replicate —
+# sharding a contraction inside a lax.scan step would put one
+# collective on every timestep of the decode/training critical path,
+# the opposite of the Megatron one-psum-per-block rationale.
+CONTRACT_KEYS = frozenset({"wo", "w2", "proj", "w"})
 
 
 def _leaf_key(path) -> str:
@@ -65,8 +69,11 @@ def tensor_parallel_specs(params, mesh: Mesh, axis: str = "model",
                 leaf.shape[-1] % size == 0:
             return P(*([None] * (nd - 1)), axis)
         if nd >= 2 and key in CONTRACT_KEYS:
-            # conv kernels are (k, cin, cout): contract dim is 1
-            dim = 1 if nd == 3 else 0
+            # the contraction (input-channel) dim: dense (cin, cout)
+            # → 0; 1-D conv (k, cin, cout) → 1; 2-D conv
+            # (kh, kw, cin, cout) → 2 — never a spatial dim (that
+            # would force halo exchanges instead of one psum)
+            dim = {2: 0, 3: 1}.get(nd, nd - 2)
             if leaf.shape[dim] % size == 0:
                 spec = [None] * nd
                 spec[dim] = axis
