@@ -204,9 +204,14 @@ def test_batch_jit_dither_and_short_input(wave):
     a = kaldi.fbank(jnp.asarray(wave), dither=1e-3, key=k)
     b = kaldi.fbank(jnp.asarray(wave), dither=1e-3, key=k)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # too-short input: empty (0, 0) features
-    assert kaldi.mfcc(jnp.zeros(100)).shape == (0, 0)
-    assert kaldi.fbank(jnp.zeros(5000), min_duration=1.0).shape == (0, 0)
+    # too-short input: zero frames but the REAL feature dim (a corpus
+    # loop can still concatenate along the frame axis)
+    assert kaldi.mfcc(jnp.zeros(100)).shape == (0, 13)
+    assert kaldi.fbank(jnp.zeros(5000),
+                       min_duration=1.0).shape == (0, 23)
+    assert kaldi.fbank(jnp.zeros(100),
+                       use_energy=True).shape == (0, 24)
+    assert kaldi.spectrogram(jnp.zeros(100)).shape == (0, 257)
 
 
 def test_subtract_mean_and_vtln(wave):

@@ -96,3 +96,29 @@ def test_infer_stop_lengths(tiny):
                   "b": jnp.full((1,), 10.0)}
     _, _, _, _, l2 = m.infer(p2, tokens, jnp.asarray([3]), max_steps=12)
     assert int(l2[0]) == 1
+
+
+def test_encoder_padding_invariance(tiny):
+    """The bidirectional encoder's memory at valid positions must not
+    depend on how much padding the batch carries (the backward pass
+    reverses per-sample by length, never scanning the padded tail)."""
+    m, params = tiny
+    rng = np.random.default_rng(9)
+    toks = rng.integers(1, 12, (1, 5)).astype(np.int32)
+    alone = m._encode(params, jnp.asarray(toks),
+                      jnp.asarray([5]))[0]
+    padded_toks = np.concatenate(
+        [toks, rng.integers(1, 12, (1, 4)).astype(np.int32)], 1)
+    padded = m._encode(params, jnp.asarray(padded_toks),
+                       jnp.asarray([5]))[0]
+    np.testing.assert_allclose(np.asarray(padded[0, :5]),
+                               np.asarray(alone[0, :5]), atol=1e-6)
+    assert float(jnp.max(jnp.abs(padded[0, 5:]))) == 0.0
+    # deep custom stacks init without exhausting the key pool
+    big = Tacotron2(n_symbols=6, n_mels=4, embed_dim=8,
+                    encoder_dim=8, attention_dim=8,
+                    attention_filters=2, attention_kernel=3,
+                    decoder_dim=8, prenet_dim=8, postnet_dim=8,
+                    postnet_kernel=3, encoder_kernel=3,
+                    n_encoder_convs=30, n_postnet_convs=25)
+    big.init(jax.random.PRNGKey(1))

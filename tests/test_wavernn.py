@@ -72,3 +72,38 @@ def test_teacher_forced_training_decreases(tiny):
         losses.append(float(l))
         p = jax.tree_util.tree_map(lambda w, gr: w - 0.1 * gr, p, g)
     assert losses[-1] < losses[0] * 0.8, losses
+
+
+def test_infer_matches_teacher_forced_logits():
+    """Generated samples must be exactly what re-sampling from the
+    teacher-forced logits (on the generated history) produces with the
+    same key chain — pins infer ≡ apply consistency."""
+    net = WaveRNN(upsample_scales=(2, 2), hop_length=4, n_classes=16,
+                  n_res_block=2, n_rnn=8, n_fc=8, kernel_size=3,
+                  n_freq=6, n_hidden=8, n_output=8)
+    params = net.init(jax.random.PRNGKey(0))
+    spec = jnp.asarray(np.random.default_rng(1)
+                       .standard_normal((2, 6, 7)), jnp.float32)
+    key = jax.random.PRNGKey(42)
+    gen = net.infer(params, spec, key)
+    T = 4 * (7 - 3 + 1)
+    assert gen.shape == (2, T)
+    assert float(jnp.max(jnp.abs(gen))) <= 1.0
+    # teacher-force on the generated history (shifted by one)
+    hist = jnp.concatenate([jnp.zeros((2, 1)), gen[:, :-1]], 1)
+    logits = net.apply(params, hist, spec)
+    k = key
+    for t in range(T):
+        k, sub = jax.random.split(k)
+        cls = jax.random.categorical(sub, logits[:, t])
+        want = 2.0 * cls.astype(jnp.float32) / 15 - 1.0
+        np.testing.assert_allclose(np.asarray(gen[:, t]),
+                                   np.asarray(want), atol=1e-6,
+                                   err_msg=f"t={t}")
+    # deterministic under the same key; different under another
+    gen2 = net.infer(params, spec, key)
+    np.testing.assert_array_equal(np.asarray(gen), np.asarray(gen2))
+    gen3 = net.infer(params, spec, jax.random.PRNGKey(7))
+    assert float(jnp.max(jnp.abs(gen3 - gen))) > 0
+    with pytest.raises(ValueError, match="specgram"):
+        net.infer(params, jnp.zeros((6, 7)), key)

@@ -197,6 +197,15 @@ def _preprocess(waveform, *, sample_frequency, frame_length, frame_shift,
     return power, log_e, padded
 
 
+def _empty_dim(frame_length, sample_frequency,
+               round_to_power_of_two) -> int:
+    """Spectrogram feature dim for the zero-frame result (the output
+    contract must hold even when the clip is too short to frame)."""
+    window = int(sample_frequency * frame_length / 1000.0)
+    padded = _next_pow2(window) if round_to_power_of_two else window
+    return padded // 2 + 1
+
+
 def spectrogram(waveform, blackman_coeff: float = 0.42,
                 dither: float = 0.0, energy_floor: float = 1.0,
                 frame_length: float = 25.0, frame_shift: float = 10.0,
@@ -221,7 +230,10 @@ def spectrogram(waveform, blackman_coeff: float = 0.42,
         window_type=window_type, blackman_coeff=blackman_coeff,
         min_duration=min_duration)
     if power is None:
-        return jnp.zeros(jnp.asarray(waveform).shape[:-1] + (0, 0))
+        return jnp.zeros(jnp.asarray(waveform).shape[:-1]
+                         + (0, _empty_dim(frame_length,
+                                          sample_frequency,
+                                          round_to_power_of_two)))
     feats = jnp.log(jnp.maximum(power, _EPS))
     feats = feats.at[..., 0].set(log_e)
     if subtract_mean:
@@ -256,7 +268,8 @@ def fbank(waveform, blackman_coeff: float = 0.42, dither: float = 0.0,
         window_type=window_type, blackman_coeff=blackman_coeff,
         min_duration=min_duration)
     if power is None:
-        return jnp.zeros(jnp.asarray(waveform).shape[:-1] + (0, 0))
+        return jnp.zeros(jnp.asarray(waveform).shape[:-1]
+                         + (0, num_mel_bins + int(use_energy)))
     banks = jnp.asarray(
         _mel_banks(num_mel_bins, padded, sample_frequency, low_freq,
                    high_freq, vtln_low, vtln_high, vtln_warp),
@@ -305,7 +318,8 @@ def mfcc(waveform, blackman_coeff: float = 0.42,
         window_type=window_type, blackman_coeff=blackman_coeff,
         min_duration=min_duration)
     if power is None:
-        return jnp.zeros(jnp.asarray(waveform).shape[:-1] + (0, 0))
+        return jnp.zeros(jnp.asarray(waveform).shape[:-1]
+                         + (0, num_ceps))
     banks = jnp.asarray(
         _mel_banks(num_mel_bins, padded, sample_frequency, low_freq,
                    high_freq, vtln_low, vtln_high, vtln_warp),

@@ -104,7 +104,10 @@ class Tacotron2:
 
     # -- params ------------------------------------------------------------
     def init(self, key):
-        keys = iter(jax.random.split(key, 64))
+        # key budget scales with the conv-stack configs (a fixed pool
+        # would StopIteration on deep custom stacks)
+        keys = iter(jax.random.split(
+            key, 24 + self.n_enc_convs + self.n_post_convs))
         ln = lambda c: {"g": jnp.ones((c,)), "b": jnp.zeros((c,))}
         h2 = self.enc // 2
         enc_convs = []
@@ -152,8 +155,16 @@ class Tacotron2:
     # -- encoder -----------------------------------------------------------
     def _encode(self, params, tokens, token_lengths):
         x = params["embedding"][tokens]               # (B, S, E)
+        # zero pad positions before/through the conv stack so the
+        # SAME-padded convs see zeros past the sequence end exactly as
+        # they would at an unpadded clip's edge — valid positions are
+        # then independent of batch padding (pinned by test)
+        in_mask = (jnp.arange(x.shape[1])[None, :]
+                   < token_lengths[:, None])[..., None]
+        x = jnp.where(in_mask, x, 0.0)
         for c in params["enc_convs"]:
             x = jax.nn.relu(_ln(_conv1d(x, c["w"], "SAME"), c["n"]))
+            x = jnp.where(in_mask, x, 0.0)
         # bi-LSTM over symbols
         h2 = self.enc // 2
 
@@ -167,10 +178,24 @@ class Tacotron2:
             _, hs = jax.lax.scan(step, init, xs, reverse=reverse)
             return hs
 
-        xs = jnp.transpose(x, (1, 0, 2))
+        xs = jnp.transpose(x, (1, 0, 2))              # (S, B, D)
+        # backward direction: reverse EACH sample by its own length
+        # (a plain reversed scan would start in the padded tail and
+        # carry pad contamination into valid positions — torch packs;
+        # we gather), run forward, and gather back.  The index map
+        # L-1-t is an involution, so one map serves both directions.
+        S = xs.shape[0]
+        rev = token_lengths[None, :] - 1 - jnp.arange(S)[:, None]
+        valid = rev >= 0                              # (S, B)
+        gidx = jnp.clip(rev, 0)[:, :, None]
+        xs_rev = jnp.where(valid[:, :, None],
+                           jnp.take_along_axis(xs, gidx, axis=0), 0.0)
+        hs_bwd_rev = run(params["enc_bwd"], xs_rev, False)
+        hs_bwd = jnp.where(
+            valid[:, :, None],
+            jnp.take_along_axis(hs_bwd_rev, gidx, axis=0), 0.0)
         memory = jnp.concatenate(
-            [run(params["enc_fwd"], xs, False),
-             run(params["enc_bwd"], xs, True)], -1)
+            [run(params["enc_fwd"], xs, False), hs_bwd], -1)
         memory = jnp.transpose(memory, (1, 0, 2))     # (B, S, enc)
         mask = (jnp.arange(memory.shape[1])[None, :]
                 < token_lengths[:, None])

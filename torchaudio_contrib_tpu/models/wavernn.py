@@ -67,7 +67,7 @@ class WaveRNN:
                  n_fc: int = 512, kernel_size: int = 5,
                  n_freq: int = 128, n_hidden: int = 128,
                  n_output: int = 128):
-        if int(jnp.prod(jnp.asarray(upsample_scales))) != hop_length:
+        if math.prod(upsample_scales) != hop_length:
             raise ValueError("prod(upsample_scales) must equal "
                              "hop_length")
         if n_output % 4:
@@ -211,6 +211,74 @@ class WaveRNN:
         x = jax.nn.relu(jnp.concatenate([x, a[3]], -1)
                         @ params["fc2"]["w"] + params["fc2"]["b"])
         return x @ params["fc3"]["w"] + params["fc3"]["b"]
+
+    # -- inference -----------------------------------------------------------
+    def _gru_cell(self, p, h, x):
+        """One GRU step with the un-hoisted input projection."""
+        hdim = self.n_rnn
+        gx = x @ p["wx"] + p["bx"]
+        gh = h @ p["wh"] + p["bh"]
+        r = jax.nn.sigmoid(gx[:, :hdim] + gh[:, :hdim])
+        z = jax.nn.sigmoid(gx[:, hdim:2 * hdim]
+                           + gh[:, hdim:2 * hdim])
+        n = jnp.tanh(gx[:, 2 * hdim:] + r * gh[:, 2 * hdim:])
+        return (1 - z) * n + z * h
+
+    def infer(self, params, specgram, key):
+        """Autoregressive generation (torchaudio's ``WaveRNN.infer``):
+        ``specgram (B, n_freq, T_mel)`` → waveform ``(B, T)`` with
+        ``T = hop·(T_mel − kernel + 1)``, sampled from the per-step
+        softmax.  Values are the normalized class centers
+        ``2·c/(n_classes−1) − 1`` ∈ [−1, 1]; apply
+        ``ops.mu_law_decoding``-style expansion yourself if training
+        used companded targets.  One ``lax.scan`` over time (the
+        sequential dependency is intrinsic); per-step keys are
+        ``jax.random.split`` chained from ``key``.
+        """
+        specgram = jnp.asarray(specgram)
+        if specgram.ndim != 3:
+            raise ValueError("specgram must be (B, n_freq, T_mel)")
+        spec = jnp.transpose(specgram, (0, 2, 1))
+        cond, aux = self._upsample(params, spec)     # (B, T, ·)
+        B, T = cond.shape[:2]
+        a = [aux[..., i * self.n_aux:(i + 1) * self.n_aux]
+             for i in range(4)]
+        seq = jnp.moveaxis(
+            jnp.concatenate([cond] + a, -1), 1, 0)   # (T, B, F+4a)
+        F = cond.shape[-1]
+        na = self.n_aux
+
+        def step(carry, in_t):
+            h1, h2, prev, k = carry
+            cond_t = in_t[:, :F]
+            a0 = in_t[:, F:F + na]
+            a1 = in_t[:, F + na:F + 2 * na]
+            a2 = in_t[:, F + 2 * na:F + 3 * na]
+            a3 = in_t[:, F + 3 * na:]
+            x = jnp.concatenate([prev[:, None], cond_t, a0], -1)
+            x = x @ params["fc_in"]["w"] + params["fc_in"]["b"]
+            res = x
+            h1 = self._gru_cell(params["gru1"], h1, x)
+            x = h1 + res
+            res = x
+            h2 = self._gru_cell(params["gru2"], h2,
+                                jnp.concatenate([x, a1], -1))
+            x = h2 + res
+            x = jax.nn.relu(jnp.concatenate([x, a2], -1)
+                            @ params["fc1"]["w"] + params["fc1"]["b"])
+            x = jax.nn.relu(jnp.concatenate([x, a3], -1)
+                            @ params["fc2"]["w"] + params["fc2"]["b"])
+            logits = x @ params["fc3"]["w"] + params["fc3"]["b"]
+            k, sub = jax.random.split(k)
+            cls = jax.random.categorical(sub, logits)
+            sample = 2.0 * cls.astype(jnp.float32) \
+                / (self.n_classes - 1) - 1.0
+            return (h1, h2, sample, k), sample
+
+        h0 = jnp.zeros((B, self.n_rnn), jnp.float32)
+        init = (h0, h0, jnp.zeros((B,), jnp.float32), key)
+        _, samples = jax.lax.scan(step, init, seq)
+        return jnp.moveaxis(samples, 0, 1)           # (B, T)
 
     def __call__(self, params, waveform, specgram):
         return self.apply(params, waveform, specgram)

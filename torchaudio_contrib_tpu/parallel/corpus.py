@@ -142,10 +142,8 @@ def chunked_melspectrogram(waveform: jnp.ndarray,
             mel = amplitude_to_db(mel, power=power)
         return carry, mel
 
-    init = jnp.zeros(batch_shape + (stream.carry_len,), waveform.dtype)
-    # seed the carry with the true leading samples so frame 0 is exact
-    init = jax.lax.dynamic_update_slice_in_dim(
-        init, lead.astype(waveform.dtype), 0, axis=-1)
+    # the carry is exactly the first carry_len samples (frame 0 exact)
+    init = lead.astype(waveform.dtype)
 
     _, mels = jax.lax.scan(step, init, chunks)
     # (n_chunks, ..., mels, k) -> (..., mels, n_chunks*k)

@@ -112,6 +112,12 @@ def _run(waveform, mesh, axis, fft_length, hop_length, window, win_length,
         raise ValueError(
             f"time length {T} must divide into {S} hop-aligned shards "
             f"(multiple of {S * hop_length}); zero-pad the tail")
+    if T // S < fft_length - hop_length:
+        raise ValueError(
+            f"per-shard length {T // S} is shorter than the halo "
+            f"(fft_length - hop_length = {fft_length - hop_length}); "
+            f"use fewer shards or longer clips — frames spanning "
+            "more than two shards are not representable")
     n_frames = 1 + (T - fft_length) // hop_length
 
     from ..ops.fused import _interpret
