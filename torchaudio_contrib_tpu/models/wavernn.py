@@ -16,9 +16,11 @@ TPU notes:
 * Norms: layernorm instead of torchaudio's batchnorm in MelResNet
   (mutable running stats are excluded by the pure-params contract —
   same deviation as ``models/conformer.py``).
-* ``generate`` (sample-by-sample inference) is one ``lax.scan`` over
-  time with categorical sampling — sequential by nature; batch clips
-  to fill the chip.
+* ``infer`` (sample-by-sample generation, torchaudio's name) is one
+  ``lax.scan`` over time with categorical sampling — sequential by
+  nature; batch clips to fill the chip.  Pinned exactly consistent
+  with the teacher-forced ``apply`` (same logits trajectory on the
+  generated history).
 """
 from __future__ import annotations
 
