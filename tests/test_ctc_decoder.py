@@ -187,3 +187,19 @@ def test_arpa_gzip_loading(tmp_path):
     assert lm.order == 2
     _, s = lm.score(lm.start(), "ab")
     np.testing.assert_allclose(s, -0.17609, atol=1e-6)
+
+
+def test_sil_token_none_for_wordpiece_alphabets():
+    """Alphabets without a silence token (boundaries live in the
+    lexicon spellings) construct with sil_token=None and decode via
+    word-final flush — previously the factory raised even though the
+    docstring promised the configuration."""
+    tokens = ["-", "a", "b", "c"]           # no "|"
+    lex = {"ab": ["a", "b"], "a": ["a"]}
+    dec = ctc_decoder(lex, tokens, beam_size=10, sil_token=None)
+    lp = _emit([1, 1, 0, 2, 2], n_classes=4)  # a a - b b -> "ab"
+    out = dec(lp)
+    assert out[0][0].words == ["ab"]
+    # a present-but-missing sil token still raises loudly
+    with pytest.raises(ValueError, match="sil token"):
+        ctc_decoder(lex, tokens, sil_token="|")

@@ -35,6 +35,26 @@ def test_oscillator_bank_vs_float64_oracle():
                             reduction="max")
 
 
+def test_oscillator_bank_long_clip_precision():
+    """60 s constant 10 kHz tone at 44.1 kHz, under jit: the phase
+    reaches ~1.4e4 cycles, where a raw float32 cumsum leaves ~0.008-
+    cycle ulps AND the fl32(f/sr) increment's deterministic rounding
+    bias sums to ~0.03 cycles — both made the tail full-amplitude
+    garbage (max err 1.25).  The exact-split mod-1 scan holds the
+    float64 oracle to ~1e-6 (regression; also guards against XLA
+    folding the bit-level splits under jit)."""
+    sr, T = 44100, 60 * 44100
+    f = jnp.full((T, 1), 10000.0, jnp.float32)
+    a = jnp.ones((T, 1), jnp.float32)
+    y = np.asarray(jax.jit(
+        lambda ff, aa: dsp.oscillator_bank(ff, aa, sr))(f, a))
+    ph = 2 * np.pi * (np.arange(1, T + 1, dtype=np.float64)
+                      * (10000.0 / sr))
+    ref = np.sin(ph)
+    assert np.abs(y[-1000:] - ref[-1000:]).max() < 1e-4
+    assert np.abs(y[:1000] - ref[:1000]).max() < 1e-4
+
+
 def test_oscillator_bank_mutes_above_nyquist():
     sr = 8000
     freq = jnp.full((100, 1), 5000.0)        # > Nyquist

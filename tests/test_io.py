@@ -121,3 +121,37 @@ def test_toplevel_load_save_info(tmp_path):
     out2, _ = tac.load(p2)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out),
                                atol=2 ** -14)
+
+
+def test_wav_loader_channel_targets(tmp_path, clip):
+    """target_channels tiles mono up (the old slice was a silent
+    no-op), truncates down, downmixes to mono, and raises on
+    impossible expansions."""
+    mono = str(tmp_path / "mono.wav")
+    stereo = str(tmp_path / "stereo.wav")
+    wavio.write_wav(mono, clip[:1], 16000, bits=16)
+    wavio.write_wav(stereo, clip, 16000, bits=16)
+    up = wavio.make_wav_loader([mono], target_channels=2)(0)
+    assert up.shape == (2, clip.shape[1])
+    np.testing.assert_array_equal(up[0], up[1])
+    down = wavio.make_wav_loader([stereo], target_channels=1)(0)
+    assert down.shape == (1, clip.shape[1])
+    trunc = wavio.make_wav_loader([stereo], target_channels=2)(0)
+    assert trunc.shape == (2, clip.shape[1])
+    with pytest.raises(ValueError, match="cannot expand"):
+        wavio.make_wav_loader([stereo], target_channels=4)(0)
+
+
+def test_fallback_rejects_nonstandard_float_bits(tmp_path, clip):
+    """A float-format (tag 3) WAV with 16-bit samples must be rejected
+    by the NumPy fallback exactly like the native codec — decoding a
+    2-byte payload as '<f4' reads garbage across sample boundaries."""
+    import struct
+    p = str(tmp_path / "f16.wav")
+    wavio.write_wav(p, clip[:1], 16000, bits=16)
+    buf = bytearray(open(p, "rb").read())
+    fmt_off = buf.index(b"fmt ") + 8
+    struct.pack_into("<H", buf, fmt_off, 3)          # tag: PCM -> float
+    from torchaudio_contrib_tpu.io import _py_info
+    with pytest.raises(ValueError, match="unsupported WAV format"):
+        _py_info(bytes(buf))

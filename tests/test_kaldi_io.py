@@ -114,3 +114,32 @@ def test_interop_with_compliance_kaldi(tmp_path):
     (_, got), = K.read_mat_ark(ark)
     np.testing.assert_array_equal(
         got, feats[0] if feats.ndim == 3 else feats)
+
+
+def test_truncated_ark_raises(tmp_path):
+    """EOF inside a key (partial download / corruption) raises instead
+    of yielding a phantom entry with a bogus key and empty matrix."""
+    from torchaudio_contrib_tpu import kaldi_io as kio
+    path = str(tmp_path / "t.ark")
+    m = np.arange(12, dtype=np.float32).reshape(3, 4)
+    kio.write_mat_ark(path, [("u1", m), ("u2", m)])
+    data = open(path, "rb").read()
+    # cut just after the first byte of the second key
+    second = data.index(b"u2 ")
+    open(path, "wb").write(data[:second + 1])
+    it = kio.read_mat_ark(path)
+    k, got = next(it)
+    assert k == "u1"
+    np.testing.assert_array_equal(got, m)
+    with pytest.raises(ValueError, match="truncated"):
+        next(it)
+
+
+def test_writer_rejects_control_char_keys(tmp_path):
+    """Keys with embedded newline/tab would silently corrupt both the
+    archive (the reader skips \\n) and the scp index."""
+    from torchaudio_contrib_tpu import kaldi_io as kio
+    m = np.zeros((2, 2), np.float32)
+    for bad in ("a\nb", "a\tb", "a\rb", "", "a b"):
+        with pytest.raises(ValueError, match="bad Kaldi key"):
+            kio.write_mat_ark(str(tmp_path / "x.ark"), [(bad, m)])

@@ -187,3 +187,42 @@ def test_review_fixes_channels_vol_fade(tone):
     np.testing.assert_allclose(
         np.asarray(out[0, :n]),
         np.asarray(tone[0, :n]) * r * (2 - r), atol=1e-5)
+
+
+def test_one_d_channels_last_is_time_axis(tone):
+    """A 1-D waveform is mono regardless of channels_first — the old
+    path transposed it to (time, 1) and ran every effect on the wrong
+    axis (reverse was a silent identity)."""
+    sr = 16000
+    x = jnp.arange(16.0)
+    rev, _ = SE.apply_effects_tensor(x, sr, [["reverse"]],
+                                     channels_first=False)
+    np.testing.assert_allclose(np.asarray(rev), np.asarray(x[::-1]))
+    tr, _ = SE.apply_effects_tensor(x, sr, [["trim", "0", str(8 / sr)]],
+                                    channels_first=False)
+    assert tr.shape == (8,)
+    # 2-D (time, channels) still round-trips the layout
+    x2 = jnp.stack([jnp.arange(16.0), -jnp.arange(16.0)], axis=1)
+    rev2, _ = SE.apply_effects_tensor(x2, sr, [["reverse"]],
+                                      channels_first=False)
+    np.testing.assert_allclose(np.asarray(rev2),
+                               np.asarray(x2[::-1, :]))
+
+
+def test_vol_db_case_insensitive_and_loud_arg_errors(tone):
+    sr = 16000
+    # sox spells the type 'dB'
+    a, _ = SE.apply_effects_tensor(tone, sr, [["vol", "3", "dB"]])
+    b, _ = SE.apply_effects_tensor(tone, sr, [["vol", "3", "db"]])
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # unsupported extra args raise instead of silently dropping
+    with pytest.raises(ValueError, match="width/slope"):
+        SE.apply_effects_tensor(tone, sr, [["bass", "6", "100", "0.5q"]])
+    with pytest.raises(ValueError, match="WSOLA"):
+        SE.apply_effects_tensor(tone, sr, [["tempo", "1.1", "30"]])
+    with pytest.raises(ValueError, match="at most 5"):
+        SE.apply_effects_tensor(
+            tone, sr, [["phaser", ".8", ".7", "3", ".4", ".5", ".6"]])
+    with pytest.raises(ValueError, match="flanger"):
+        SE.apply_effects_tensor(
+            tone, sr, [["flanger", "0", "2", "0", "71", "0.5", "sine"]])

@@ -47,6 +47,34 @@ def test_padding_invariance(tiny):
         Wav2Vec2(d_model=15, num_heads=2)
 
 
+def test_padding_length_invariance_trained_params(tiny):
+    """Same valid sequence under DIFFERENT padded lengths, with
+    trained-like (nonzero-bias) params: at init every bias is zero so
+    padded frames of the projected features are exactly zero and the
+    positional conv cannot leak; with nonzero biases the padded frames
+    carry proj_ln.b @ W + proj.b unless the model re-zeros them before
+    the conv (regression for that leak)."""
+    m, p0 = tiny
+    # perturb every leaf so biases (incl. proj_ln.b, proj.b, pos_b)
+    # are nonzero, as after any real training step
+    leaves, treedef = jax.tree_util.tree_flatten(p0)
+    rng = np.random.default_rng(7)
+    p = jax.tree_util.tree_unflatten(
+        treedef, [l + jnp.asarray(rng.standard_normal(l.shape) * 0.05,
+                                  l.dtype) for l in leaves])
+    x = rng.standard_normal((1, 250)).astype(np.float32)
+    lengths = jnp.asarray([250])
+    xa = jnp.asarray(np.pad(x, ((0, 0), (0, 150))))   # T = 400
+    xb = jnp.asarray(np.pad(x, ((0, 0), (0, 350))))   # T = 600
+    ya, la = m.apply(p, xa, lengths)
+    yb, lb = m.apply(p, xb, lengths)
+    n = int(la[0])
+    assert int(lb[0]) == n
+    np.testing.assert_allclose(np.asarray(ya[0, :n]),
+                               np.asarray(yb[0, :n]),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_grads_and_jit(tiny):
     m, p = tiny
     x = jnp.asarray(np.random.default_rng(2)

@@ -179,6 +179,11 @@ def _py_info(buf: bytes) -> dict:
             tag, ch, sr, bits = fmt
             if tag not in (1, 3) or bits not in (16, 24, 32):
                 raise ValueError("unsupported WAV format")
+            if tag == 3 and bits != 32:
+                # mirror the native codec: float WAVs are 32-bit only
+                # (decoding a 16/24-bit payload as '<f4' would read
+                # garbage across sample boundaries)
+                raise ValueError("unsupported WAV format")
             return {"sample_rate": sr, "channels": ch, "bits": bits,
                     "num_frames": sz // (ch * bits // 8),
                     "float": tag == 3, "_off": body}
@@ -232,8 +237,9 @@ def make_wav_loader(paths, target_channels=None):
     """Build a ``loader(i)`` for
     :class:`~torchaudio_contrib_tpu.parallel.CorpusPreprocessor` over a
     list of WAV paths: decodes with the native codec, optionally
-    downmixes/truncates channels.  Raises on decode failure (the
-    preprocessor's retry/skip handles it)."""
+    downmixes (to mono), truncates, or tiles (mono up) so every item
+    has exactly ``target_channels`` rows.  Raises on decode failure
+    (the preprocessor's retry/skip handles it)."""
     paths = list(paths)
 
     def loader(i):
@@ -241,8 +247,15 @@ def make_wav_loader(paths, target_channels=None):
         if target_channels is not None and data.shape[0] != target_channels:
             if target_channels == 1:
                 data = data.mean(axis=0, keepdims=True)
-            else:
+            elif data.shape[0] > target_channels:
                 data = data[:target_channels]
+            elif data.shape[0] == 1:
+                data = np.tile(data, (target_channels, 1))
+            else:
+                raise ValueError(
+                    f"{paths[i]}: cannot expand {data.shape[0]} "
+                    f"channels to {target_channels} (only mono is "
+                    "tiled up)")
         return data
 
     return loader

@@ -39,12 +39,22 @@ _DTYPES = {b"FM": np.float32, b"DM": np.float64,
 
 
 def _read_key(f) -> Optional[str]:
-    """Space/NUL-terminated token; None at EOF."""
+    """Space/NUL-terminated token; None at clean EOF.
+
+    EOF in the MIDDLE of a key (a truncated/corrupted archive) raises
+    — returning the partial key would let ``_read_object`` fall into
+    the text path on the empty remainder and fabricate a phantom
+    entry with an empty matrix.
+    """
     chars = []
     while True:
         c = f.read(1)
         if not c:
-            return None if not chars else "".join(chars)
+            if chars:
+                raise ValueError(
+                    "truncated Kaldi archive: EOF inside key "
+                    f"{''.join(chars)!r}")
+            return None
         if c == b" ":
             if chars:
                 return "".join(chars)
@@ -167,7 +177,11 @@ def _write_entries(path, items, encoder, scp_path):
     scp = []
     with open(path, "wb") as f:
         for key, value in items:
-            if " " in key or not key:
+            # whitespace/control chars corrupt the archive silently
+            # (the reader skips \n/\r, the scp index is line/space
+            # delimited) and non-ASCII fails encode below anyway
+            if (not key or any(ch.isspace() for ch in key)
+                    or any(ord(ch) < 0x21 for ch in key)):
                 raise ValueError(f"bad Kaldi key {key!r}")
             f.write(key.encode("ascii") + b" ")
             scp.append(f"{key} {path}:{f.tell()}")

@@ -36,6 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ._common import _ln as _layernorm, _ln_p as _ln_params
+
 __all__ = ["Conformer"]
 
 
@@ -43,16 +45,6 @@ def _glorot(key, shape):
     fan_in, fan_out = shape[-2], shape[-1]
     s = math.sqrt(6.0 / (fan_in + fan_out))
     return jax.random.uniform(key, shape, jnp.float32, -s, s)
-
-
-def _layernorm(x, p):
-    mu = jnp.mean(x, -1, keepdims=True)
-    var = jnp.var(x, -1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["g"] + p["b"]
-
-
-def _ln_params(d):
-    return {"g": jnp.ones((d,)), "b": jnp.zeros((d,))}
 
 
 class Conformer:

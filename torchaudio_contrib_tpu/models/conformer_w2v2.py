@@ -18,27 +18,17 @@ features where it says waveforms (pinned by test).
 """
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
+from ._common import _dense, _ln
+
 from .conformer import Conformer
 
 __all__ = ["ConformerWav2Vec2", "conformer_wav2vec2_model",
            "conformer_wav2vec2_base"]
-
-
-def _dense(key, cin, cout):
-    s = math.sqrt(6.0 / (cin + cout))
-    return jax.random.uniform(key, (cin, cout), jnp.float32, -s, s)
-
-
-def _ln(x, p):
-    mu = jnp.mean(x, -1, keepdims=True)
-    var = jnp.var(x, -1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["g"] + p["b"]
 
 
 class ConformerWav2Vec2:

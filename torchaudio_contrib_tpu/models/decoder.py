@@ -365,7 +365,7 @@ def ctc_decoder(lexicon, tokens,
                 sil_score: float = 0.0,
                 log_add: bool = False,
                 blank_token: str = "-",
-                sil_token: str = "|",
+                sil_token: Optional[str] = "|",
                 unk_word: str = "<unk>") -> CTCDecoder:
     """Build a lexicon-constrained CTC beam decoder
     (torchaudio's ``models.decoder.ctc_decoder`` surface).
@@ -373,8 +373,10 @@ def ctc_decoder(lexicon, tokens,
     ``lexicon``: path to a ``word sp e l l i n g`` file, a
     ``{word: spelling or [spellings]}`` dict, or an iterable of
     lines.  ``tokens``: the emission alphabet as a list or a path
-    (one token per line; must contain ``blank_token``, and
-    ``sil_token`` unless the lexicon spells silence explicitly).
+    (one token per line; must contain ``blank_token``).  Pass
+    ``sil_token=None`` for alphabets without a silence/word-boundary
+    token (e.g. wordpieces, where boundaries live in the lexicon
+    spellings); a non-``None`` ``sil_token`` must be in ``tokens``.
     ``lm`` defaults to :class:`ZeroLM`; pass :class:`ARPALM` (or any
     :class:`CTCDecoderLM`) for LM fusion with weight ``lm_weight``.
     """
@@ -385,7 +387,7 @@ def ctc_decoder(lexicon, tokens,
     tok_idx = {s: i for i, s in enumerate(tokens)}
     if blank_token not in tok_idx:
         raise ValueError(f"blank token {blank_token!r} not in tokens")
-    if sil_token not in tok_idx:
+    if sil_token is not None and sil_token not in tok_idx:
         raise ValueError(f"sil token {sil_token!r} not in tokens")
 
     root = _TrieNode()
@@ -408,5 +410,6 @@ def ctc_decoder(lexicon, tokens,
         beam_threshold=beam_threshold, lm_weight=lm_weight,
         word_score=word_score, unk_score=unk_score,
         sil_score=sil_score, log_add=log_add,
-        blank_idx=tok_idx[blank_token], sil_idx=tok_idx[sil_token],
+        blank_idx=tok_idx[blank_token],
+        sil_idx=None if sil_token is None else tok_idx[sil_token],
         unk_word=unk_word)

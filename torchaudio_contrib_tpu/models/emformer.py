@@ -48,24 +48,11 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from ._common import _dense, _ln, _ln_p
+
 __all__ = ["Emformer", "ConvEmformer"]
 
 _NEG = -1e9
-
-
-def _dense(key, cin, cout):
-    s = math.sqrt(6.0 / (cin + cout))
-    return jax.random.uniform(key, (cin, cout), jnp.float32, -s, s)
-
-
-def _ln(x, p):
-    mu = jnp.mean(x, -1, keepdims=True)
-    var = jnp.var(x, -1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["g"] + p["b"]
-
-
-def _ln_p(d):
-    return {"g": jnp.ones((d,)), "b": jnp.zeros((d,))}
 
 
 class Emformer:

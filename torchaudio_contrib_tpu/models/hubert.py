@@ -53,9 +53,10 @@ def span_mask(key, batch_size: int, num_frames: int, lengths=None,
 
 
 class HuBERTPretrainModel:
-    """``apply(params, key, waveforms, labels, lengths=None)`` →
-    ``(logits (B, T', C), frame_mask (B, T'), features)``;
-    ``loss(...)`` → scalar masked-prediction objective.
+    """``apply(params, key, waveforms, lengths=None, frame_mask=None)``
+    → ``(logits (B, T', C), frame_mask (B, T'), out_lengths, features)``;
+    ``loss(params, key, waveforms, labels, lengths=None, ...)`` →
+    scalar masked-prediction objective.
 
     ``labels (B, T')`` are the offline cluster assignments aligned to
     the encoder frame rate (ignore index < 0 allowed, e.g. for

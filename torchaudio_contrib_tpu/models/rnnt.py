@@ -24,26 +24,16 @@ TPU-first notes:
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from ._common import _dense, _ln
 import numpy as np
 
 __all__ = ["RNNTPredictor", "RNNT", "RNNTBeamSearch"]
-
-
-def _dense(key, cin, cout):
-    s = math.sqrt(6.0 / (cin + cout))
-    return jax.random.uniform(key, (cin, cout), jnp.float32, -s, s)
-
-
-def _ln(x, p):
-    mu = jnp.mean(x, -1, keepdims=True)
-    var = jnp.var(x, -1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["g"] + p["b"]
 
 
 class RNNTPredictor:

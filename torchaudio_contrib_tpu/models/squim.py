@@ -24,27 +24,14 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from ._common import _dense, _ln, _ln_p
+
 __all__ = ["SquimObjective", "SquimSubjective"]
-
-
-def _dense(key, cin, cout):
-    s = math.sqrt(6.0 / (cin + cout))
-    return jax.random.uniform(key, (cin, cout), jnp.float32, -s, s)
 
 
 def _conv_w(key, k, cin, cout):
     s = math.sqrt(6.0 / (k * cin + k * cout))
     return jax.random.uniform(key, (k, cin, cout), jnp.float32, -s, s)
-
-
-def _ln(x, p):
-    mu = jnp.mean(x, -1, keepdims=True)
-    var = jnp.var(x, -1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["g"] + p["b"]
-
-
-def _ln_p(d):
-    return {"g": jnp.ones((d,)), "b": jnp.zeros((d,))}
 
 
 def _lstm_p(key, cin, h):

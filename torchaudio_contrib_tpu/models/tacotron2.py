@@ -24,28 +24,13 @@ TPU formulation:
 """
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp
 
+from ._common import _dense, _conv, _ln
+
 __all__ = ["Tacotron2"]
-
-
-def _dense(key, cin, cout):
-    s = math.sqrt(6.0 / (cin + cout))
-    return jax.random.uniform(key, (cin, cout), jnp.float32, -s, s)
-
-
-def _conv(key, k, cin, cout):
-    s = math.sqrt(6.0 / (k * cin + k * cout))
-    return jax.random.uniform(key, (k, cin, cout), jnp.float32, -s, s)
-
-
-def _ln(x, p):
-    mu = jnp.mean(x, -1, keepdims=True)
-    var = jnp.var(x, -1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["g"] + p["b"]
 
 
 def _conv1d(x, w, padding):

@@ -24,28 +24,10 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from ._common import _dense, _conv, _ln, _ln_p
+
 __all__ = ["Wav2Vec2", "wav2vec2_base", "wav2vec2_large",
            "hubert_base", "hubert_large", "hubert_xlarge"]
-
-
-def _dense(key, cin, cout):
-    s = math.sqrt(6.0 / (cin + cout))
-    return jax.random.uniform(key, (cin, cout), jnp.float32, -s, s)
-
-
-def _conv(key, k, cin, cout):
-    s = math.sqrt(6.0 / (k * cin + k * cout))
-    return jax.random.uniform(key, (k, cin, cout), jnp.float32, -s, s)
-
-
-def _ln(x, p):
-    mu = jnp.mean(x, -1, keepdims=True)
-    var = jnp.var(x, -1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["g"] + p["b"]
-
-
-def _ln_p(d):
-    return {"g": jnp.ones((d,)), "b": jnp.zeros((d,))}
 
 
 class Wav2Vec2:
@@ -68,9 +50,10 @@ class Wav2Vec2:
                  pos_conv_groups: int = 16,
                  aux_out: Optional[int] = None):
         if d_model % num_heads:
-            raise ValueError("d_model must divide num_heads")
+            raise ValueError("d_model must be divisible by num_heads")
         if d_model % pos_conv_groups:
-            raise ValueError("d_model must divide pos_conv_groups")
+            raise ValueError(
+                "d_model must be divisible by pos_conv_groups")
         self.extractor = tuple(tuple(l) for l in extractor_conv_layers)
         self.d_model = d_model
         self.num_layers = num_layers
@@ -85,7 +68,7 @@ class Wav2Vec2:
 
     def init(self, key):
         keys = iter(jax.random.split(
-            key, 8 + 2 * len(self.extractor) + 8 * self.num_layers))
+            key, 3 + len(self.extractor) + 4 * self.num_layers))
         cin = 1
         ext = []
         for cout, k, s in self.extractor:
@@ -180,6 +163,13 @@ class Wav2Vec2:
             if mask_embedding is None:
                 raise ValueError("frame_mask needs mask_embedding")
             x = jnp.where(frame_mask[..., None], mask_embedding, x)
+        # Padded frames of x are NOT zero (feats there are zero, but
+        # _ln(0) = proj_ln.b so x_pad = proj_ln.b @ W + proj.b once
+        # trained) — zero them so the positional conv's receptive
+        # field sees exactly the zeros its own edge padding supplies,
+        # keeping outputs independent of the padded length.
+        if pad_mask is not None:
+            x = jnp.where(pad_mask[..., None], x, 0.0)
         # grouped-conv positional embedding (wav2vec2's relative pos)
         pos = jax.lax.conv_general_dilated(
             x, params["pos_conv"], (1,),

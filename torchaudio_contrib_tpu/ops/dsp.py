@@ -55,9 +55,45 @@ def oscillator_bank(frequencies: jnp.ndarray,
         warnings.warn("oscillator frequencies at or above Nyquist "
                       "are muted", UserWarning, stacklevel=2)
     amplitudes = jnp.where(invalid, 0.0, amplitudes)
-    phase = 2.0 * math.pi * jnp.cumsum(
-        frequencies / sample_rate, axis=-2)
-    out = amplitudes * jnp.sin(phase)
+    # Accumulate phase in WRAPPED fractional cycles, in three exactly-
+    # representable component streams.  A raw float32 cumsum of f/sr
+    # fails twice on long clips (torchaudio does it in float64 —
+    # unavailable on TPU): the running sum reaches ~1e5 cycles where
+    # the f32 ulp is ~0.008 cycles, and the per-sample increment
+    # fl32(f/sr) carries a ~1e-8-cycle DETERMINISTIC rounding bias
+    # that sums linearly (0.03 cycles/minute at 10 kHz — audible).
+    #   * wrapping: addition mod 1 is associative, so an
+    #     associative_scan with mod-1 combine keeps partial sums O(1)
+    #     and rounding stops compounding with clip length;
+    #   * increment bias: split f (bitwise, 12-bit mantissa halves —
+    #     jit-safe, XLA cannot fold bit ops) and the STATIC 1/sr
+    #     (in float64 on the host) so the large partial products are
+    #     EXACT in f32; scan the three magnitude classes separately
+    #     (merging them would re-round at ulp(f/sr) and reintroduce
+    #     the bias) and combine mod 1 at the end.
+    # sin(2π·wrapped) is mathematically identical to the unwrapped
+    # phase.
+    inv = 1.0 / float(sample_rate)                 # host float64
+
+    def _trunc12(v):                               # host: keep 12 bits
+        u = np.float32(v).view(np.uint32) & np.uint32(0xFFFFF000)
+        return float(u.view(np.float32))
+
+    inv_hi = _trunc12(inv)
+    inv_mid = _trunc12(inv - inv_hi)
+    inv_lo = np.float32(inv - inv_hi - inv_mid)    # |err| < 1e-14·inv
+    fbits = jax.lax.bitcast_convert_type(frequencies, jnp.uint32)
+    f_hi = jax.lax.bitcast_convert_type(
+        fbits & np.uint32(0xFFFFF000), jnp.float32)
+    f_lo = frequencies - f_hi                      # exact
+    streams = (f_hi * inv_hi,                      # exact (12×12 bits)
+               f_hi * inv_mid + f_lo * inv_hi,     # exact products
+               f_lo * inv_mid + frequencies * inv_lo)
+    axis = frequencies.ndim - 2
+    wrapped = sum(jax.lax.associative_scan(
+        lambda a, b: jnp.mod(a + b, 1.0), jnp.mod(s, 1.0), axis=axis)
+        for s in streams)
+    out = amplitudes * jnp.sin(2.0 * math.pi * wrapped)
     if reduction == "sum":
         return jnp.sum(out, axis=-1)
     if reduction == "mean":

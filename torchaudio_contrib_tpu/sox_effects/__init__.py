@@ -175,19 +175,24 @@ def _apply_one(wave, sr, name, args, key):
         q = _q_from_width(freq, a[1:2], 0.707)
         return _ops.equalizer_biquad(
             wave, sr, freq, gain_db=_num(a[2], "gain"), Q=q), sr
-    if name == "bass":
+    if name in ("bass", "treble"):
+        if len(a) > 2:
+            raise ValueError(
+                f"{name} width/slope argument {a[2]!r} not supported "
+                "(only 'gain [frequency]'; the biquad uses the RBJ "
+                "shelf slope 1)")
         g = _num(a[0], "gain")
-        freq = _num(a[1], "frequency") if len(a) > 1 else 100.0
-        return _ops.bass_biquad(wave, sr, g, central_freq=freq), sr
-    if name == "treble":
-        g = _num(a[0], "gain")
-        freq = _num(a[1], "frequency") if len(a) > 1 else 3000.0
-        return _ops.treble_biquad(wave, sr, g, central_freq=freq), sr
+        default = 100.0 if name == "bass" else 3000.0
+        freq = _num(a[1], "frequency") if len(a) > 1 else default
+        fn = (_ops.bass_biquad if name == "bass"
+              else _ops.treble_biquad)
+        return fn(wave, sr, g, central_freq=freq), sr
     if name == "gain":
         return _gain(wave, a), sr
     if name == "vol":
         f = _num(a[0], "volume")
-        kind = a[1] if len(a) > 1 else "amplitude"
+        # sox spells the type 'dB' — compare case-insensitively
+        kind = (a[1] if len(a) > 1 else "amplitude").lower()
         if kind == "amplitude":
             return wave * f, sr
         if kind == "power":
@@ -210,6 +215,11 @@ def _apply_one(wave, sr, name, args, key):
         return _ops.speed(wave, sr, _num(a[0], "factor")), sr
     if name == "tempo":
         nums = [x for x in a if not x.startswith("-")]
+        if len(nums) > 1:
+            raise ValueError(
+                "tempo WSOLA segment/search/overlap arguments "
+                f"{nums[1:]} not supported (phase-vocoder tempo takes "
+                "only the factor)")
         return _tempo(wave, sr, _num(nums[0], "factor")), sr
     if name == "pitch":
         cents = _num(a[0], "cents")
@@ -247,12 +257,19 @@ def _apply_one(wave, sr, name, args, key):
     if name == "phaser":
         vals = [_num(x, "phaser arg") for x in a
                 if x not in ("-s", "-t")]
+        if len(vals) > 5:
+            raise ValueError(f"phaser takes at most 5 numeric "
+                             f"arguments, got {len(vals)}")
         kw = dict(zip(("gain_in", "gain_out", "delay_ms", "decay",
                        "mod_speed"), vals))
         kw["sinusoidal"] = "-t" not in a
         return _ops.phaser(wave, sr, **kw), sr
     if name == "flanger":
-        vals = [_num(x, "flanger arg") for x in a[:5]]
+        if len(a) > 5:
+            raise ValueError(
+                f"flanger arguments beyond delay/depth/regen/width/"
+                f"speed ({a[5:]}) not supported")
+        vals = [_num(x, "flanger arg") for x in a]
         kw = dict(zip(("delay", "depth", "regen", "width", "speed"),
                       vals))
         return _ops.flanger(wave, sr, **kw), sr
@@ -276,11 +293,16 @@ def apply_effects_tensor(waveform, sample_rate: int,
     wave = jnp.asarray(waveform)
     squeeze = wave.ndim == 1
     if squeeze:
+        # a 1-D waveform becomes (1, T), which is ALREADY channel-major
+        # — channels_first describes 2-D layouts only (transposing here
+        # would put time on the channel axis and silently break every
+        # time-axis effect)
         wave = wave[None]
-    if wave.ndim != 2:
-        raise ValueError("waveform must be 1-D or 2-D")
-    if not channels_first:
-        wave = wave.T
+    else:
+        if wave.ndim != 2:
+            raise ValueError("waveform must be 1-D or 2-D")
+        if not channels_first:
+            wave = wave.T
     wave = wave.astype(jnp.float32)
     sr = int(sample_rate)
     for i, eff in enumerate(effects):
@@ -288,12 +310,12 @@ def apply_effects_tensor(waveform, sample_rate: int,
             raise ValueError(f"empty effect at position {i}")
         wave, sr = _apply_one(wave, sr, str(eff[0]).lower(),
                               list(eff[1:]), key)
-    if not channels_first:
-        wave = wave.T
     # only un-batch if the chain kept a single channel (a
     # channel-expanding effect like ["channels","2"] must survive)
     if squeeze and wave.shape[0] == 1:
         return wave[0], sr
+    if not channels_first:
+        wave = wave.T
     return wave, sr
 
 
