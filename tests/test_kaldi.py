@@ -40,10 +40,12 @@ def _oracle_frames(x, window, shift, snip_edges):
             fr = np.empty(window)
             for j in range(window):
                 s = start + j
-                if s < 0:
-                    s = -s - 1
-                if s >= n:
-                    s = 2 * n - 1 - s
+                # Kaldi reflects REPEATEDLY until in range
+                while s < 0 or s >= n:
+                    if s < 0:
+                        s = -s - 1
+                    else:
+                        s = 2 * n - 1 - s
                 fr[j] = x[s]
             out.append(fr)
     return out
@@ -136,6 +138,28 @@ def test_snip_edges_false(wave):
     exp[:, 0] = log_e
     assert got.shape[0] == (4000 + 80) // 160 == 25
     np.testing.assert_allclose(got, exp, atol=2e-4)
+
+
+def test_snip_edges_false_short_clip_double_reflection(wave):
+    """A clip shorter than ~half the window needs MORE than one
+    boundary reflection per sample (the old single-reflection path
+    left out-of-range indices that silently wrapped via negative
+    indexing)."""
+    short = wave[:100]                 # window=400 at 16 kHz
+    got = np.asarray(kaldi.spectrogram(jnp.asarray(short),
+                                       snip_edges=False))
+    power, log_e, _ = _oracle_pre(short, snip_edges=False)
+    exp = np.log(np.maximum(power, EPS))
+    exp[:, 0] = log_e
+    np.testing.assert_allclose(got, exp, atol=2e-4)
+
+
+def test_degenerate_frame_params_raise_on_short_clips():
+    """frame_shift that floors to 0 samples raises even when the clip
+    is ALSO shorter than the window (the error used to be swallowed
+    into the empty-result path)."""
+    with pytest.raises(ValueError, match="frame_length/frame_shift"):
+        kaldi.fbank(jnp.zeros(300), frame_shift=0.05)
 
 
 def test_fbank_matches_oracle(wave):

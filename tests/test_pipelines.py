@@ -62,21 +62,31 @@ def test_tts_bundle_text_processor():
     assert "".join(tp.symbols[i] for i in ids[0][:6]) == "hello!"
 
 
+def test_text_processor_accepts_bare_string():
+    tp = P.TACOTRON2_WAVERNN_CHAR_LJSPEECH.get_text_processor()
+    ids, lengths = tp("Hello!")
+    batch_ids, batch_lengths = tp(["Hello!"])
+    np.testing.assert_array_equal(ids, batch_ids)
+    np.testing.assert_array_equal(lengths, batch_lengths)
+
+
 def test_rnnt_bundle_composes():
     b = P.EMFORMER_RNNT_BASE_LIBRISPEECH
+    # torchaudio's emformer_rnnt_base scale is pinned
+    assert b.num_symbols == 4097 and b.time_reduction_stride == 4
     model, params = b.get_model(jax.random.PRNGKey(3))
     fe = b.get_feature_extractor()
     wav = jnp.asarray(np.random.default_rng(2)
                       .standard_normal((1, 16000)), jnp.float32)
-    mel = fe(wav)                                 # (1, n_mels, T)
-    x = jnp.swapaxes(mel, 1, 2)                   # (1, T, n_mels)
+    x = fe(wav)                 # encoder-ready (1, T', mels*stride)
+    assert x.shape[-1] == b.n_mels * b.time_reduction_stride
     R = b.right_context_length
     hyp = model.greedy_decode(
         params, x, lengths=jnp.asarray([x.shape[1] - R]),
         max_symbols=1)
     assert isinstance(hyp, list) and len(hyp) == 1
     dec = b.get_decoder(model, beam_width=2)
-    out = dec(params, x[:, :24])
+    out = dec(params, x[:, :b.segment_length + R])
     assert len(out) == 1 and len(out[0]) >= 1
 
 

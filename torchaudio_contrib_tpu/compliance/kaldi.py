@@ -68,8 +68,13 @@ def _frame_indices(n: int, window: int, shift: int, snip_edges: bool):
         m = (n + shift // 2) // shift
         starts = np.arange(m) * shift + shift // 2 - window // 2
         idx = starts[:, None] + np.arange(window)[None, :]
-        idx = np.where(idx < 0, -idx - 1, idx)
-        idx = np.where(idx >= n, 2 * n - 1 - idx, idx)
+        # Kaldi reflects REPEATEDLY until in range (one reflection is
+        # not enough when the clip is shorter than ~half the window);
+        # the iterated boundary reflection has period 2n, giving the
+        # closed form below (e.g. idx=-80, n=100 → 79, not a silent
+        # negative-index wrap to 20)
+        p = np.mod(idx, 2 * n)
+        idx = np.where(p >= n, 2 * n - 1 - p, p)
     return m, idx.astype(np.int32)
 
 
@@ -150,11 +155,13 @@ def _preprocess(waveform, *, sample_frequency, frame_length, frame_shift,
     n = x.shape[-1]
     window = int(sample_frequency * frame_length / 1000.0)
     shift = int(sample_frequency * frame_shift / 1000.0)
-    if window < 2 or shift < 1 or window > n and snip_edges:
-        if n < window:
-            return None, None, 0
+    if window < 2 or shift < 1:
+        # degenerate parameters raise regardless of clip length — a
+        # short clip must not swallow the bad-parameter error
         raise ValueError(f"bad frame_length/frame_shift "
                          f"({frame_length}, {frame_shift})")
+    if window > n and snip_edges:
+        return None, None, 0
     if n < min_duration * sample_frequency:
         return None, None, 0
     padded = _next_pow2(window) if round_to_power_of_two else window

@@ -27,7 +27,7 @@ from typing import Callable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..io import read_wav
+from ..io import read_wav, wav_info
 
 __all__ = [
     "AudioFolder", "LIBRISPEECH", "LJSPEECH", "SPEECHCOMMANDS",
@@ -42,6 +42,18 @@ def _require_dir(path: str, hint: str) -> None:
         raise FileNotFoundError(
             f"{path} does not exist. This environment cannot download "
             f"datasets; place the extracted corpus there ({hint}).")
+
+
+def _header_frames(path: str) -> int:
+    """``num_frames`` from the WAV header alone — reads at most 64 KiB
+    (falling back to the whole file for exotic chunk layouts) so
+    length-bucketing never decodes the corpus up front."""
+    with open(path, "rb") as f:
+        head = f.read(65536)
+    try:
+        return int(wav_info(head)["num_frames"])
+    except ValueError:
+        return int(wav_info(path)["num_frames"])
 
 
 class AudioFolder:
@@ -64,6 +76,10 @@ class AudioFolder:
 
     def path(self, n: int) -> str:
         return self._files[n]
+
+    def num_frames(self, n: int) -> int:
+        """Item length in samples from the header (no decode)."""
+        return _header_frames(self.path(n))
 
     def _load(self, path):
         data, sr = read_wav(path)
@@ -135,6 +151,9 @@ class LJSPEECH:
 
     def path(self, n: int) -> str:
         return os.path.join(self._wavs, self._rows[n][0] + ".wav")
+
+    def num_frames(self, n: int) -> int:
+        return _header_frames(self.path(n))
 
     def __getitem__(self, n: int):
         fid, text, norm = self._rows[n]
@@ -296,6 +315,9 @@ class VCTK_092:
         return os.path.join(self._audio, spk,
                             f"{spk}_{utt}{self._suffix}")
 
+    def num_frames(self, n: int) -> int:
+        return _header_frames(self.path(n))
+
     def __getitem__(self, n: int):
         spk, utt = self._items[n]
         wav, sr = read_wav(self.path(n))
@@ -355,6 +377,9 @@ class COMMONVOICE:
             name = os.path.splitext(name)[0] + self.ext
         return os.path.join(self._clips, name)
 
+    def num_frames(self, n: int) -> int:
+        return _header_frames(self.path(n))
+
     def __getitem__(self, n: int):
         wav, sr = read_wav(self.path(n))
         return np.asarray(wav, np.float32), sr, dict(self._rows[n])
@@ -387,6 +412,12 @@ class MUSDB_HQ:
 
     def path(self, n: int) -> str:
         return os.path.join(self._base, self._tracks[n])
+
+    def num_frames(self, n: int) -> int:
+        """min over stems (items are truncated to the shortest)."""
+        track = self._tracks[n]
+        return min(_header_frames(os.path.join(
+            self._base, track, s + ".wav")) for s in self.sources)
 
     def __getitem__(self, n: int):
         track = self._tracks[n]
@@ -445,12 +476,34 @@ class TEDLIUM:
     def path(self, n: int) -> str:
         return os.path.join(self._sph, self._segs[n][0] + self.ext)
 
+    def num_frames(self, n: int) -> int:
+        """Segment length in samples — from the STM bounds and the
+        header rate, never the (talk-long) file length."""
+        talk, _, start, end, _ = self._segs[n]
+        with open(self.path(n), "rb") as f:
+            head = f.read(65536)
+        try:
+            info = wav_info(head)
+        except ValueError:
+            info = wav_info(self.path(n))
+        sr = info["sample_rate"]
+        s = int(round(start * sr))
+        e = min(int(round(end * sr)), int(info["num_frames"]))
+        return max(0, e - s)
+
     def __getitem__(self, n: int):
         talk, spk, start, end, text = self._segs[n]
-        wav, sr = read_wav(self.path(n))
-        wav = np.asarray(wav, np.float32)
+        path = self.path(n)
+        # a talk holds hundreds of STM segments (contiguous in
+        # self._segs) — cache the one decoded talk so iteration is
+        # O(talk) instead of O(segments x talk)
+        if getattr(self, "_talk_path", None) != path:
+            wav, sr = read_wav(path)
+            self._talk_path = path
+            self._talk = (np.asarray(wav, np.float32), sr)
+        wav, sr = self._talk
         seg = wav[..., int(round(start * sr)):int(round(end * sr))]
-        return seg, sr, text, talk, spk, f"{talk}_{n}"
+        return seg.copy(), sr, text, talk, spk, f"{talk}_{n}"
 
 
 class FLUENTSPEECHCOMMANDS:
@@ -477,6 +530,9 @@ class FLUENTSPEECHCOMMANDS:
 
     def path(self, n: int) -> str:
         return os.path.join(self._base, self._rows[n]["path"])
+
+    def num_frames(self, n: int) -> int:
+        return _header_frames(self.path(n))
 
     def __getitem__(self, n: int):
         r = self._rows[n]
@@ -531,10 +587,14 @@ def batch_iterator(dataset, batch_size: int, shuffle_key=None,
     item list when ``collate=None``."""
     n = len(dataset)
     if bucket:
-        lens = []
-        for i in range(n):
-            item = dataset[i]
-            lens.append(np.asarray(item[0]).shape[-1])
+        nf = getattr(dataset, "num_frames", None)
+        if callable(nf):
+            # header-only lengths: bucketing must not decode the
+            # whole corpus up front (and then again per batch)
+            lens = [int(nf(i)) for i in range(n)]
+        else:
+            lens = [int(np.asarray(dataset[i][0]).shape[-1])
+                    for i in range(n)]
         batches = bucket_indices(lens, batch_size, shuffle_key)
     else:
         order = np.arange(n)
@@ -550,5 +610,10 @@ def batch_iterator(dataset, batch_size: int, shuffle_key=None,
         if collate is None:
             yield items
             continue
+        rates = {int(it[1]) for it in items}
+        if len(rates) > 1:
+            raise ValueError(
+                f"mixed sample rates in one batch {sorted(rates)} — "
+                "resample the corpus to a common rate first")
         wavs, lengths = collate([it[0] for it in items])
         yield wavs, lengths, [it[2:] for it in items]

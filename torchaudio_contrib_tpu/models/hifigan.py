@@ -162,7 +162,10 @@ class HiFiGANVocoder:
             for convs, dils in zip(layer, self.rb_dilations):
                 acc = acc + self._resblock(x, convs, dils)
             x = acc / len(self.rb_kernels)
-        x = jax.nn.leaky_relu(x, self.slope)
+        # the published generator's final activation is a BARE
+        # F.leaky_relu(x) — torch's default slope 0.01, NOT the 0.1
+        # used everywhere else (checkpoint parity depends on it)
+        x = jax.nn.leaky_relu(x, 0.01)
         x = jnp.tanh(_conv(x, params["post"]["w"],
                            params["post"]["b"]))
         wav = jnp.transpose(x, (0, 2, 1))              # (B, 1, T)
