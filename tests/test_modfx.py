@@ -63,39 +63,50 @@ def _phaser_oracle(x, sr, gain_in, gain_out, delay_ms, decay,
 
 
 def _flanger_oracle(x, sr, delay, depth, regen, width, speed_hz,
-                    modulation, interpolation):
+                    modulation, interpolation, phase=25.0):
+    """Float64 ring-buffer loop with SoX's gain balance: raw
+    regen/100 feeds back; the wet mix carries the (1-|fb|) balance;
+    channel c of C gets an LFO offset of phase/100·lfo_len·c/C."""
     x = np.asarray(x, np.float64)
     t = x.shape[-1]
+    n_ch = x.shape[-2] if x.ndim >= 2 else 1
     delay_gain = width / 100.0
     in_gain = 1.0 / (1.0 + delay_gain)
     delay_gain = delay_gain / (1.0 + delay_gain)
-    fb = regen / 100.0 * delay_gain
+    fb = regen / 100.0
+    delay_gain *= 1.0 - abs(fb)
     L = int((delay + depth) * 0.001 * sr + 0.5) + 2
     lfo_len = max(int(sr / speed_hz + 0.5), 1)
     lo = math.floor(delay * 0.001 * sr + 0.5)
     lfo = _wave_table(
         "sine" if modulation == "sinusoidal" else "triangle",
         lfo_len, lo, L - 2.0, 3.0 * math.pi / 2.0, as_int=False)
-    buf = np.zeros(x.shape[:-1] + (L,))
-    out = np.empty_like(x)
+    offs = np.round(phase / 100.0 * lfo_len
+                    * np.arange(n_ch) / n_ch).astype(np.int64)
+    squeeze = x.ndim == 1
+    x2 = x.reshape(n_ch, t) if squeeze else x    # (..., C, t)
+    buf = np.zeros(x2.shape[:-1] + (L,))
+    out = np.empty_like(x2)
     pos = 0
     for i in range(t):
         pos = (pos + L - 1) % L
-        dly = lfo[i % lfo_len]
-        int_d = int(math.floor(dly))
-        frac = dly - int_d
-        a = buf[..., (pos + int_d) % L]
-        b = buf[..., (pos + int_d + 1) % L]
-        if interpolation == "linear":
-            delayed = a + (b - a) * frac
-        else:
-            c = buf[..., (pos + int_d + 2) % L]
-            delayed = (a * (frac - 1) * (frac - 2) / 2
-                       - b * frac * (frac - 2)
-                       + c * frac * (frac - 1) / 2)
-        buf[..., pos] = x[..., i] + delayed * fb
-        out[..., i] = x[..., i] * in_gain + delayed * delay_gain
-    return out
+        delayed = np.empty(x2.shape[:-1])
+        for c in range(n_ch):
+            dly = lfo[(i + offs[c]) % lfo_len]
+            int_d = int(math.floor(dly))
+            frac = dly - int_d
+            a = buf[..., c, (pos + int_d) % L]
+            b = buf[..., c, (pos + int_d + 1) % L]
+            if interpolation == "linear":
+                delayed[..., c] = a + (b - a) * frac
+            else:
+                cc = buf[..., c, (pos + int_d + 2) % L]
+                delayed[..., c] = (a * (frac - 1) * (frac - 2) / 2
+                                   - b * frac * (frac - 2)
+                                   + cc * frac * (frac - 1) / 2)
+        buf[..., pos] = x2[..., i] + delayed * fb
+        out[..., i] = x2[..., i] * in_gain + delayed * delay_gain
+    return out.reshape(x.shape)
 
 
 # ----------------------------------------------------------------- tests
@@ -238,3 +249,47 @@ def test_speed_shifts_duration_and_pitch():
     assert abs(peak_hz - 880.0) < 10.0
     with pytest.raises(ValueError):
         tac.speed(x[None], sr, 0.0)
+
+
+def test_phaser_strong_decay_scan_path_exact():
+    """decay=0.99 needs ~1600 feedback terms — far beyond the 64-term
+    unroll cap (52% error when truncated).  The scan path is exact."""
+    sr = 8000
+    x = _sig((1, 2000), seed=7)
+    got = np.asarray(tac.phaser(jnp.asarray(x), sr, decay=0.99))
+    ref = _phaser_oracle(x, sr, 0.4, 0.74, 3.0, 0.99, 0.5, True)
+    assert np.max(np.abs(got - ref)) <= 1e-5
+
+
+def test_flanger_sox_gain_balance_strong_regen():
+    """regen=95: SoX feeds back the RAW 0.95 and scales the wet mix by
+    (1-0.95) — the old code fed back 0.394 and mixed the wet signal
+    ~20x louder."""
+    sr = 8000
+    x = _sig((2, 2500), seed=8)
+    got = np.asarray(tac.flanger(jnp.asarray(x), sr, delay=1.0,
+                                 depth=2.0, regen=95.0))
+    ref = _flanger_oracle(x, sr, 1.0, 2.0, 95.0, 71.0, 0.5,
+                          "sinusoidal", "linear")
+    assert np.max(np.abs(got - ref)) <= 1e-5
+
+
+def test_flanger_channel_phase():
+    """phase decorrelates the channels' LFOs; phase=0 keeps them
+    identical (and identical to the mono result)."""
+    sr = 8000
+    x1 = _sig((5000,), seed=9)
+    x = np.stack([x1, x1])
+    same = np.asarray(tac.flanger(jnp.asarray(x), sr, depth=2.0,
+                                  phase=0.0))
+    np.testing.assert_allclose(same[0], same[1], atol=1e-7)
+    mono = np.asarray(tac.flanger(jnp.asarray(x1), sr, depth=2.0))
+    np.testing.assert_allclose(same[0], mono, atol=1e-7)
+    shifted = np.asarray(tac.flanger(jnp.asarray(x), sr, depth=2.0,
+                                     phase=50.0))
+    assert np.max(np.abs(shifted[0] - shifted[1])) > 1e-4
+    ref = _flanger_oracle(x, sr, 0.0, 2.0, 0.0, 71.0, 0.5,
+                          "sinusoidal", "linear", phase=50.0)
+    assert np.max(np.abs(shifted - ref)) <= 1e-5
+    with pytest.raises(ValueError, match="phase"):
+        tac.flanger(jnp.asarray(x), sr, phase=150.0)

@@ -223,6 +223,12 @@ def test_vol_db_case_insensitive_and_loud_arg_errors(tone):
     with pytest.raises(ValueError, match="at most 5"):
         SE.apply_effects_tensor(
             tone, sr, [["phaser", ".8", ".7", "3", ".4", ".5", ".6"]])
-    with pytest.raises(ValueError, match="flanger"):
+    # the full sox flanger arg order is accepted...
+    out, _ = SE.apply_effects_tensor(
+        tone, sr, [["flanger", "0", "2", "0", "71", "0.5", "sine",
+                    "25", "linear"]])
+    assert out.shape == tone.shape
+    # ...but a bad shape word raises
+    with pytest.raises(ValueError, match="flanger shape"):
         SE.apply_effects_tensor(
-            tone, sr, [["flanger", "0", "2", "0", "71", "0.5", "sine"]])
+            tone, sr, [["flanger", "0", "2", "0", "71", "0.5", "saw"]])

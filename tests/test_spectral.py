@@ -88,3 +88,17 @@ def test_descriptors_batched_and_differentiable(rng):
         assert out.shape == m.shape[:2] + (m.shape[-1],)
         g = jax.grad(lambda v: jnp.sum(fn(v)))(m)
         assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_flatness_quiet_flat_spectrum_reads_one():
+    """A uniform (white) magnitude spectrum must give flatness 1.0 at
+    ANY level — the old magnitude-scale amin floor on the power-scale
+    arithmetic mean crushed a 1e-8 white spectrum to ~1e-6."""
+    from torchaudio_contrib_tpu.ops.spectral import spectral_flatness
+    quiet = jnp.full((1, 64, 3), 1e-8)
+    np.testing.assert_allclose(np.asarray(spectral_flatness(quiet)),
+                               1.0, atol=1e-5)
+    silent = jnp.zeros((1, 64, 3))
+    # exp(mean(log(amin^2))) in float32 rounds to ~0.99999
+    np.testing.assert_allclose(np.asarray(spectral_flatness(silent)),
+                               1.0, atol=1e-4)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .iir import lfilter
+from .stft import frame_signal
 
 __all__ = ["loudness", "a_weighting"]
 
@@ -76,12 +77,11 @@ def loudness(waveform: jnp.ndarray, sample_rate: float) -> jnp.ndarray:
         raise ValueError(
             f"clip too short for loudness: {t} samples < one 400 ms "
             f"gating block ({block})")
-    n_blocks = (t - block) // hop + 1
-
-    # framed mean-square energy per block: (…, ch, n_blocks)
-    idx = (np.arange(n_blocks)[:, None] * hop
-           + np.arange(block)[None, :])           # static gather indices
-    frames = y[..., idx]                          # (…, ch, n_blocks, block)
+    # framed mean-square energy per block: (…, ch, n_blocks) — via the
+    # phase-decomposed frame_signal (a naive (n_blocks, block) index
+    # gather lowers to the slow generic TPU gather kernel; see the
+    # frame_signal docstring's measured numbers)
+    frames = frame_signal(y, block, hop)          # (…, ch, n_blocks, block)
     z = jnp.mean(frames * frames, axis=-1)
 
     nch = z.shape[-2]

@@ -115,8 +115,11 @@ def phaser(waveform: jnp.ndarray, sample_rate: float,
     The recurrence ``temp[i] = gain_in·x[i] + decay·temp[i − lag[i]]``
     has data-independent lags (the modulation table is periodic), so it
     is unrolled into ``K = ⌈log(1e-7)/log(decay)⌉`` exact gather terms
-    (module docstring) — the truncated tail is below float32 resolution.
-    ``decay`` must be in (0, 0.99] so the series converges.
+    (module docstring) — the truncated tail is below float32
+    resolution.  For strong feedback (``decay`` ≳ 0.78) K exceeds 64
+    and the unroll would blow up trace size, so the recurrence runs
+    instead as a ``lax.scan`` over the rolling delay buffer — exact at
+    every permitted ``decay``.  ``decay`` must be in (0, 0.99].
     """
     if not 0.0 < decay <= 0.99:
         raise ValueError("decay must be in (0, 0.99]")
@@ -133,15 +136,32 @@ def phaser(waveform: jnp.ndarray, sample_rate: float,
     # tap is the value written lag = d + 1 - mod[i % m] steps earlier
     lag = (d + 1 - mod[np.arange(t) % m]).astype(np.int64)
 
+    k_exact = max(int(math.ceil(math.log(1e-7) / math.log(decay))), 1)
+    if k_exact > 64:
+        # strong decay: exact rolling-buffer scan (lag[i] ∈ [1, d], so
+        # slot j after the roll holds the temp written j steps ago)
+        lead = waveform.shape[:-1]
+        flat = waveform.reshape((-1, t))
+        lag_j = jnp.asarray(lag)
+
+        def step(buf, inputs):
+            x_i, lag_i = inputs
+            buf = jnp.roll(buf, 1, axis=-1)
+            temp = gain_in * x_i + decay * buf[:, lag_i]
+            buf = buf.at[:, 0].set(temp)
+            return buf, temp * gain_out
+
+        buf0 = jnp.zeros((flat.shape[0], d + 1), flat.dtype)
+        _, y = jax.lax.scan(step, buf0, (flat.T, lag_j))
+        return y.T.reshape(lead + (t,))
+
     # follow the index chains on host: chain_0 = identity,
     # chain_{k+1}[i] = chain_k[i] - lag[chain_k[i]]  (−1 = fell off)
-    k_terms = min(max(int(math.ceil(math.log(1e-7)
-                                    / math.log(decay))), 1), 64)
     out = waveform * gain_in
     idx = np.arange(t)
     alive = np.ones(t, bool)
     w = gain_in
-    for _ in range(1, k_terms):
+    for _ in range(1, k_exact):
         nxt = idx - lag[np.clip(idx, 0, t - 1)]
         alive = alive & (nxt >= 0)
         if not alive.any():
@@ -157,13 +177,22 @@ def phaser(waveform: jnp.ndarray, sample_rate: float,
 def flanger(waveform: jnp.ndarray, sample_rate: float,
             delay: float = 0.0, depth: float = 2.0, regen: float = 0.0,
             width: float = 71.0, speed: float = 0.5,
+            phase: float = 25.0,
             modulation: str = "sinusoidal",
             interpolation: str = "linear") -> jnp.ndarray:
     """SoX flanger: time-varying fractional delay with optional feedback.
 
     ``delay``/``depth`` in ms (ranges [0, 30]/[0, 10]), ``regen`` is
     feedback % in [-95, 95], ``width`` the wet mix %, ``speed`` the
-    modulation rate in Hz.  ``interpolation`` ∈ linear|quadratic.
+    modulation rate in Hz, ``phase`` the per-channel LFO phase shift %
+    in [0, 100] (channel ``c`` of ``C`` — the second-to-last axis —
+    gets an LFO offset of ``phase/100 · lfo_len · c/C``; SoX man-page
+    convention, torchaudio not verifiable in this environment).
+    ``interpolation`` ∈ linear|quadratic.
+
+    Gain balance follows SoX: ``in = 1/(1+w)``, ``wet = w/(1+w) ·
+    (1 − |regen/100|)`` with the RAW ``regen/100`` as the feedback
+    coefficient (the loop-balance step scales only the wet mix).
 
     ``regen == 0`` (default) runs the parallel two-gather path;
     feedback falls back to a ``lax.scan`` over the rolling delay buffer
@@ -178,6 +207,8 @@ def flanger(waveform: jnp.ndarray, sample_rate: float,
         raise ValueError("regen must be in [-95, 95]")
     if not 0.0 <= width <= 100.0:
         raise ValueError("width must be in [0, 100]")
+    if not 0.0 <= phase <= 100.0:
+        raise ValueError("phase must be in [0, 100]")
     if modulation not in ("sinusoidal", "triangular"):
         raise ValueError("modulation must be sinusoidal|triangular")
     if interpolation not in ("linear", "quadratic"):
@@ -185,11 +216,13 @@ def flanger(waveform: jnp.ndarray, sample_rate: float,
     waveform = waveform.astype(jnp.promote_types(waveform.dtype,
                                                  jnp.float32))
     t = waveform.shape[-1]
+    n_ch = waveform.shape[-2] if waveform.ndim >= 2 else 1
 
     delay_gain = width / 100.0
     in_gain = 1.0 / (1.0 + delay_gain)
     delay_gain = delay_gain / (1.0 + delay_gain)
-    fb_gain = regen / 100.0 * delay_gain
+    fb_gain = regen / 100.0
+    delay_gain *= 1.0 - abs(fb_gain)       # SoX feedback-loop balance
 
     buf_len = int((delay + depth) * 0.001 * sample_rate + 0.5) + 2
     lfo_len = max(int(sample_rate / speed + 0.5), 1)
@@ -198,15 +231,17 @@ def flanger(waveform: jnp.ndarray, sample_rate: float,
     lfo = _wave_table(
         "sine" if modulation == "sinusoidal" else "triangle",
         lfo_len, lo, hi, 3.0 * math.pi / 2.0, as_int=False)
-    dly = lfo[np.arange(t) % lfo_len]           # fractional delay/step
-    int_d = np.floor(dly).astype(np.int64)
+    offs = np.round(phase / 100.0 * lfo_len
+                    * np.arange(n_ch) / n_ch).astype(np.int64)
+    dly = lfo[(np.arange(t)[None, :] + offs[:, None]) % lfo_len]
+    int_d = np.floor(dly).astype(np.int64)     # (C, t)
     frac = dly - int_d
 
     # read taps are the buffer slots written int_d (+1) steps earlier;
     # a lag beyond the write history wraps to the stale slot (zero for
     # the first buf_len steps — matches the zero-initialized SoX buffer)
     if interpolation == "linear":
-        tap_lags = np.stack([int_d, int_d + 1])           # (2, t)
+        tap_lags = np.stack([int_d, int_d + 1])           # (2, C, t)
         tap_w = np.stack([1.0 - frac, frac])
     else:
         # SoX quadratic: Lagrange-style 3-tap around the integer delay
@@ -223,32 +258,44 @@ def flanger(waveform: jnp.ndarray, sample_rate: float,
         steps = np.arange(t)
         out = waveform * in_gain
         wet = jnp.zeros_like(waveform)
-        for lags, ws in zip(tap_lags, tap_w):
-            src = steps - lags
+        for lags, ws in zip(tap_lags, tap_w):   # (C, t) each
+            src = steps[None, :] - lags
             valid = src >= 0
-            gathered = jnp.take(waveform,
-                                jnp.asarray(np.where(valid, src, 0)),
-                                axis=-1)
-            wet = wet + jnp.asarray(ws * valid) * gathered
+            idx = np.where(valid, src, 0)
+            if waveform.ndim == 1:
+                gathered = jnp.take(waveform, jnp.asarray(idx[0]),
+                                    axis=-1)
+                wet = wet + jnp.asarray(ws[0] * valid[0]) * gathered
+            else:
+                idx_b = jnp.broadcast_to(jnp.asarray(idx),
+                                         waveform.shape)
+                gathered = jnp.take_along_axis(waveform, idx_b,
+                                               axis=-1)
+                wet = wet + jnp.asarray(ws * valid) * gathered
         return out + delay_gain * wet
 
     # feedback path: rolling buffer scan (write pos fixed at 0 by
-    # rolling the buffer itself one slot per step)
+    # rolling the buffer itself one slot per step), channel-aware lags
     lead = waveform.shape[:-1]
-    flat = waveform.reshape((-1, t))
-    lags_j = jnp.asarray(tap_lags % buf_len)    # (taps, t)
-    w_j = jnp.asarray(tap_w, flat.dtype)
+    flat = (waveform.reshape((1, 1, t)) if waveform.ndim == 1
+            else waveform.reshape((-1,) + waveform.shape[-2:]))
+    b = flat.shape[0]
+    n_taps = tap_lags.shape[0]
+    lags_j = jnp.asarray(tap_lags % buf_len)    # (taps, C, t)
+    w_j = jnp.asarray(tap_w, flat.dtype)        # (taps, C, t)
 
-    def step(buf, inputs):
-        x_i, lag_i, w_i = inputs
+    def step(buf, inputs):                      # buf (B, C, L)
+        x_i, lag_i, w_i = inputs                # (B, C) / (taps, C) ×2
         buf = jnp.roll(buf, 1, axis=-1)
-        taps = buf[:, lag_i]                    # (batch, n_taps)
-        wet = jnp.sum(taps * w_i, axis=-1)
-        buf = buf.at[:, 0].set(x_i + wet * fb_gain)
+        idx = jnp.broadcast_to(lag_i.T[None], (b, n_ch, n_taps))
+        taps = jnp.take_along_axis(buf, idx, axis=-1)   # (B, C, taps)
+        wet = jnp.sum(taps * w_i.T[None], axis=-1)      # (B, C)
+        buf = buf.at[..., 0].set(x_i + wet * fb_gain)
         return buf, x_i * in_gain + wet * delay_gain
 
-    buf0 = jnp.zeros((flat.shape[0], buf_len), flat.dtype)
+    buf0 = jnp.zeros((b, n_ch, buf_len), flat.dtype)
     _, y = jax.lax.scan(
         step, buf0,
-        (flat.T, jnp.moveaxis(lags_j, -1, 0), w_j.T))
-    return y.T.reshape(lead + (t,))
+        (jnp.moveaxis(flat, -1, 0), jnp.moveaxis(lags_j, -1, 0),
+         jnp.moveaxis(w_j, -1, 0)))
+    return jnp.moveaxis(y, 0, -1).reshape(lead + (t,))

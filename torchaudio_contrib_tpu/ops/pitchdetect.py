@@ -28,12 +28,15 @@ def detect_pitch_frequency(waveform: jnp.ndarray, sample_rate: float,
                            win_length: int = 30,
                            freq_low: float = 85.0,
                            freq_high: float = 3400.0) -> jnp.ndarray:
-    """Per-frame fundamental frequency estimate, ``(..., n_frames)`` Hz.
+    """Per-frame fundamental frequency estimate, ``(..., n_out)`` Hz.
 
-    ``frame_time`` is the hop in seconds; ``win_length`` the number of
-    hops per analysis window (torchaudio-compatible semantics: a 30 ×
-    10 ms ≈ 300 ms window by default, median-smoothed).  The lag search
-    spans ``sample_rate/freq_high .. sample_rate/freq_low``.
+    torchaudio's parameter semantics: the NCCF frame is ``frame_time``
+    seconds long (frames tile the clip at that stride, ceil count,
+    zero tail padding) and ``win_length`` is the MEDIAN-smoothing
+    window in frames (front-replicated ``(win_length-1)//2`` padding,
+    so ``n_out = ceil(T/frame) - win_length + 1 + (win_length-1)//2``).
+    The lag search spans ``sample_rate/freq_high ..
+    sample_rate/freq_low``.
     """
     waveform = waveform.astype(jnp.promote_types(waveform.dtype,
                                                  jnp.float32))
@@ -41,34 +44,37 @@ def detect_pitch_frequency(waveform: jnp.ndarray, sample_rate: float,
     t = waveform.shape[-1]
     x = waveform.reshape((-1, t))
 
-    hop = max(int(sample_rate * frame_time), 1)
-    flen = hop * win_length                       # analysis window
-    lag_min = max(int(sample_rate / freq_high), 1)
+    fs = max(int(np.ceil(sample_rate * frame_time)), 1)
+    lag_min = max(int(np.ceil(sample_rate / freq_high)), 1)
     lag_max = int(np.ceil(sample_rate / freq_low))
-    ext = flen + lag_max                          # window + lag tail
-    if t < ext:
+    n_frames = int(np.ceil(t / fs))
+    half = (win_length - 1) // 2
+    n_out = n_frames - win_length + 1 + half
+    if n_out < 1:
         raise ValueError(
-            f"waveform too short for pitch detection: {t} samples < "
-            f"window+max_lag = {ext} (frame_time={frame_time}, "
-            f"win_length={win_length}, freq_low={freq_low})")
+            f"waveform too short for pitch detection: {t} samples "
+            f"give {n_frames} frames of {fs}; the {win_length}-frame "
+            f"median window needs at least {win_length - half}")
+    # zero tail padding so every ceil-counted frame has its lag reach
+    x = jnp.pad(x, ((0, 0), (0, lag_max + n_frames * fs - t)))
 
-    n_frames = (t - ext) // hop + 1
-    u = frame_signal(x, ext, hop)                 # (B, n_frames, ext)
-    w = u[..., :flen]                             # reference segment
+    ext = fs + lag_max                            # frame + lag tail
+    u = frame_signal(x, ext, fs)[:, :n_frames]    # (B, n_frames, ext)
+    w = u[..., :fs]                               # reference segment
 
     # all-lag correlation a[l] = Σ_t w[t]·u[t+l] via the correlation
     # theorem — one zero-padded rFFT product instead of a lag loop
-    nfft = 1 << int(np.ceil(np.log2(ext + flen)))
+    nfft = 1 << int(np.ceil(np.log2(ext + fs)))
     U = jnp.fft.rfft(u, n=nfft, axis=-1)
     W = jnp.fft.rfft(w, n=nfft, axis=-1)
     corr = jnp.fft.irfft(jnp.conj(W) * U, n=nfft,
                          axis=-1)[..., :lag_max + 1]
 
-    # sliding energy of u over [l, l+flen) for each lag, via cumsum
+    # sliding energy of u over [l, l+fs) for each lag, via cumsum
     c2 = jnp.cumsum(u * u, axis=-1)
     zero = jnp.zeros(c2.shape[:-1] + (1,), c2.dtype)
     c2 = jnp.concatenate([zero, c2], axis=-1)     # (B, F, ext+1)
-    e_u = c2[..., flen:flen + lag_max + 1] - c2[..., :lag_max + 1]
+    e_u = c2[..., fs:fs + lag_max + 1] - c2[..., :lag_max + 1]
     e_w = e_u[..., :1]                            # lag-0 energy of w
 
     nccf = corr / jnp.sqrt(jnp.maximum(e_w * e_u, 1e-12))
@@ -79,11 +85,10 @@ def detect_pitch_frequency(waveform: jnp.ndarray, sample_rate: float,
     best = jnp.argmax(nccf, axis=-1)              # (B, n_frames)
     freq = sample_rate / best.astype(jnp.float32)
 
-    # median smoothing over a short frame window (odd width)
-    med_w = 5 if n_frames >= 5 else (n_frames | 1)
-    half = med_w // 2
-    padded = jnp.pad(freq, ((0, 0), (half, half)), mode="edge")
-    stack = jnp.stack([padded[:, k:k + n_frames] for k in range(med_w)],
-                      axis=-1)
+    # median smoothing: torchaudio's front-replicated padding and
+    # win_length-wide windows (output shorter than n_frames)
+    padded = jnp.pad(freq, ((0, 0), (half, 0)), mode="edge")
+    stack = jnp.stack([padded[:, k:k + n_out]
+                       for k in range(win_length)], axis=-1)
     freq = jnp.median(stack, axis=-1)
-    return freq.reshape(lead + (n_frames,))
+    return freq.reshape(lead + (n_out,))

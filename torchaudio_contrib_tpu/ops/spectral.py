@@ -83,7 +83,10 @@ def spectral_flatness(mag_specgrams: jnp.ndarray,
     p = jnp.maximum(mag_specgrams, amin) ** 2
     log_gm = jnp.mean(jnp.log(p), axis=-2)
     am = jnp.mean(p, axis=-2)
-    return jnp.exp(log_gm) / jnp.maximum(am, amin)
+    # am >= amin**2 > 0 by construction — a magnitude-scale amin floor
+    # here would crush quiet flat frames toward 0 (a 1e-8 white
+    # spectrum must still read 1.0, librosa's behavior)
+    return jnp.exp(log_gm) / am
 
 
 def zero_crossing_rate(waveform: jnp.ndarray,

@@ -176,17 +176,22 @@ def vad_onset(waveform: jnp.ndarray, sample_rate: float,
     trig_len = max(int(round(trigger_time * measure_freq)), 1)
 
     if gap_len > 0:
-        # bridge dropouts ≤ gap_len: morphological closing along time
+        # bridge dropouts ≤ gap_len: morphological closing along time.
+        # Both passes use VALID windows with explicit alignment — a
+        # SAME-padded erode reuses the dilation's asymmetric split for
+        # even k, which shifts every run one frame earlier and clips
+        # runs touching frame 0 (C[t] must be min over the k dilation
+        # windows CONTAINING t, i.e. ero offset t+1 below).
         k = gap_len + 1
         pad = jnp.pad(active, [(0, 0)] * (active.ndim - 1) + [(k, k)])
         f = pad.astype(jnp.float32)
         dil = jax.lax.reduce_window(
             f, -jnp.inf, jax.lax.max, (1,) * (f.ndim - 1) + (k,),
-            (1,) * f.ndim, "SAME")
+            (1,) * f.ndim, "VALID")
         ero = jax.lax.reduce_window(
             dil, jnp.inf, jax.lax.min, (1,) * (f.ndim - 1) + (k,),
-            (1,) * f.ndim, "SAME")
-        closed = ero[..., k:k + n_meas] > 0.5
+            (1,) * f.ndim, "VALID")
+        closed = ero[..., 1:1 + n_meas] > 0.5
     else:
         closed = active
 

@@ -265,13 +265,28 @@ def _apply_one(wave, sr, name, args, key):
         kw["sinusoidal"] = "-t" not in a
         return _ops.phaser(wave, sr, **kw), sr
     if name == "flanger":
-        if len(a) > 5:
-            raise ValueError(
-                f"flanger arguments beyond delay/depth/regen/width/"
-                f"speed ({a[5:]}) not supported")
-        vals = [_num(x, "flanger arg") for x in a]
+        # sox order: delay depth regen width speed shape phase interp
+        if len(a) > 8:
+            raise ValueError(f"flanger takes at most 8 arguments, "
+                             f"got {len(a)}")
         kw = dict(zip(("delay", "depth", "regen", "width", "speed"),
-                      vals))
+                      [_num(x, "flanger arg") for x in a[:5]]))
+        if len(a) > 5:
+            shape = a[5].lower()
+            if shape not in ("sine", "sinusoidal", "triangle",
+                             "triangular"):
+                raise ValueError(f"flanger shape {a[5]!r} not "
+                                 "supported (sine|triangle)")
+            kw["modulation"] = ("sinusoidal" if shape.startswith("sin")
+                                else "triangular")
+        if len(a) > 6:
+            kw["phase"] = _num(a[6], "phase")
+        if len(a) > 7:
+            interp = a[7].lower()
+            if interp not in ("linear", "quadratic"):
+                raise ValueError(f"flanger interpolation {a[7]!r} not "
+                                 "supported (linear|quadratic)")
+            kw["interpolation"] = interp
         return _ops.flanger(wave, sr, **kw), sr
     if name == "vad":
         return _ops.vad(wave, sr), sr
