@@ -69,6 +69,27 @@ def main(smoke: bool = False):
         lambda x: jax.tree_util.tree_leaves(g(p, x))[0], feats, k=4)
     emit(f"conformer{LYR}-fwdbwd", sec, BT * T, "frames")
 
+    # Wav2Vec2 vs WavLM BASE (same dims): isolates the gated
+    # rel-pos-bias cost (table lookup + per-layer gate GEMM)
+    from torchaudio_contrib_tpu.models.wav2vec2 import (
+        wav2vec2_base, wavlm_base, Wav2Vec2, WavLM)
+    BW, TW = (1, 16000) if smoke else (4, 160000)   # 10 s @ 16 kHz
+    if smoke:
+        cfg = dict(extractor_conv_layers=((32, 10, 5), (32, 3, 2)),
+                   d_model=32, num_layers=2, num_heads=4, ff_dim=64,
+                   pos_conv_kernel=16, pos_conv_groups=4)
+        pair = (("w2v2", Wav2Vec2(**cfg)), ("wavlm", WavLM(**cfg)))
+    else:
+        pair = (("w2v2-base", wav2vec2_base()),
+                ("wavlm-base", wavlm_base()))
+    for name, net in pair:
+        pw = net.init(jax.random.PRNGKey(3))
+        wav = jnp.asarray(rng.standard_normal((BW, TW)) * 0.1,
+                          jnp.float32)
+        sec = time_device_loop(lambda x: net.apply(pw, x)[0], wav,
+                               k=2)
+        emit(f"{name}-fwd", sec, BW * TW, "samples")
+
     # ConvTasNet base: batch 4 x 4 s of 8 kHz separation
     net = ConvTasNet() if not smoke else ConvTasNet(
         enc_filters=64, bottleneck=32, hidden=64, num_blocks=2,

@@ -188,3 +188,56 @@ def test_fbanks_aliases_match_builders():
     a = ops.barkscale_fbanks(257, 0.0, 8000.0, 24, 16000)
     b = ops.create_bark_filter(24, 16000, 0.0, 8000.0, 257)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_band_biquad_matches_literal_sox_formula(noise):
+    """`band_biquad` vs an independent transcription of the SoX
+    single-pole-pair resonator coefficients through float64 scipy."""
+    import math
+    sr, f, Q = 16000.0, 1500.0, 2.0
+    for use_noise in (False, True):
+        w0 = 2 * math.pi * f / sr
+        a2 = math.exp(-2 * math.pi * (f / Q) / sr)
+        a1 = -4 * a2 / (1 + a2) * math.cos(w0)
+        b0 = math.sqrt(1 - a1 * a1 / (4 * a2)) * (1 - a2)
+        if use_noise:
+            b0 = math.sqrt(((1 + a2) ** 2 - a1 * a1)
+                           * (1 - a2) / (1 + a2))
+        y = np.asarray(iir.band_biquad(jnp.asarray(noise), sr, f,
+                                       Q=Q, noise=use_noise))
+        ref = sps.lfilter([b0, 0.0, 0.0], [1.0, a1, a2],
+                          noise.astype(np.float64), axis=-1)
+        assert np.abs(y - ref).max() < 1e-5, use_noise
+
+
+def test_band_biquad_passband():
+    sr = 16000
+    t = np.arange(sr, dtype=np.float32) / sr
+
+    def rms(freq):
+        x = jnp.asarray(np.sin(2 * np.pi * freq * t))
+        y = np.asarray(iir.band_biquad(x, sr, 1000.0, Q=4.0))
+        return float(np.sqrt(np.mean(np.square(y[sr // 4:]))))
+
+    assert rms(1000.0) > 4.0 * rms(4000.0)
+
+
+def test_deemph_biquad_response_and_validation():
+    """CD de-emphasis: ~0 dB at low frequency, ≈ -9.5 dB shelf at
+    10 kHz (gain parameter of the tabulated 44.1 kHz shelf)."""
+    sr = 44100
+    t = np.arange(sr, dtype=np.float32) / sr
+
+    def gain_db(freq):
+        x = jnp.asarray(np.sin(2 * np.pi * freq * t))
+        y = np.asarray(iir.deemph_biquad(x, sr))
+        r = np.sqrt(np.mean(np.square(y[sr // 4:])))
+        return 20 * np.log10(r / np.sqrt(0.5))
+
+    assert abs(gain_db(100.0)) < 0.2
+    assert -10.5 < gain_db(16000.0) < -8.0
+    # mid-shelf point: roughly half the cut around the center freq
+    assert -7.5 < gain_db(5300.0) < -3.0
+    iir.deemph_biquad(jnp.zeros(64), 48000)      # supported
+    with pytest.raises(ValueError):
+        iir.deemph_biquad(jnp.zeros(64), 22050)

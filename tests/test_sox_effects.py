@@ -232,3 +232,29 @@ def test_vol_db_case_insensitive_and_loud_arg_errors(tone):
     with pytest.raises(ValueError, match="flanger shape"):
         SE.apply_effects_tensor(
             tone, sr, [["flanger", "0", "2", "0", "71", "0.5", "saw"]])
+
+
+def test_band_deemph_riaa_dispatch(tone):
+    sr = 16000
+    out, _ = SE.apply_effects_tensor(tone, sr, [["band", "440", "2q"]])
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.asarray(tac.band_biquad(tone, sr, 440.0, Q=2.0)), atol=1e-6)
+    out_n, _ = SE.apply_effects_tensor(tone, sr,
+                                       [["band", "-n", "440"]])
+    np.testing.assert_allclose(
+        np.asarray(out_n),
+        np.asarray(tac.band_biquad(tone, sr, 440.0, noise=True)),
+        atol=1e-6)
+    out, _ = SE.apply_effects_tensor(tone, 44100, [["deemph"]])
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(tac.deemph_biquad(tone, 44100)),
+        atol=1e-6)
+    out, _ = SE.apply_effects_tensor(tone, 44100, [["riaa"]])
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(tac.riaa_biquad(tone, 44100)),
+        atol=1e-6)
+    with pytest.raises(ValueError):
+        SE.apply_effects_tensor(tone, 44100, [["deemph", "1"]])
+    with pytest.raises(ValueError):
+        SE.apply_effects_tensor(tone, 44100, [["riaa", "x"]])

@@ -77,6 +77,31 @@ def test_wav2vec2_sharded_equals_replicated():
                                atol=2e-5)
 
 
+def test_wavlm_sharded_equals_replicated():
+    """WavLM's extra leaves (rel_embed table, per-layer gate params)
+    replicate under the name rules; the gated-bias attention must be
+    numerically identical sharded vs replicated."""
+    mesh = make_mesh(n_data=4, n_model=2)
+    model = tac.WavLM(extractor_conv_layers=((8, 10, 5), (8, 3, 2)),
+                      d_model=16, num_layers=2, num_heads=2,
+                      ff_dim=32, pos_conv_kernel=8,
+                      pos_conv_groups=2, num_buckets=16,
+                      max_distance=30)
+    params = model.init(jax.random.PRNGKey(1))
+    specs = tensor_parallel_specs(params, mesh)
+    assert specs["rel_embed"].spec == P()
+    assert specs["layers"][0]["gru_w"].spec == P()
+    assert specs["layers"][0]["gru_const"].spec == P()
+    wav = jnp.asarray(np.random.default_rng(0)
+                      .standard_normal((4, 400)), jnp.float32)
+    ref, _ = model.apply(params, wav)
+    sp = shard_params(params, mesh)
+    wav_s = jax.device_put(wav, NamedSharding(mesh, P("data", None)))
+    out, _ = jax.jit(model.apply)(sp, wav_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
+
+
 def test_rnnt_sharded_train_step():
     """DP batch + TP params: loss and grads match the replicated
     run."""

@@ -35,7 +35,8 @@ from .ops import (
     spectral_flatness, zero_crossing_rate,
     lfilter, filtfilt, biquad, lowpass_biquad, highpass_biquad,
     bandpass_biquad, bandreject_biquad, allpass_biquad,
-    equalizer_biquad, bass_biquad, treble_biquad, riaa_biquad,
+    equalizer_biquad, bass_biquad, treble_biquad,
+    band_biquad, deemph_biquad, riaa_biquad,
     loudness, a_weighting,
     create_chroma_filter,
     cqt_frequencies, create_cqt_kernel, cqt, pseudo_cqt,
@@ -81,6 +82,8 @@ from .models import (
     RNNT, RNNTPredictor, RNNTBeamSearch,
     wav2vec2_base, wav2vec2_large,
     hubert_base, hubert_large, hubert_xlarge,
+    WavLM, wavlm_base, wavlm_large,
+    wav2vec2_xlsr_300m, wav2vec2_xlsr_1b, wav2vec2_xlsr_2b,
     HuBERTPretrainModel, span_mask, HDemucs,
     ConformerWav2Vec2, conformer_wav2vec2_model,
     conformer_wav2vec2_base,
@@ -148,7 +151,8 @@ __all__ = [
     "spectral_flatness", "zero_crossing_rate",
     "lfilter", "filtfilt", "biquad", "lowpass_biquad", "highpass_biquad",
     "bandpass_biquad", "bandreject_biquad", "allpass_biquad",
-    "equalizer_biquad", "bass_biquad", "treble_biquad", "riaa_biquad",
+    "equalizer_biquad", "bass_biquad", "treble_biquad",
+    "band_biquad", "deemph_biquad", "riaa_biquad",
     "loudness", "a_weighting",
     "create_chroma_filter",
     "cqt_frequencies", "create_cqt_kernel", "cqt", "pseudo_cqt",
@@ -184,6 +188,8 @@ __all__ = [
     "RNNT", "RNNTPredictor", "RNNTBeamSearch",
     "wav2vec2_base", "wav2vec2_large",
     "hubert_base", "hubert_large", "hubert_xlarge",
+    "WavLM", "wavlm_base", "wavlm_large",
+    "wav2vec2_xlsr_300m", "wav2vec2_xlsr_1b", "wav2vec2_xlsr_2b",
     "HuBERTPretrainModel", "span_mask", "HDemucs",
     "ConformerWav2Vec2", "conformer_wav2vec2_model",
     "conformer_wav2vec2_base",

@@ -18,6 +18,8 @@ from .tacotron2 import Tacotron2
 from .wav2vec2 import (
     Wav2Vec2, wav2vec2_base, wav2vec2_large,
     hubert_base, hubert_large, hubert_xlarge,
+    WavLM, wavlm_base, wavlm_large,
+    wav2vec2_xlsr_300m, wav2vec2_xlsr_1b, wav2vec2_xlsr_2b,
 )
 from .hubert import HuBERTPretrainModel, span_mask
 from .conformer_w2v2 import (
@@ -70,6 +72,8 @@ __all__ = [
     "RNNT", "RNNTPredictor", "RNNTBeamSearch",
     "wav2vec2_base", "wav2vec2_large",
     "hubert_base", "hubert_large", "hubert_xlarge",
+    "WavLM", "wavlm_base", "wavlm_large",
+    "wav2vec2_xlsr_300m", "wav2vec2_xlsr_1b", "wav2vec2_xlsr_2b",
     "HuBERTPretrainModel", "span_mask", "HDemucs",
     "ConformerWav2Vec2", "conformer_wav2vec2_model",
     "conformer_wav2vec2_base",

@@ -27,7 +27,10 @@ import jax.numpy as jnp
 from ._common import _dense, _conv, _ln, _ln_p
 
 __all__ = ["Wav2Vec2", "wav2vec2_base", "wav2vec2_large",
-           "hubert_base", "hubert_large", "hubert_xlarge"]
+           "hubert_base", "hubert_large", "hubert_xlarge",
+           "WavLM", "wavlm_base", "wavlm_large",
+           "wav2vec2_xlsr_300m", "wav2vec2_xlsr_1b",
+           "wav2vec2_xlsr_2b"]
 
 
 class Wav2Vec2:
@@ -122,18 +125,43 @@ class Wav2Vec2:
             y = jax.nn.gelu(_ln(y, p["n"]))
         return y
 
-    def _attention(self, p, x, pad_mask):
+    def _attention(self, p, x, pad_mask, pos_bias=None):
         b, t, d = x.shape
         h = self.num_heads
         hd = d // h
         qkv = (x @ p["wqkv"] + p["bqkv"]).reshape(b, t, 3, h, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
+        if pos_bias is not None:
+            # WavLM gated relative position bias: per-(head, query)
+            # gates from q via a (head_dim -> 8) projection folded
+            # 2x4 -> sigmoid pair (a, b); the bias added to the
+            # logits is (a*(b*const - 1) + 2) * bucket_bias.
+            gates = jax.nn.sigmoid(
+                (q @ p["gru_w"] + p["gru_b"])
+                .reshape(b, t, h, 2, 4).sum(-1))    # (B, T, H, 2)
+            gate = (gates[..., 0]
+                    * (gates[..., 1] * p["gru_const"][None, None, :]
+                       - 1.0) + 2.0)                # (B, T, H)
+            logits = logits + (jnp.transpose(gate, (0, 2, 1))[..., None]
+                               * pos_bias[None])
         if pad_mask is not None:
             logits = jnp.where(pad_mask[:, None, None, :], logits, -1e30)
         attn = jax.nn.softmax(logits, -1)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
         return out @ p["wo"] + p["bo"]
+
+    def _encode(self, params, x, pad_mask):
+        """Transformer layer stack; subclass hook (WavLM adds the
+        gated relative position bias here)."""
+        for p in params["layers"]:
+            x = x + self._attention(p, _ln(x, p["ln1"]), pad_mask)
+            y = _ln(x, p["ln2"])
+            x = (x + jax.nn.gelu(y @ p["w1"] + p["b1"]) @ p["w2"]
+                 + p["b2"])
+            if pad_mask is not None:
+                x = jnp.where(pad_mask[..., None], x, 0.0)
+        return x
 
     def apply(self, params, waveforms, lengths=None, *,
               frame_mask=None, mask_embedding=None,
@@ -180,12 +208,7 @@ class Wav2Vec2:
         x = _ln(x + jax.nn.gelu(pos), params["enc_ln"])
         if pad_mask is not None:
             x = jnp.where(pad_mask[..., None], x, 0.0)
-        for p in params["layers"]:
-            x = x + self._attention(p, _ln(x, p["ln1"]), pad_mask)
-            y = _ln(x, p["ln2"])
-            x = x + jax.nn.gelu(y @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
-            if pad_mask is not None:
-                x = jnp.where(pad_mask[..., None], x, 0.0)
+        x = self._encode(params, x, pad_mask)
         if self.aux_out is not None:
             x = x @ params["aux"]["w"] + params["aux"]["b"]
         if return_features:
@@ -194,6 +217,83 @@ class Wav2Vec2:
 
     def __call__(self, params, waveforms, lengths=None):
         return self.apply(params, waveforms, lengths)
+
+
+class WavLM(Wav2Vec2):
+    """WavLM (Chen et al. 2022) — a Wav2Vec2 encoder whose
+    self-attention adds a *gated relative position bias*
+    (torchaudio's ``wavlm_model``/``wavlm_base``/``wavlm_large``,
+    ``models/wav2vec2/components.py::WavLMSelfAttention``
+    [ref-recon: torchaudio, not in the contrib reference]).
+
+    Relative offsets ``k - q`` are bucketed T5-style (half exact,
+    half log-spaced up to ``max_distance``, sign-separated) into a
+    learned ``(num_buckets, num_heads)`` bias table shared by all
+    layers; each layer gates the shared bias per (head, query) from
+    its own query vectors.  The bucket grid is built once per traced
+    length at trace time (static shapes), so the jitted step carries
+    only the table lookup + one small GEMM for the gates — MXU/VPU
+    friendly, no dynamic shapes.
+
+    Same pure-params contract, length propagation, and SSL hooks as
+    ``Wav2Vec2`` — ``HuBERTPretrainModel`` composes unchanged.
+    """
+
+    def __init__(self, *args, num_buckets: int = 320,
+                 max_distance: int = 800, **kwargs):
+        super().__init__(*args, **kwargs)
+        if num_buckets < 4 or num_buckets % 2:
+            raise ValueError("num_buckets must be even and >= 4")
+        if max_distance <= num_buckets // 4:
+            raise ValueError("max_distance must exceed num_buckets//4")
+        self.num_buckets = num_buckets
+        self.max_distance = max_distance
+        self._config = self._config + (num_buckets, max_distance)
+
+    def init(self, key):
+        k_base, k_rel, k_gru = jax.random.split(key, 3)
+        p = super().init(k_base)
+        p["rel_embed"] = (0.02 * jax.random.normal(
+            k_rel, (self.num_buckets, self.num_heads), jnp.float32))
+        hd = self.d_model // self.num_heads
+        for lp, kk in zip(p["layers"],
+                          jax.random.split(k_gru, self.num_layers)):
+            lp["gru_w"] = _dense(kk, hd, 8)
+            lp["gru_b"] = jnp.zeros((8,))
+            lp["gru_const"] = jnp.ones((self.num_heads,))
+        return p
+
+    def _buckets(self, t: int):
+        """(t, t) int bucket indices for offsets ``k - q`` — static
+        (NumPy at trace time; t is a traced shape, always concrete)."""
+        import numpy as np
+        rel = np.arange(t)[None, :] - np.arange(t)[:, None]
+        nb = self.num_buckets // 2
+        out = (rel > 0).astype(np.int64) * nb
+        arel = np.abs(rel)
+        max_exact = nb // 2
+        log_large = max_exact + (
+            np.log(np.maximum(arel, 1) / max_exact)
+            / math.log(self.max_distance / max_exact)
+            * (nb - max_exact)).astype(np.int64)
+        out += np.where(arel < max_exact, arel,
+                        np.minimum(log_large, nb - 1))
+        return out
+
+    def _encode(self, params, x, pad_mask):
+        t = x.shape[1]
+        table = params["rel_embed"]                   # (buckets, H)
+        pos_bias = jnp.transpose(
+            table[jnp.asarray(self._buckets(t))], (2, 0, 1))  # (H,T,T)
+        for p in params["layers"]:
+            x = x + self._attention(p, _ln(x, p["ln1"]), pad_mask,
+                                    pos_bias)
+            y = _ln(x, p["ln2"])
+            x = (x + jax.nn.gelu(y @ p["w1"] + p["b1"]) @ p["w2"]
+                 + p["b2"])
+            if pad_mask is not None:
+                x = jnp.where(pad_mask[..., None], x, 0.0)
+        return x
 
 
 # -- standard configurations (torchaudio's wav2vec2_*/hubert_* zoo) --
@@ -223,3 +323,34 @@ def hubert_xlarge(aux_out: Optional[int] = None) -> Wav2Vec2:
     """XLARGE: 48 layers, d 1280, 16 heads, FFN 5120 (~1 B params)."""
     return Wav2Vec2(d_model=1280, num_layers=48, num_heads=16,
                     ff_dim=5120, aux_out=aux_out)
+
+
+def wavlm_base(aux_out: Optional[int] = None) -> WavLM:
+    """WavLM BASE: wav2vec2 BASE dims + gated rel-pos bias
+    (320 buckets, max distance 800)."""
+    return WavLM(aux_out=aux_out)
+
+
+def wavlm_large(aux_out: Optional[int] = None) -> WavLM:
+    """WavLM LARGE: 24 layers, d 1024, 16 heads, FFN 4096."""
+    return WavLM(d_model=1024, num_layers=24, num_heads=16,
+                 ff_dim=4096, aux_out=aux_out)
+
+
+def wav2vec2_xlsr_300m(aux_out: Optional[int] = None) -> Wav2Vec2:
+    """XLS-R 0.3 B: the LARGE encoder geometry (multilingual
+    pretraining is a checkpoint property, not an architecture one)."""
+    return Wav2Vec2(d_model=1024, num_layers=24, num_heads=16,
+                    ff_dim=4096, aux_out=aux_out)
+
+
+def wav2vec2_xlsr_1b(aux_out: Optional[int] = None) -> Wav2Vec2:
+    """XLS-R 1 B: 48 layers, d 1280, 16 heads, FFN 5120."""
+    return Wav2Vec2(d_model=1280, num_layers=48, num_heads=16,
+                    ff_dim=5120, aux_out=aux_out)
+
+
+def wav2vec2_xlsr_2b(aux_out: Optional[int] = None) -> Wav2Vec2:
+    """XLS-R 2 B: 48 layers, d 1920, 16 heads, FFN 7680."""
+    return Wav2Vec2(d_model=1920, num_layers=48, num_heads=16,
+                    ff_dim=7680, aux_out=aux_out)

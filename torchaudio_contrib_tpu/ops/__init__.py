@@ -54,7 +54,7 @@ from .spectral import (spectral_centroid, spectral_bandwidth,
 from .iir import (lfilter, filtfilt, biquad, lowpass_biquad, highpass_biquad,
                   bandpass_biquad, bandreject_biquad, allpass_biquad,
                   equalizer_biquad, bass_biquad, treble_biquad,
-                  riaa_biquad)
+                  band_biquad, deemph_biquad, riaa_biquad)
 from .loudness import loudness, a_weighting
 from .chroma import create_chroma_filter
 from .cqt import cqt_frequencies, create_cqt_kernel, cqt, pseudo_cqt
@@ -110,7 +110,7 @@ __all__ = [
     "lfilter", "filtfilt", "biquad", "lowpass_biquad", "highpass_biquad",
     "bandpass_biquad", "bandreject_biquad", "allpass_biquad",
     "equalizer_biquad", "bass_biquad", "treble_biquad",
-    "riaa_biquad",
+    "band_biquad", "deemph_biquad", "riaa_biquad",
     "loudness", "a_weighting",
     "create_chroma_filter",
     "cqt_frequencies", "create_cqt_kernel", "cqt", "pseudo_cqt",

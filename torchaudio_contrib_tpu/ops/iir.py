@@ -47,6 +47,8 @@ __all__ = [
     "equalizer_biquad",
     "bass_biquad",
     "treble_biquad",
+    "band_biquad",
+    "deemph_biquad",
     "riaa_biquad",
 ]
 
@@ -292,6 +294,47 @@ def treble_biquad(waveform, sample_rate: float, gain_db: float,
                   Q: float = 0.707) -> jnp.ndarray:
     """RBJ high-shelf (treble control)."""
     b, a = _rbj("highshelf", sample_rate, central_freq, Q, gain_db)
+    return lfilter(waveform, a, b)
+
+
+def band_biquad(waveform, sample_rate: float, central_freq: float,
+                Q: float = 0.707, noise: bool = False) -> jnp.ndarray:
+    """SoX ``band`` single-pole-pair band-pass [ref-recon: sox
+    biquads.c / torchaudio functional.band_biquad — UNVERIFIED]:
+    resonator with exponentially placed poles; ``noise=True`` uses the
+    alternate (wider, pitched-noise) gain normalization."""
+    w0 = 2.0 * math.pi * central_freq / sample_rate
+    bw_hz = central_freq / Q
+    a2 = math.exp(-2.0 * math.pi * bw_hz / sample_rate)
+    a1 = -4.0 * a2 / (1.0 + a2) * math.cos(w0)
+    b0 = math.sqrt(1.0 - a1 * a1 / (4.0 * a2)) * (1.0 - a2)
+    if noise:
+        b0 = math.sqrt(((1.0 + a2) ** 2 - a1 * a1)
+                       * (1.0 - a2) / (1.0 + a2))
+    return lfilter(waveform, (1.0, a1, a2), (b0, 0.0, 0.0))
+
+
+# ISO 908 CD / DAT de-emphasis: a high-shelf whose (freq, slope,
+# gain) are tabulated per rate [ref-recon: sox biquads.c deemph /
+# torchaudio functional.deemph_biquad — UNVERIFIED]
+_DEEMPH = {44100: (5283.0, 0.4845, -9.477),
+           48000: (5356.0, 0.479, -9.62)}
+
+
+def deemph_biquad(waveform, sample_rate: float) -> jnp.ndarray:
+    """CD/DAT de-emphasis shelving EQ (SoX ``deemph``).  Supported
+    sample rates: 44100, 48000."""
+    cfg = _DEEMPH.get(int(sample_rate))
+    if cfg is None:
+        raise ValueError(
+            f"deemph_biquad supports {sorted(_DEEMPH)} Hz, got "
+            f"{sample_rate}")
+    freq, slope, gain_db = cfg
+    # shelf-slope parametrization: alpha = sw/2*sqrt((A+1/A)(1/S-1)+2)
+    # == sw/(2Q) with Q = 1/sqrt((A+1/A)(1/S-1)+2)
+    A = 10.0 ** (gain_db / 40.0)
+    Q = 1.0 / math.sqrt((A + 1.0 / A) * (1.0 / slope - 1.0) + 2.0)
+    b, a = _rbj("highshelf", sample_rate, freq, Q, gain_db)
     return lfilter(waveform, a, b)
 
 

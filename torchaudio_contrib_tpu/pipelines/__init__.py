@@ -29,6 +29,7 @@ __all__ = [
     "Wav2Vec2Bundle", "Wav2Vec2ASRBundle", "RNNTBundle",
     "Tacotron2TTSBundle", "SourceSeparationBundle", "SquimBundle",
     "WAV2VEC2_BASE", "WAV2VEC2_LARGE", "HUBERT_BASE", "HUBERT_LARGE",
+    "WAVLM_BASE", "WAVLM_LARGE", "WAV2VEC2_XLSR_300M",
     "WAV2VEC2_ASR_BASE_960H", "HUBERT_ASR_LARGE",
     "EMFORMER_RNNT_BASE_LIBRISPEECH",
     "TACOTRON2_WAVERNN_CHAR_LJSPEECH",
@@ -276,6 +277,9 @@ WAV2VEC2_BASE = Wav2Vec2Bundle(M.wav2vec2_base)
 WAV2VEC2_LARGE = Wav2Vec2Bundle(M.wav2vec2_large)
 HUBERT_BASE = Wav2Vec2Bundle(M.hubert_base)
 HUBERT_LARGE = Wav2Vec2Bundle(M.hubert_large)
+WAVLM_BASE = Wav2Vec2Bundle(M.wavlm_base)
+WAVLM_LARGE = Wav2Vec2Bundle(M.wavlm_large)
+WAV2VEC2_XLSR_300M = Wav2Vec2Bundle(M.wav2vec2_xlsr_300m)
 WAV2VEC2_ASR_BASE_960H = Wav2Vec2ASRBundle(M.wav2vec2_base)
 HUBERT_ASR_LARGE = Wav2Vec2ASRBundle(M.hubert_large)
 EMFORMER_RNNT_BASE_LIBRISPEECH = RNNTBundle()

@@ -135,10 +135,10 @@ def _channels(wave, n):
 
 _SUPPORTED = (
     "allpass", "band", "bandpass", "bandreject", "bass", "channels",
-    "contrast", "dcshift", "dither", "equalizer", "fade", "flanger",
-    "gain", "highpass", "lowpass", "norm", "overdrive", "pad",
-    "phaser", "pitch", "rate", "reverse", "speed", "tempo", "treble",
-    "trim", "vad", "vol",
+    "contrast", "dcshift", "deemph", "dither", "equalizer", "fade",
+    "flanger", "gain", "highpass", "lowpass", "norm", "overdrive",
+    "pad", "phaser", "pitch", "rate", "reverse", "riaa", "speed",
+    "tempo", "treble", "trim", "vad", "vol",
 )
 
 
@@ -158,7 +158,7 @@ def _apply_one(wave, sr, name, args, key):
         fn = (_ops.lowpass_biquad if name == "lowpass"
               else _ops.highpass_biquad)
         return fn(wave, sr, freq, Q=q), sr
-    if name in ("bandpass", "band", "bandreject"):
+    if name in ("bandpass", "bandreject"):
         if a and a[0] == "-c":
             a = a[1:]
         freq = _num(a[0], "frequency")
@@ -166,6 +166,21 @@ def _apply_one(wave, sr, name, args, key):
         fn = (_ops.bandreject_biquad if name == "bandreject"
               else _ops.bandpass_biquad)
         return fn(wave, sr, freq, Q=q), sr
+    if name == "band":
+        noise = bool(a) and a[0] == "-n"
+        if noise:
+            a = a[1:]
+        freq = _num(a[0], "frequency")
+        q = _q_from_width(freq, a[1:], 0.707)
+        return _ops.band_biquad(wave, sr, freq, Q=q, noise=noise), sr
+    if name == "deemph":
+        if a:
+            raise ValueError("deemph takes no arguments")
+        return _ops.deemph_biquad(wave, sr), sr
+    if name == "riaa":
+        if a:
+            raise ValueError("riaa takes no arguments")
+        return _ops.riaa_biquad(wave, sr), sr
     if name == "allpass":
         freq = _num(a[0], "frequency")
         return _ops.allpass_biquad(
