@@ -206,3 +206,35 @@ def test_convolve_lfcc_speedperturb_wrappers():
     assert out1.shape[-1] != x.shape[-1]  # 0.9 or 1.1 both change length
     with pytest.raises(ValueError):
         tac.SpeedPerturbation(16000, [])
+
+
+def test_melscale_and_inverse_spectrogram():
+    """MelScale ≡ apply_filterbank(create_mel_filter); the
+    InverseSpectrogram alias ≡ the ISTFT layer ≡ functional istft."""
+    x = _wav((1, 4096))
+    spec = tac.stft(x, 512, 128)
+    mag = tac.complex_norm(spec, power=1.0)
+    t = tac.MelScale(num_mels=32, sample_rate=16000, num_bins=257)
+    fb = tac.create_mel_filter(num_mels=32, sample_rate=16000,
+                               num_bins=257)
+    np.testing.assert_allclose(
+        np.asarray(t(mag)),
+        np.asarray(tac.apply_filterbank(mag, fb)), atol=0)
+    assert t(mag).shape == (1, 32, mag.shape[-1])
+    # slaney variant forwards through
+    ts = tac.MelScale(num_mels=32, sample_rate=16000, num_bins=257,
+                      mel_scale="slaney", norm="slaney")
+    fbs = tac.create_mel_filter(num_mels=32, sample_rate=16000,
+                                num_bins=257, mel_scale="slaney",
+                                norm="slaney")
+    np.testing.assert_allclose(np.asarray(ts(mag)),
+                               np.asarray(tac.apply_filterbank(mag, fbs)),
+                               atol=0)
+    inv = tac.InverseSpectrogram(fft_length=512, hop_length=128,
+                                 length=4096)
+    assert isinstance(inv, tac.ISTFT)
+    np.testing.assert_allclose(
+        np.asarray(inv(spec)),
+        np.asarray(tac.istft(spec, 128, fft_length=512, length=4096)),
+        atol=0)
+    assert hash(inv._config) is not None

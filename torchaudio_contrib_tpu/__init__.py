@@ -64,13 +64,13 @@ from .models import (
     MFCC, Loudness, PitchShift, Speed, AddNoise,
     Fade, Vol, FrequencyMasking, TimeMasking,
     Preemphasis, Deemphasis, ComputeDeltas, SlidingWindowCmn,
-    SpectralCentroid, InverseMelScale,
+    SpectralCentroid, MelScale, InverseMelScale,
     PSD, SoudenMVDR, RTFMVDR, Vad,
     Overdrive, Phaser, Flanger, Contrast,
     Lowpass, Highpass, Equalizer, RNNTLoss,
     LFCC, Convolve, FFTConvolve, SpeedPerturbation,
     Transform, Pipeline,
-    STFT, ISTFT, ComplexNorm,
+    STFT, ISTFT, InverseSpectrogram, ComplexNorm,
     Filterbank, MelFilterbank, BarkFilterbank, ChromaFilterbank,
     ApplyFilterbank, Barkspectrogram, Chromagram,
     AmplitudeToDb, DbToAmplitude,
@@ -174,7 +174,7 @@ __all__ = [
     "rtf_evd", "rtf_power", "apply_beamforming",
     "hann_window", "hamming_window", "blackman_window", "get_window",
     "Transform", "Pipeline",
-    "STFT", "ISTFT", "ComplexNorm",
+    "STFT", "ISTFT", "InverseSpectrogram", "ComplexNorm",
     "Filterbank", "MelFilterbank", "BarkFilterbank",
     "ChromaFilterbank", "ApplyFilterbank",
     "Barkspectrogram", "Chromagram",
@@ -201,7 +201,7 @@ __all__ = [
     "MFCC", "Loudness", "PitchShift", "Speed", "AddNoise",
     "Fade", "Vol", "FrequencyMasking", "TimeMasking",
     "Preemphasis", "Deemphasis", "ComputeDeltas", "SlidingWindowCmn",
-    "SpectralCentroid", "InverseMelScale",
+    "SpectralCentroid", "MelScale", "InverseMelScale",
     "PSD", "SoudenMVDR", "RTFMVDR", "Vad",
     "Overdrive", "Phaser", "Flanger", "Contrast",
     "Lowpass", "Highpass", "Equalizer", "RNNTLoss",

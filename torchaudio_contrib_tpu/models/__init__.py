@@ -1,6 +1,6 @@
 from .layers import (
     Transform, Pipeline,
-    STFT, ISTFT, ComplexNorm,
+    STFT, ISTFT, InverseSpectrogram, ComplexNorm,
     Filterbank, MelFilterbank, BarkFilterbank, ChromaFilterbank,
     ApplyFilterbank,
     AmplitudeToDb, DbToAmplitude,
@@ -50,7 +50,7 @@ from .transforms import (
     MFCC, Loudness, PitchShift, Speed, AddNoise,
     Fade, Vol, FrequencyMasking, TimeMasking,
     Preemphasis, Deemphasis, ComputeDeltas, SlidingWindowCmn,
-    SpectralCentroid, InverseMelScale,
+    SpectralCentroid, MelScale, InverseMelScale,
     PSD, SoudenMVDR, RTFMVDR, Vad,
     Overdrive, Phaser, Flanger, Contrast,
     Lowpass, Highpass, Equalizer, RNNTLoss,
@@ -59,7 +59,7 @@ from .transforms import (
 
 __all__ = [
     "Transform", "Pipeline",
-    "STFT", "ISTFT", "ComplexNorm",
+    "STFT", "ISTFT", "InverseSpectrogram", "ComplexNorm",
     "Filterbank", "MelFilterbank", "BarkFilterbank",
     "ChromaFilterbank", "ApplyFilterbank",
     "Barkspectrogram", "Chromagram",
@@ -91,7 +91,7 @@ __all__ = [
     "MFCC", "Loudness", "PitchShift", "Speed", "AddNoise",
     "Fade", "Vol", "FrequencyMasking", "TimeMasking",
     "Preemphasis", "Deemphasis", "ComputeDeltas", "SlidingWindowCmn",
-    "SpectralCentroid", "InverseMelScale",
+    "SpectralCentroid", "MelScale", "InverseMelScale",
     "PSD", "SoudenMVDR", "RTFMVDR", "Vad",
     "Overdrive", "Phaser", "Flanger", "Contrast",
     "Lowpass", "Highpass", "Equalizer", "RNNTLoss",

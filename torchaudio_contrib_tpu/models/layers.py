@@ -167,6 +167,11 @@ class ISTFT(Transform):
             self.fft_length)
 
 
+class InverseSpectrogram(ISTFT):
+    """torchaudio-named alias of :class:`ISTFT` (complex spectrogram
+    → waveform; ``transforms.InverseSpectrogram``)."""
+
+
 class ComplexNorm(Transform):
     """Magnitude/power of a complex spectrogram.
     [ref: layers.py::ComplexNorm — UNVERIFIED]"""

@@ -22,7 +22,7 @@ __all__ = [
     "MFCC", "Loudness", "PitchShift", "Speed", "AddNoise",
     "Fade", "Vol", "FrequencyMasking", "TimeMasking",
     "Preemphasis", "Deemphasis", "ComputeDeltas", "SlidingWindowCmn",
-    "SpectralCentroid", "InverseMelScale",
+    "SpectralCentroid", "MelScale", "InverseMelScale",
     "PSD", "SoudenMVDR", "RTFMVDR", "Vad",
     "Overdrive", "Phaser", "Flanger", "Contrast",
     "Lowpass", "Highpass", "Equalizer", "RNNTLoss",
@@ -209,6 +209,26 @@ class SpectralCentroid(Transform):
         mag = _ops.complex_norm(
             _ops.stft(x, self.fft_length, self.hop_length))
         return _ops.spectral_centroid(mag, self.sample_rate)
+
+
+class MelScale(Transform):
+    """Linear-magnitude spectrogram ``(..., F, T)`` → mel
+    ``(..., n_mels, T)`` (torchaudio's ``transforms.MelScale``: the
+    filterbank GEMM alone, for users composing on a precomputed
+    spectrogram — the derived matrix recomputes from config)."""
+
+    def __init__(self, num_mels: int = 128, sample_rate: int = 22050,
+                 f_min: float = 0.0, f_max: float | None = None,
+                 num_bins: int = 201, mel_scale: str = "htk",
+                 norm: str | None = None):
+        self.kw = dict(num_mels=num_mels, sample_rate=sample_rate,
+                       f_min=f_min, f_max=f_max, num_bins=num_bins,
+                       mel_scale=mel_scale, norm=norm)
+        self._config = tuple(sorted(self.kw.items()))
+
+    def __call__(self, x, params=None):
+        fb = _ops.create_mel_filter(**self.kw)
+        return _ops.apply_filterbank(x, fb)
 
 
 class InverseMelScale(Transform):
