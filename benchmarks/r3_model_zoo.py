@@ -1,18 +1,20 @@
 """Model-zoo device benchmarks (TPU): HiFi-GAN vocoder throughput,
-Conformer encoder fwd / fwd+bwd, ConvTasNet separation throughput.
+Conformer encoder fwd / fwd+bwd, Wav2Vec2 vs WavLM encoder fwd,
+ConvTasNet separation throughput.
 
 Run on the chip (one process, pinned device-loop methodology):
 
     env PYTHONPATH=/root/.axon_site:/root/repo \
-        python benchmarks/r3_model_zoo.py
+        python benchmarks/r3_model_zoo.py [--smoke] [--only SECTION]
 
-Emits one JSON line per measurement (same shape as
-benchmarks/run_configs.py).  Numbers land in docs/PERFORMANCE.md's
-"model zoo" table.
+Sections: hifigan, conformer, w2v2, convtasnet.  Emits one JSON line
+per measurement (same shape as benchmarks/run_configs.py).  Numbers
+land in docs/PERFORMANCE.md's "model zoo" table.
 """
 from __future__ import annotations
 
 import json
+import time
 
 import numpy as np
 import jax
@@ -32,15 +34,32 @@ def emit(name, seconds, work, unit):
                       "ms": round(seconds * 1e3, 2)}), flush=True)
 
 
-def main(smoke: bool = False):
-    rng = np.random.default_rng(0)
-    dev = jax.devices()[0]
-    print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '')}",
-          flush=True)
+def time_device_loop_p(f, params, x, k: int = 2, reps: int = 3):
+    """Like utils.timing.time_device_loop but with the parameter
+    pytree as a jit ARGUMENT: closed-over params are baked into the
+    HLO as constants — at wav2vec2-base scale that is a ~380 MB
+    compile payload, which the axon remote-compile tunnel rejects
+    (HTTP 413).  Same loop-varying-scale / scalar-fetch methodology."""
+
+    @jax.jit
+    def looped(pp, v):
+        def body(i, acc):
+            out = f(pp, v * (1.0 + 1e-30 * i.astype(jnp.float32)))
+            return acc + jnp.sum(out)
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    float(looped(params, x))                      # compile + warmup
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(looped(params, x))
+        best = min(best, (time.perf_counter() - t0) / k)
+    return best
+
+
+def bench_hifigan(rng, smoke):
     B = 1 if smoke else 8
     FR = 16 if smoke else 256             # mel frames (~3 s at hop 256)
-
-    # HiFi-GAN vocoder: batch 8 x 3 s of 22.05 kHz mel frames (hop 256)
     for name, factory in (("hifigan_v1", hifigan_vocoder_v1),
                           ("hifigan_v3", hifigan_vocoder_v3)):
         net = factory()
@@ -51,7 +70,9 @@ def main(smoke: bool = False):
                                k=2 if smoke else 4)
         emit(f"{name}-voc-fwd", sec, B * FR * 256, "samples")
 
-    # Conformer encoder (ASR-scale): batch 16 x 10 s of 100 fps feats
+
+def bench_conformer(rng, smoke):
+    # ASR-scale encoder: batch 16 x 10 s of 100 fps features
     BT, T, LYR = (2, 50, 2) if smoke else (16, 1000, 12)
     enc = Conformer(input_dim=80, d_model=256, num_layers=LYR,
                     num_heads=4, conv_kernel=31)
@@ -64,11 +85,12 @@ def main(smoke: bool = False):
         return jnp.sum(enc.apply(pp, x) ** 2)
 
     g = jax.grad(loss)
-
     sec = time_device_loop(
         lambda x: jax.tree_util.tree_leaves(g(p, x))[0], feats, k=4)
     emit(f"conformer{LYR}-fwdbwd", sec, BT * T, "frames")
 
+
+def bench_w2v2(rng, smoke):
     # Wav2Vec2 vs WavLM BASE (same dims): isolates the gated
     # rel-pos-bias cost (table lookup + per-layer gate GEMM)
     from torchaudio_contrib_tpu.models.wav2vec2 import (
@@ -86,11 +108,12 @@ def main(smoke: bool = False):
         pw = net.init(jax.random.PRNGKey(3))
         wav = jnp.asarray(rng.standard_normal((BW, TW)) * 0.1,
                           jnp.float32)
-        sec = time_device_loop(lambda x: net.apply(pw, x)[0], wav,
-                               k=2)
+        sec = time_device_loop_p(
+            lambda pp, x: net.apply(pp, x)[0], pw, wav, k=2)
         emit(f"{name}-fwd", sec, BW * TW, "samples")
 
-    # ConvTasNet base: batch 4 x 4 s of 8 kHz separation
+
+def bench_convtasnet(rng, smoke):
     net = ConvTasNet() if not smoke else ConvTasNet(
         enc_filters=64, bottleneck=32, hidden=64, num_blocks=2,
         num_repeats=1)
@@ -102,6 +125,25 @@ def main(smoke: bool = False):
     emit("convtasnet-fwd", sec, BS * TS, "samples")
 
 
+_SECTIONS = {"hifigan": bench_hifigan, "conformer": bench_conformer,
+             "w2v2": bench_w2v2, "convtasnet": bench_convtasnet}
+
+
+def main(smoke: bool = False, only: str = ""):
+    rng = np.random.default_rng(0)
+    dev = jax.devices()[0]
+    print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '')}",
+          flush=True)
+    if only and only not in _SECTIONS:
+        raise SystemExit(f"--only must be one of {sorted(_SECTIONS)}")
+    for name, fn in _SECTIONS.items():
+        if not only or only == name:
+            fn(rng, smoke)
+
+
 if __name__ == "__main__":
     import sys
-    main(smoke="--smoke" in sys.argv)
+    only = ""
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
+    main(smoke="--smoke" in sys.argv, only=only)
