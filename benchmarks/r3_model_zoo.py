@@ -14,7 +14,6 @@ land in docs/PERFORMANCE.md's "model zoo" table.
 from __future__ import annotations
 
 import json
-import time
 
 import numpy as np
 import jax
@@ -24,7 +23,8 @@ from torchaudio_contrib_tpu.models.hifigan import hifigan_vocoder_v1, \
     hifigan_vocoder_v3
 from torchaudio_contrib_tpu.models.conformer import Conformer
 from torchaudio_contrib_tpu.models.tasnet import ConvTasNet
-from torchaudio_contrib_tpu.utils.timing import time_device_loop
+from torchaudio_contrib_tpu.utils.timing import (time_device_loop,
+                                                 time_device_loop_p)
 
 
 def emit(name, seconds, work, unit):
@@ -32,29 +32,6 @@ def emit(name, seconds, work, unit):
                       "value": round(work / seconds / 1e6, 3),
                       "unit": f"M{unit}/s",
                       "ms": round(seconds * 1e3, 2)}), flush=True)
-
-
-def time_device_loop_p(f, params, x, k: int = 2, reps: int = 3):
-    """Like utils.timing.time_device_loop but with the parameter
-    pytree as a jit ARGUMENT: closed-over params are baked into the
-    HLO as constants — at wav2vec2-base scale that is a ~380 MB
-    compile payload, which the axon remote-compile tunnel rejects
-    (HTTP 413).  Same loop-varying-scale / scalar-fetch methodology."""
-
-    @jax.jit
-    def looped(pp, v):
-        def body(i, acc):
-            out = f(pp, v * (1.0 + 1e-30 * i.astype(jnp.float32)))
-            return acc + jnp.sum(out)
-        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
-
-    float(looped(params, x))                      # compile + warmup
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(looped(params, x))
-        best = min(best, (time.perf_counter() - t0) / k)
-    return best
 
 
 def bench_hifigan(rng, smoke):

@@ -134,11 +134,15 @@ class Wav2Vec2:
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
         if pos_bias is not None:
             # WavLM gated relative position bias: per-(head, query)
-            # gates from q via a (head_dim -> 8) projection folded
+            # gates from the PRE-projection attention input x (post-ln1)
+            # reshaped into per-head slices — matching published WavLM /
+            # torchaudio's WavLMSelfAttention, where gru_rel_pos_linear
+            # is applied to x.view(B, T, H, head_dim), NOT to the
+            # projected query — via a (head_dim -> 8) projection folded
             # 2x4 -> sigmoid pair (a, b); the bias added to the
             # logits is (a*(b*const - 1) + 2) * bucket_bias.
             gates = jax.nn.sigmoid(
-                (q @ p["gru_w"] + p["gru_b"])
+                (x.reshape(b, t, h, hd) @ p["gru_w"] + p["gru_b"])
                 .reshape(b, t, h, 2, 4).sum(-1))    # (B, T, H, 2)
             gate = (gates[..., 0]
                     * (gates[..., 1] * p["gru_const"][None, None, :]

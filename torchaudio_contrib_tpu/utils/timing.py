@@ -20,7 +20,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-__all__ = ["device_loop", "time_device_loop"]
+__all__ = ["device_loop", "time_device_loop", "time_device_loop_p"]
 
 
 def device_loop(f, k: int = 16):
@@ -49,5 +49,28 @@ def time_device_loop(f, x, k: int = 16, reps: int = 3) -> float:
     for _ in range(reps):
         t0 = time.perf_counter()
         float(looped(x))
+        best = min(best, (time.perf_counter() - t0) / k)
+    return best
+
+
+def time_device_loop_p(f, params, x, k: int = 2, reps: int = 3) -> float:
+    """Like ``time_device_loop`` but with the parameter pytree as a jit
+    ARGUMENT: closed-over params are baked into the HLO as constants —
+    at wav2vec2-base scale that is a ~380 MB compile payload, which the
+    axon remote-compile tunnel rejects (HTTP 413).  Same
+    loop-varying-scale / scalar-fetch methodology."""
+
+    @jax.jit
+    def looped(pp, v):
+        def body(i, acc):
+            out = f(pp, v * (1.0 + 1e-30 * i.astype(jnp.float32)))
+            return acc + jnp.sum(out)
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    float(looped(params, x))                      # compile + warmup
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(looped(params, x))
         best = min(best, (time.perf_counter() - t0) / k)
     return best
