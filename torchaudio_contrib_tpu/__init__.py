@@ -98,32 +98,34 @@ from .utils import view_as_real, view_as_complex
 
 
 def load(path, channels_first: bool = True):
-    """torchaudio's top-level ``load``: decode a WAV file with the
-    package codec → ``(waveform jnp (channels, frames), sample_rate)``
-    (``channels_first=False`` transposes).  Compressed formats need a
-    one-time external conversion (see :mod:`.datasets`)."""
+    """torchaudio's top-level ``load``: decode a WAV or FLAC file with
+    the package codecs (dispatch on content magic) → ``(waveform jnp
+    (channels, frames), sample_rate)`` (``channels_first=False``
+    transposes).  Other compressed formats need a one-time external
+    conversion (see :mod:`.datasets`)."""
     import jax.numpy as _jnp
-    data, sr = io.read_wav(path)
+    data, sr = io.read_audio(path)
     wav = _jnp.asarray(data)
     return (wav if channels_first else wav.T), sr
 
 
 def save(path, src, sample_rate: int, channels_first: bool = True,
          bits_per_sample: int = 16) -> None:
-    """torchaudio's top-level ``save``: encode to WAV via the package
-    codec (PCM 16/24/32 or float32 bits)."""
+    """torchaudio's top-level ``save``: encode via the package codecs
+    — ``.flac`` extension → lossless FLAC (8/16/24-bit), else WAV
+    (PCM 16/24/32 or float32 bits)."""
     import numpy as _np
     arr = _np.asarray(src)
     if arr.ndim == 2 and not channels_first:
         arr = arr.T
-    io.write_wav(path, arr, sample_rate, bits=bits_per_sample)
+    io.write_audio(path, arr, sample_rate, bits=bits_per_sample)
 
 
 def info(path) -> dict:
-    """torchaudio's top-level ``info``: WAV header metadata
+    """torchaudio's top-level ``info``: WAV/FLAC header metadata
     (``sample_rate``, ``num_frames``, ``channels``, ``bits``, ...)
     without decoding samples."""
-    return io.wav_info(path)
+    return io.audio_info(path)
 
 __all__ = [
     "ops", "models", "parallel", "utils", "io", "compliance",

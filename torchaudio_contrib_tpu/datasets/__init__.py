@@ -7,10 +7,11 @@ network egress, so unlike torchaudio these classes never download —
 they index an existing directory tree laid out the standard way and
 raise with a clear message when it is missing.
 
-Audio decoding rides the package's native WAV codec
-(:mod:`..io`); corpora distributed as FLAC (LibriSpeech) must be
-converted to WAV once (any ffmpeg/sox invocation) — the parsers take
-an ``ext`` argument so converted trees index identically.
+Audio decoding rides the package's native WAV + FLAC codecs
+(:mod:`..io`, content-sniffing dispatch) — LibriSpeech-family corpora
+work directly on their released FLAC trees (``ext=".flac"``); the
+``ext`` argument also indexes externally-converted WAV trees
+identically.
 
 TPU-first batching: ``pad_collate`` produces fixed-shape padded
 arrays + lengths (jit/shard-ready), ``bucket_indices`` groups
@@ -27,7 +28,7 @@ from typing import Callable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..io import read_wav, wav_info
+from ..io import read_audio, audio_info
 
 __all__ = [
     "AudioFolder", "LIBRISPEECH", "LJSPEECH", "SPEECHCOMMANDS",
@@ -45,15 +46,15 @@ def _require_dir(path: str, hint: str) -> None:
 
 
 def _header_frames(path: str) -> int:
-    """``num_frames`` from the WAV header alone — reads at most 64 KiB
+    """``num_frames`` from the WAV/FLAC header alone — reads at most 64 KiB
     (falling back to the whole file for exotic chunk layouts) so
     length-bucketing never decodes the corpus up front."""
     with open(path, "rb") as f:
         head = f.read(65536)
     try:
-        return int(wav_info(head)["num_frames"])
+        return int(audio_info(head)["num_frames"])
     except ValueError:
-        return int(wav_info(path)["num_frames"])
+        return int(audio_info(path)["num_frames"])
 
 
 class AudioFolder:
@@ -82,7 +83,7 @@ class AudioFolder:
         return _header_frames(self.path(n))
 
     def _load(self, path):
-        data, sr = read_wav(path)
+        data, sr = read_audio(path)
         return np.asarray(data, np.float32), sr
 
     def __getitem__(self, n: int):
@@ -98,13 +99,20 @@ class LIBRISPEECH(AudioFolder):
 
     ``__getitem__`` → ``(waveform, sample_rate, transcript,
     speaker_id, chapter_id, utterance_id)`` (torchaudio's tuple).
-    ``ext`` defaults to ``.wav`` (convert the released FLACs once —
-    see module docstring)."""
+    ``ext=None`` (default) auto-detects: the released ``.flac`` tree
+    if any FLAC files are present (decoded natively since round 4),
+    else a converted ``.wav`` tree."""
 
     def __init__(self, root: str, url: str = "train-clean-100",
                  folder_in_archive: str = "LibriSpeech",
-                 ext: str = ".wav"):
+                 ext: Optional[str] = None):
         base = os.path.join(root, folder_in_archive, url)
+        if ext is None:
+            ext = ".wav"
+            for dirpath, _, names in os.walk(base):
+                if any(n.endswith(".flac") for n in names):
+                    ext = ".flac"
+                    break
         _require_dir(base, "LibriSpeech/<subset>/<spk>/<chap>/*" + ext)
         super().__init__(base, ext)
         self._trans = {}
@@ -157,7 +165,7 @@ class LJSPEECH:
 
     def __getitem__(self, n: int):
         fid, text, norm = self._rows[n]
-        wav, sr = read_wav(self.path(n))
+        wav, sr = read_audio(self.path(n))
         return np.asarray(wav, np.float32), sr, text, norm
 
 
@@ -320,7 +328,7 @@ class VCTK_092:
 
     def __getitem__(self, n: int):
         spk, utt = self._items[n]
-        wav, sr = read_wav(self.path(n))
+        wav, sr = read_audio(self.path(n))
         with open(os.path.join(self._txt, spk,
                                f"{spk}_{utt}.txt"),
                   encoding="utf-8") as f:
@@ -381,7 +389,7 @@ class COMMONVOICE:
         return _header_frames(self.path(n))
 
     def __getitem__(self, n: int):
-        wav, sr = read_wav(self.path(n))
+        wav, sr = read_audio(self.path(n))
         return np.asarray(wav, np.float32), sr, dict(self._rows[n])
 
 
@@ -423,7 +431,7 @@ class MUSDB_HQ:
         track = self._tracks[n]
         stems, sr = [], None
         for src in self.sources:
-            wav, s = read_wav(os.path.join(self._base, track,
+            wav, s = read_audio(os.path.join(self._base, track,
                                            src + ".wav"))
             wav = np.atleast_2d(np.asarray(wav, np.float32))
             if sr is not None and s != sr:
@@ -483,9 +491,9 @@ class TEDLIUM:
         with open(self.path(n), "rb") as f:
             head = f.read(65536)
         try:
-            info = wav_info(head)
+            info = audio_info(head)
         except ValueError:
-            info = wav_info(self.path(n))
+            info = audio_info(self.path(n))
         sr = info["sample_rate"]
         s = int(round(start * sr))
         e = min(int(round(end * sr)), int(info["num_frames"]))
@@ -498,7 +506,7 @@ class TEDLIUM:
         # self._segs) — cache the one decoded talk so iteration is
         # O(talk) instead of O(segments x talk)
         if getattr(self, "_talk_path", None) != path:
-            wav, sr = read_wav(path)
+            wav, sr = read_audio(path)
             self._talk_path = path
             self._talk = (np.asarray(wav, np.float32), sr)
         wav, sr = self._talk
@@ -536,7 +544,7 @@ class FLUENTSPEECHCOMMANDS:
 
     def __getitem__(self, n: int):
         r = self._rows[n]
-        wav, sr = read_wav(self.path(n))
+        wav, sr = read_audio(self.path(n))
         name = os.path.splitext(os.path.basename(r["path"]))[0]
         return (np.asarray(wav, np.float32), sr, name,
                 r["speakerId"], r["transcription"], r["action"],

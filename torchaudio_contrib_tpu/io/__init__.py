@@ -1,13 +1,17 @@
-"""Audio IO: native WAV codec (C++ via ctypes) with a NumPy fallback.
+"""Audio IO: native WAV + FLAC codecs (C++ via ctypes) with pure
+NumPy/Python fallbacks.
 
 The reference has no IO layer (users bring librosa/torchaudio — absent in
 this environment); corpus preprocessing (BASELINE config 5) needs the
 host-side loader to keep pace with the TPU, so decode is native C++
-(``wavio.cpp``, auto-built with g++ on first import).  The pure-NumPy
-fallback keeps the API available without a toolchain.
+(``wavio.cpp``/``flacio.cpp``, auto-built with g++ on first import).
+The pure-Python fallbacks keep the API available without a toolchain.
 
 API: ``read_wav(path|bytes) -> (data (channels, frames) float32, sr)``,
-``write_wav(path, data, sr, bits=16|32)``.
+``write_wav(path, data, sr, bits=16|32)``; ``read_flac``/``write_flac``/
+``flac_info`` likewise (``_flac.py`` — FLAC is how LibriSpeech ships);
+``read_audio``/``audio_info``/``write_audio`` dispatch on content magic
+(read) or file extension (write).
 """
 from __future__ import annotations
 
@@ -18,8 +22,13 @@ import sys
 
 import numpy as np
 
+from ._flac import (read_flac, write_flac, flac_info,
+                    have_native_flac)
+
 __all__ = ["read_wav", "write_wav", "wav_info", "have_native",
-           "make_wav_loader"]
+           "make_wav_loader",
+           "read_flac", "write_flac", "flac_info", "have_native_flac",
+           "read_audio", "audio_info", "write_audio"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libwavio.so")
@@ -155,6 +164,45 @@ def write_wav(path, data: np.ndarray, sample_rate: int,
             f.write(out[:n].tobytes())
         return
     _py_encode(path, data, sample_rate, bits)
+
+
+# ------------------------------------------------------- format dispatch
+
+def _sniff(src):
+    """(magic-based format, raw bytes-or-path).  Reads only the first
+    4 bytes when given a path."""
+    if isinstance(src, (bytes, bytearray, memoryview)):
+        head = bytes(src[:4])
+    else:
+        with open(src, "rb") as f:
+            head = f.read(4)
+    if head == b"fLaC":
+        return "flac"
+    if head == b"RIFF":
+        return "wav"
+    raise ValueError(
+        f"unrecognized audio container (magic {head!r}): only WAV and "
+        "FLAC are decodable in this zero-egress environment — convert "
+        "other formats externally once")
+
+
+def read_audio(src):
+    """Decode WAV or FLAC (dispatch on content magic, not extension)
+    → ``(data (channels, frames) float32, sample_rate)``."""
+    return (read_flac if _sniff(src) == "flac" else read_wav)(src)
+
+
+def audio_info(src) -> dict:
+    """Header metadata for WAV or FLAC without decoding samples."""
+    return (flac_info if _sniff(src) == "flac" else wav_info)(src)
+
+
+def write_audio(path, data, sample_rate: int, bits: int = 16) -> None:
+    """Encode by file extension: ``.flac`` → FLAC, else WAV."""
+    if str(path).lower().endswith(".flac"):
+        write_flac(path, data, sample_rate, bits=bits)
+    else:
+        write_wav(path, data, sample_rate, bits=bits)
 
 
 # ---------------------------------------------------------------- fallback

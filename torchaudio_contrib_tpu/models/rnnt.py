@@ -416,3 +416,166 @@ class RNNTBeamSearch:
         # keep the cache bounded to the sequences still alive
         cache = {h[0]: (h[2], h[3]) for h in hyps}
         return hyps, cache
+
+    # -- fully-jitted fixed-width beam (TPU decode path) ------------
+    #
+    # The host loop above costs >= 2 device dispatches per frame per
+    # expansion round (1-4 ms tunnel RTT each on this host), and
+    # serializes over the batch — a 10 s utterance decodes in seconds.
+    # This path runs the SAME time-synchronous algorithm as ONE
+    # compiled lax.scan over frames: fixed beam width, hypotheses as
+    # fixed-shape arrays (scores / token buffer / lengths / predictor
+    # carry), duplicate label sequences recombined with logaddexp via
+    # a K_f x K_f buffer-equality mask (exactly the host `_merge`),
+    # empty beam slots at -inf.  Equivalence to the host beam (same
+    # sequences, same logaddexp scores) is pinned by test.
+
+    def init_batched_state(self, params, batch_size: int,
+                           max_tokens: int):
+        """Device beam carry for ``decode_batched``/``infer_batched``:
+        slot 0 = the empty hypothesis (score 0), slots 1.. = -inf."""
+        K = self.beam
+        B = batch_size
+        pred0, state0 = self._step(
+            params, jnp.full((B,), self.model.blank, jnp.int32),
+            self.model.predictor.init_state(B))
+        scores = jnp.full((B, K), -jnp.inf,
+                          jnp.float32).at[:, 0].set(0.0)
+        return {
+            "scores": scores,
+            "toks": jnp.zeros((B, K, max_tokens), jnp.int32),
+            "lens": jnp.zeros((B, K), jnp.int32),
+            "pred": jnp.broadcast_to(pred0[:, None, :],
+                                     (B, K, pred0.shape[-1])),
+            "state": jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(
+                    a[:, None, :], (B, K, a.shape[-1])), state0),
+        }
+
+    def _frame_step(self, params, carry, enc_t, valid):
+        """Advance every sample's beam by one frame (vectorized over
+        batch AND beam)."""
+        K, blank = self.beam, self.model.blank
+        B, _, L = carry["toks"].shape
+        J = carry["pred"].shape[-1]
+
+        def close(act):
+            logp = jax.nn.log_softmax(self.model.join(
+                params, enc_t[:, None, :], act["pred"]), -1)
+            return act["scores"] + logp[..., blank], logp
+
+        finals = []          # list of closed-hypothesis array dicts
+        act = carry
+        for _ in range(self.max_symbols):
+            closed, logp = close(act)
+            finals.append({**act, "scores": closed})
+            # non-blank extensions: top-K over (K*V) candidates
+            ext = act["scores"][..., None] + logp      # (B, K, V)
+            ext = ext.at[..., blank].set(-jnp.inf)
+            # full token buffers cannot take another symbol — freeze
+            ext = jnp.where((act["lens"] >= L)[..., None],
+                            -jnp.inf, ext)
+            V = ext.shape[-1]
+            top, idx = jax.lax.top_k(ext.reshape(B, K * V), K)
+            parent = idx // V                          # (B, K)
+            tok = (idx % V).astype(jnp.int32)
+            gather = lambda a: jnp.take_along_axis(
+                a, parent.reshape(parent.shape + (1,) * (a.ndim - 2)),
+                axis=1)
+            toks = gather(act["toks"])
+            lens = jnp.take_along_axis(act["lens"], parent, 1)
+            hit = (jnp.arange(L)[None, None, :] == lens[..., None])
+            toks = jnp.where(hit, tok[..., None], toks)
+            state = jax.tree_util.tree_map(gather, act["state"])
+            pred_new, state_new = self._step(
+                params, tok.reshape(B * K),
+                jax.tree_util.tree_map(
+                    lambda a: a.reshape(B * K, -1), state))
+            act = {
+                "scores": top,
+                "toks": toks,
+                "lens": jnp.minimum(lens + 1, L),
+                "pred": pred_new.reshape(B, K, J),
+                "state": jax.tree_util.tree_map(
+                    lambda a: a.reshape(B, K, -1), state_new),
+            }
+        closed, _ = close(act)                         # post-loop close
+        finals.append({**act, "scores": closed})
+
+        f = {k: jnp.concatenate([d[k] for d in finals], axis=1)
+             for k in ("scores", "toks", "lens", "pred")}
+        f["state"] = jax.tree_util.tree_map(
+            lambda *leaves: jnp.concatenate(leaves, axis=1),
+            *[d["state"] for d in finals])
+        F = f["scores"].shape[1]
+
+        # recombine identical label sequences (the host `_merge`):
+        # equality over (length, buffer), merged mass to the first
+        # occurrence, later duplicates dropped to -inf
+        eq = ((f["lens"][:, :, None] == f["lens"][:, None, :])
+              & jnp.all(f["toks"][:, :, None, :]
+                        == f["toks"][:, None, :, :], -1))   # (B,F,F)
+        merged = jax.nn.logsumexp(
+            jnp.where(eq, f["scores"][:, None, :], -jnp.inf), axis=-1)
+        first = ~jnp.any(jnp.tril(eq, -1), axis=-1)         # (B, F)
+        scores = jnp.where(first, merged, -jnp.inf)
+
+        top, sel = jax.lax.top_k(scores, K)
+        gather = lambda a: jnp.take_along_axis(
+            a, sel.reshape(sel.shape + (1,) * (a.ndim - 2)), axis=1)
+        new = {"scores": top, "toks": gather(f["toks"]),
+               "lens": jnp.take_along_axis(f["lens"], sel, 1),
+               "pred": gather(f["pred"]),
+               "state": jax.tree_util.tree_map(gather, f["state"])}
+        # padded frames leave the carry untouched
+        keep = lambda n, o: jnp.where(
+            valid.reshape((B,) + (1,) * (n.ndim - 1)), n, o)
+        return jax.tree_util.tree_map(keep, new, carry)
+
+    @partial(jax.jit, static_argnums=0)
+    def _run_batched(self, params, feats, out_lengths, carry):
+        def step(c, inp):
+            enc_t, t = inp
+            return self._frame_step(params, c, enc_t,
+                                    t < out_lengths), None
+        carry, _ = jax.lax.scan(
+            step, carry, (jnp.swapaxes(feats, 0, 1),
+                          jnp.arange(feats.shape[1])))
+        return carry
+
+    @staticmethod
+    def _ranked_from_carry(carry):
+        scores = np.asarray(carry["scores"])
+        toks = np.asarray(carry["toks"])
+        lens = np.asarray(carry["lens"])
+        out = []
+        for b in range(scores.shape[0]):
+            hyps = [(list(map(int, toks[b, k, :lens[b, k]])),
+                     float(scores[b, k]))
+                    for k in range(scores.shape[1])
+                    if np.isfinite(scores[b, k])]
+            out.append(sorted(hyps, key=lambda h: -h[1]))
+        return out
+
+    def decode_batched(self, params, x, lengths=None,
+                       max_tokens: Optional[int] = None):
+        """Whole-batch beam search in one compiled program (one
+        device dispatch after the transcriber): same ranked
+        ``[(tokens, score), ...]`` per sample as ``__call__``."""
+        enc, out_lengths = self.model.transcribe(params, x, lengths)
+        if max_tokens is None:
+            max_tokens = enc.shape[1] * self.max_symbols
+        carry = self.init_batched_state(params, enc.shape[0],
+                                        max_tokens)
+        carry = self._run_batched(params, enc, out_lengths, carry)
+        return self._ranked_from_carry(carry)
+
+    def infer_batched(self, params, feats, out_lengths, carry):
+        """Streaming variant of ``decode_batched`` over one chunk of
+        *projected* encoder features (``model.stream_transcribe``):
+        → (per-sample ranked hypotheses so far, new carry).  Feeding
+        every chunk reproduces ``decode_batched`` exactly (the carry
+        IS the beam)."""
+        carry = self._run_batched(params, jnp.asarray(feats),
+                                  jnp.asarray(out_lengths), carry)
+        return self._ranked_from_carry(carry), carry

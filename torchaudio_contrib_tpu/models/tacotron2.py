@@ -40,18 +40,24 @@ def _conv1d(x, w, padding):
 
 
 def _lstm_step(p, h, c, x):
+    """torch ``nn.LSTMCell`` semantics exactly (gates ``i, f, g, o``,
+    no implicit forget-gate offset) so imported torch weights run
+    unchanged; the +1 forget-gate training bias lives in the INITIAL
+    ``b`` value instead (``_lstm_params``), where a checkpoint
+    overwrites it."""
     gates = x @ p["wx"] + h @ p["wh"] + p["b"]
     i, f, g, o = jnp.split(gates, 4, axis=-1)
-    c = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
     h = jax.nn.sigmoid(o) * jnp.tanh(c)
     return h, c
 
 
 def _lstm_params(key, cin, hdim):
     k1, k2 = jax.random.split(key)
+    b = jnp.zeros((4 * hdim,)).at[hdim:2 * hdim].set(1.0)
     return {"wx": _dense(k1, cin, 4 * hdim),
             "wh": _dense(k2, hdim, 4 * hdim),
-            "b": jnp.zeros((4 * hdim,))}
+            "b": b}
 
 
 class Tacotron2:

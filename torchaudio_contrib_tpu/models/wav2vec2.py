@@ -11,10 +11,23 @@ TPU notes: the extractor is 7 MXU convs; the conv positional embedding
 is one grouped conv; attention/FFN are the usual GEMMs with key-side
 padding masks.  Lengths propagate through the conv stack with the
 exact floor formula so padded batches give identical valid outputs
-(pinned by test).  Layernorm everywhere (the "layer_norm" extractor
-variant — torchaudio's default "group_norm" base config keeps running
-stats out anyway, but layer_norm avoids any normalization over padded
-frames leaking across the batch).
+(pinned by test, ``extractor_mode="layer_norm"``).
+
+Both published architecture variants are supported (round 4, for
+torch-checkpoint import — verified against ``transformers``
+Wav2Vec2Model/HubertModel/WavLMModel forward parity in
+``tests/test_import_torch.py``):
+
+- ``extractor_mode="layer_norm"`` (LARGE/XLS-R): LayerNorm after every
+  extractor conv, conv bias.  ``"group_norm"`` (BASE): per-channel
+  GroupNorm (num_groups == channels, stats over time) after conv 0
+  only, no conv bias.  Group-norm stats include padded time — exactly
+  the published behavior, so that mode is NOT padding invariant.
+- ``layer_norm_first=True`` (LARGE, "stable layer norm"): pre-LN
+  layers, ``enc_ln`` applied ONCE at the encoder output.  ``False``
+  (BASE): ``enc_ln`` after the positional conv, post-LN layers
+  (``ln1`` after the attention residual, ``ln2`` after the FFN
+  residual).
 """
 from __future__ import annotations
 
@@ -51,12 +64,18 @@ class Wav2Vec2:
                  num_layers: int = 12, num_heads: int = 12,
                  ff_dim: int = 3072, pos_conv_kernel: int = 128,
                  pos_conv_groups: int = 16,
-                 aux_out: Optional[int] = None):
+                 aux_out: Optional[int] = None,
+                 extractor_mode: str = "layer_norm",
+                 conv_bias: Optional[bool] = None,
+                 layer_norm_first: bool = True):
         if d_model % num_heads:
             raise ValueError("d_model must be divisible by num_heads")
         if d_model % pos_conv_groups:
             raise ValueError(
                 "d_model must be divisible by pos_conv_groups")
+        if extractor_mode not in ("layer_norm", "group_norm"):
+            raise ValueError(
+                "extractor_mode must be 'layer_norm' or 'group_norm'")
         self.extractor = tuple(tuple(l) for l in extractor_conv_layers)
         self.d_model = d_model
         self.num_layers = num_layers
@@ -65,18 +84,31 @@ class Wav2Vec2:
         self.pos_k = pos_conv_kernel
         self.pos_groups = pos_conv_groups
         self.aux_out = aux_out
+        self.extractor_mode = extractor_mode
+        # published defaults: layer_norm extractor has conv biases
+        # (fairseq LARGE), group_norm has none (fairseq BASE)
+        self.conv_bias = (extractor_mode == "layer_norm"
+                          if conv_bias is None else bool(conv_bias))
+        self.layer_norm_first = bool(layer_norm_first)
         self._config = (self.extractor, d_model, num_layers, num_heads,
                         ff_dim, pos_conv_kernel, pos_conv_groups,
-                        aux_out)
+                        aux_out, extractor_mode, self.conv_bias,
+                        self.layer_norm_first)
 
     def init(self, key):
         keys = iter(jax.random.split(
             key, 3 + len(self.extractor) + 4 * self.num_layers))
         cin = 1
         ext = []
-        for cout, k, s in self.extractor:
-            ext.append({"w": _conv(next(keys), k, cin, cout),
-                        "n": _ln_p(cout)})
+        for i, (cout, k, s) in enumerate(self.extractor):
+            lp = {"w": _conv(next(keys), k, cin, cout)}
+            if self.conv_bias:
+                lp["b"] = jnp.zeros((cout,))
+            if self.extractor_mode == "layer_norm":
+                lp["n"] = _ln_p(cout)
+            elif i == 0:
+                lp["gn"] = _ln_p(cout)
+            ext.append(lp)
             cin = cout
         d = self.d_model
         layers = []
@@ -122,7 +154,18 @@ class Wav2Vec2:
                 y, p["w"], (s,), "VALID",
                 dimension_numbers=("NTC", "TIO", "NTC"),
                 preferred_element_type=jnp.float32)
-            y = jax.nn.gelu(_ln(y, p["n"]))
+            if "b" in p:
+                y = y + p["b"]
+            if "n" in p:
+                y = _ln(y, p["n"])
+            elif "gn" in p:
+                # per-channel GroupNorm (num_groups == channels):
+                # stats over TIME, incl. any padding — published BASE
+                mu = jnp.mean(y, 1, keepdims=True)
+                var = jnp.var(y, 1, keepdims=True)
+                y = ((y - mu) * jax.lax.rsqrt(var + 1e-5)
+                     * p["gn"]["g"] + p["gn"]["b"])
+            y = jax.nn.gelu(y, approximate=False)
         return y
 
     def _attention(self, p, x, pad_mask, pos_bias=None):
@@ -155,14 +198,33 @@ class Wav2Vec2:
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
         return out @ p["wo"] + p["bo"]
 
-    def _encode(self, params, x, pad_mask):
-        """Transformer layer stack; subclass hook (WavLM adds the
-        gated relative position bias here)."""
+    def _encode(self, params, x, pad_mask, pos_bias=None):
+        """Transformer layer stack (WavLM passes the gated relative
+        position bias through ``pos_bias``).
+
+        ``layer_norm_first=True`` (published LARGE / "stable layer
+        norm"): pre-LN layers, then ``enc_ln`` once at the output.
+        ``False`` (published BASE): post-LN layers — ``ln1`` after the
+        attention residual, ``ln2`` after the FFN residual (``enc_ln``
+        was already applied after the positional conv in ``apply``).
+        """
+        def _ffn(p, y):
+            return (jax.nn.gelu(y @ p["w1"] + p["b1"], approximate=False)
+                    @ p["w2"] + p["b2"])
+
         for p in params["layers"]:
-            x = x + self._attention(p, _ln(x, p["ln1"]), pad_mask)
-            y = _ln(x, p["ln2"])
-            x = (x + jax.nn.gelu(y @ p["w1"] + p["b1"]) @ p["w2"]
-                 + p["b2"])
+            if self.layer_norm_first:
+                x = x + self._attention(p, _ln(x, p["ln1"]), pad_mask,
+                                        pos_bias)
+                x = x + _ffn(p, _ln(x, p["ln2"]))
+            else:
+                x = _ln(x + self._attention(p, x, pad_mask, pos_bias),
+                        p["ln1"])
+                x = _ln(x + _ffn(p, x), p["ln2"])
+            if pad_mask is not None:
+                x = jnp.where(pad_mask[..., None], x, 0.0)
+        if self.layer_norm_first:
+            x = _ln(x, params["enc_ln"])
             if pad_mask is not None:
                 x = jnp.where(pad_mask[..., None], x, 0.0)
         return x
@@ -202,14 +264,20 @@ class Wav2Vec2:
         # keeping outputs independent of the padded length.
         if pad_mask is not None:
             x = jnp.where(pad_mask[..., None], x, 0.0)
-        # grouped-conv positional embedding (wav2vec2's relative pos)
+        # grouped-conv positional embedding (wav2vec2's relative pos).
+        # Padding (k//2, (k-1)//2): the published conv pads k//2 both
+        # sides and trims the LAST output sample for even kernels, so
+        # taps span offsets [-k//2, (k-1)//2] (pinned by HF parity).
         pos = jax.lax.conv_general_dilated(
             x, params["pos_conv"], (1,),
-            [((self.pos_k - 1) // 2, self.pos_k // 2)],
+            [(self.pos_k // 2, (self.pos_k - 1) // 2)],
             dimension_numbers=("NTC", "TIO", "NTC"),
             feature_group_count=self.pos_groups,
             preferred_element_type=jnp.float32) + params["pos_b"]
-        x = _ln(x + jax.nn.gelu(pos), params["enc_ln"])
+        x = x + jax.nn.gelu(pos, approximate=False)
+        if not self.layer_norm_first:
+            # BASE: one LN between the positional conv and the layers
+            x = _ln(x, params["enc_ln"])
         if pad_mask is not None:
             x = jnp.where(pad_mask[..., None], x, 0.0)
         x = self._encode(params, x, pad_mask)
@@ -284,26 +352,23 @@ class WavLM(Wav2Vec2):
                         np.minimum(log_large, nb - 1))
         return out
 
-    def _encode(self, params, x, pad_mask):
+    def _encode(self, params, x, pad_mask, pos_bias=None):
         t = x.shape[1]
         table = params["rel_embed"]                   # (buckets, H)
         pos_bias = jnp.transpose(
             table[jnp.asarray(self._buckets(t))], (2, 0, 1))  # (H,T,T)
-        for p in params["layers"]:
-            x = x + self._attention(p, _ln(x, p["ln1"]), pad_mask,
-                                    pos_bias)
-            y = _ln(x, p["ln2"])
-            x = (x + jax.nn.gelu(y @ p["w1"] + p["b1"]) @ p["w2"]
-                 + p["b2"])
-            if pad_mask is not None:
-                x = jnp.where(pad_mask[..., None], x, 0.0)
-        return x
+        return super()._encode(params, x, pad_mask, pos_bias)
 
 
-# -- standard configurations (torchaudio's wav2vec2_*/hubert_* zoo) --
+# -- standard configurations (torchaudio's wav2vec2_*/hubert_* zoo).
+# BASE geometries use the published group_norm extractor + post-LN
+# encoder; LARGE+ use layer_norm extractor (conv bias) + pre-LN
+# "stable" encoder — matching fairseq/torchaudio/HF, so checkpoints
+# import through utils.import_torch without remapping.
 def wav2vec2_base(aux_out: Optional[int] = None) -> Wav2Vec2:
     """BASE: 12 layers, d 768, 12 heads, FFN 3072 (95 M params)."""
-    return Wav2Vec2(aux_out=aux_out)
+    return Wav2Vec2(aux_out=aux_out, extractor_mode="group_norm",
+                    layer_norm_first=False)
 
 
 def wav2vec2_large(aux_out: Optional[int] = None) -> Wav2Vec2:
@@ -315,7 +380,8 @@ def wav2vec2_large(aux_out: Optional[int] = None) -> Wav2Vec2:
 def hubert_base(aux_out: Optional[int] = None) -> Wav2Vec2:
     """HuBERT BASE — same encoder architecture as wav2vec2 BASE; the
     HuBERT-ness is the pretraining objective (`HuBERTPretrainModel`)."""
-    return Wav2Vec2(aux_out=aux_out)
+    return Wav2Vec2(aux_out=aux_out, extractor_mode="group_norm",
+                    layer_norm_first=False)
 
 
 def hubert_large(aux_out: Optional[int] = None) -> Wav2Vec2:
@@ -332,7 +398,8 @@ def hubert_xlarge(aux_out: Optional[int] = None) -> Wav2Vec2:
 def wavlm_base(aux_out: Optional[int] = None) -> WavLM:
     """WavLM BASE: wav2vec2 BASE dims + gated rel-pos bias
     (320 buckets, max distance 800)."""
-    return WavLM(aux_out=aux_out)
+    return WavLM(aux_out=aux_out, extractor_mode="group_norm",
+                 layer_norm_first=False)
 
 
 def wavlm_large(aux_out: Optional[int] = None) -> WavLM:

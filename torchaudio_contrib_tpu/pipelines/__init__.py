@@ -44,7 +44,20 @@ _ASR_LABELS = ("-", "|", "E", "T", "A", "O", "N", "I", "H", "S", "R",
                "V", "K", "'", "X", "J", "Q", "Z")
 
 
-def _resolve(model, key, checkpoint):
+def _resolve(model, key, checkpoint, torch_checkpoint=None,
+             torch_importer=None):
+    if torch_checkpoint is not None:
+        if torch_importer is None:
+            raise NotImplementedError(
+                "torch_checkpoint import is wired for the "
+                "wav2vec2/HuBERT/WavLM and HiFi-GAN bundles "
+                "(utils.import_torch has verified converters for "
+                "those families); for this bundle save the weights "
+                "with utils.checkpoint.save_params instead")
+        from ..utils.import_torch import load_torch_state_dict
+        sd = (torch_checkpoint if isinstance(torch_checkpoint, dict)
+              else load_torch_state_dict(torch_checkpoint))
+        return model, torch_importer(sd, model)
     if checkpoint is not None:
         # load_params needs only the tree structure and leaf shapes —
         # eval_shape gives both host-side without materializing (and
@@ -66,8 +79,14 @@ class Wav2Vec2Bundle:
     _factory: Callable
     sample_rate: int = 16000
 
-    def get_model(self, key=None, checkpoint=None):
-        return _resolve(self._factory(), key, checkpoint)
+    def get_model(self, key=None, checkpoint=None,
+                  torch_checkpoint=None):
+        """``torch_checkpoint`` — path to (or dict of) an HF-layout
+        torch ``state_dict`` (``Wav2Vec2Model``/``HubertModel``/
+        ``WavLMModel``), converted via ``utils.import_torch``."""
+        from ..utils.import_torch import import_wav2vec2
+        return _resolve(self._factory(), key, checkpoint,
+                        torch_checkpoint, import_wav2vec2)
 
 
 @dataclass(frozen=True)
@@ -80,9 +99,14 @@ class Wav2Vec2ASRBundle:
     def get_labels(self) -> Tuple[str, ...]:
         return self.labels
 
-    def get_model(self, key=None, checkpoint=None):
+    def get_model(self, key=None, checkpoint=None,
+                  torch_checkpoint=None):
+        """``torch_checkpoint`` — HF-layout ``Wav2Vec2ForCTC``-style
+        ``state_dict`` (encoder + ``lm_head``)."""
+        from ..utils.import_torch import import_wav2vec2
         return _resolve(self._factory(aux_out=len(self.labels)),
-                        key, checkpoint)
+                        key, checkpoint, torch_checkpoint,
+                        import_wav2vec2)
 
     def decode(self, ids: Sequence[int]) -> str:
         """Collapse a CTC greedy id sequence to text (blank=0,
@@ -129,13 +153,14 @@ class RNNTBundle:
     sample_rate: int = 16000
     hop_length: int = 160
 
-    def get_model(self, key=None, checkpoint=None):
+    def get_model(self, key=None, checkpoint=None,
+                  torch_checkpoint=None):
         model = M.emformer_rnnt_model(
             input_dim=self.n_mels * self.time_reduction_stride,
             num_symbols=self.num_symbols,
             segment_length=self.segment_length,
             right_context_length=self.right_context_length)
-        return _resolve(model, key, checkpoint)
+        return _resolve(model, key, checkpoint, torch_checkpoint)
 
     def get_feature_extractor(self):
         """``waveform (B, T)`` → encoder-ready features
@@ -193,17 +218,19 @@ class Tacotron2TTSBundle:
     def get_text_processor(self):
         return _CharTextProcessor()
 
-    def get_tacotron2(self, key=None, checkpoint=None):
+    def get_tacotron2(self, key=None, checkpoint=None,
+                      torch_checkpoint=None):
         model = M.Tacotron2(
             n_symbols=len(_CharTextProcessor.symbols),
             n_mels=self.n_mels)
-        return _resolve(model, key, checkpoint)
+        return _resolve(model, key, checkpoint, torch_checkpoint)
 
-    def get_vocoder(self, key=None, checkpoint=None):
+    def get_vocoder(self, key=None, checkpoint=None,
+                    torch_checkpoint=None):
         model = M.WaveRNN(upsample_scales=(5, 5, 11),
                           hop_length=self.hop_length,
                           n_freq=self.n_mels)
-        return _resolve(model, key, checkpoint)
+        return _resolve(model, key, checkpoint, torch_checkpoint)
 
 
 @dataclass(frozen=True)
@@ -222,9 +249,15 @@ class HiFiGANVocoderBundle:
     f_min: float = 0.0
     f_max: float = 8000.0
 
-    def get_vocoder(self, key=None, checkpoint=None):
+    def get_vocoder(self, key=None, checkpoint=None,
+                    torch_checkpoint=None):
+        """``torch_checkpoint`` — a HiFi-GAN generator
+        ``state_dict`` (original-repo or HF ``SpeechT5HifiGan``
+        naming, weight-norm folded)."""
+        from ..utils.import_torch import import_hifigan
         return _resolve(self._factory(in_channels=self.n_mels),
-                        key, checkpoint)
+                        key, checkpoint, torch_checkpoint,
+                        import_hifigan)
 
     def get_mel_transform(self):
         from ..ops.stft import stft as _stft
@@ -260,8 +293,10 @@ class SourceSeparationBundle:
     sample_rate: int = 44100
     sources: Tuple[str, ...] = ("drums", "bass", "other", "vocals")
 
-    def get_model(self, key=None, checkpoint=None):
-        return _resolve(self._factory(), key, checkpoint)
+    def get_model(self, key=None, checkpoint=None,
+                  torch_checkpoint=None):
+        return _resolve(self._factory(), key, checkpoint,
+                        torch_checkpoint)
 
 
 @dataclass(frozen=True)
@@ -269,8 +304,10 @@ class SquimBundle:
     _factory: Callable
     sample_rate: int = 16000
 
-    def get_model(self, key=None, checkpoint=None):
-        return _resolve(self._factory(), key, checkpoint)
+    def get_model(self, key=None, checkpoint=None,
+                  torch_checkpoint=None):
+        return _resolve(self._factory(), key, checkpoint,
+                        torch_checkpoint)
 
 
 WAV2VEC2_BASE = Wav2Vec2Bundle(M.wav2vec2_base)
