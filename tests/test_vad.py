@@ -132,3 +132,47 @@ def test_vad_layer_wrapper():
     np.testing.assert_array_equal(np.asarray(layer(x)),
                                   np.asarray(tac.vad_onset(x, SR)))
     assert layer.state_dict() == {}
+
+
+def test_vad_trim_matches_eager_vad_under_jit():
+    """vad_trim (fixed shapes) == eager vad trim + zero tail, inside
+    jit, single clip and batch; valid_length is T - onset."""
+    x = jnp.asarray(np.concatenate([np.zeros(SR, np.float32),
+                                    _speechy(1.5)]))
+    trimmed, valid = jax.jit(
+        lambda v: tac.vad_trim(v, SR))(x)
+    assert trimmed.shape == x.shape
+    onset = int(tac.vad_onset(x, SR))
+    assert int(valid) == x.shape[-1] - onset
+    eager = np.asarray(tac.vad(x, SR))
+    np.testing.assert_array_equal(
+        np.asarray(trimmed)[:int(valid)], eager)
+    assert not np.any(np.asarray(trimmed)[int(valid):])
+
+    batch = jnp.stack([x, jnp.roll(x, SR // 2)])
+    bt, bv = jax.jit(lambda v: tac.vad_trim(v, SR))(batch)
+    assert bt.shape == batch.shape and bv.shape == (2,)
+
+
+def test_vad_trim_channels_share_min_onset():
+    x = jnp.asarray(np.concatenate([np.zeros(SR, np.float32),
+                                    _speechy(1.5)]))
+    two = jnp.stack([x, jnp.concatenate(
+        [jnp.zeros(SR // 2), x[:-SR // 2]])])   # ch 1 speech later
+    trimmed, valid = tac.vad_trim(two, SR)
+    v = np.asarray(valid)
+    assert v[0] == v[1]                          # shared min onset
+    np.testing.assert_array_equal(
+        np.asarray(trimmed)[0, :v[0]], np.asarray(tac.vad(two, SR))[0])
+
+
+def test_vad_layer_trim_mode_jits():
+    x = jnp.asarray(np.concatenate([np.zeros(SR, np.float32),
+                                    _speechy(1.5)]))[None]
+    layer = tac.Vad(SR, mode="trim")
+    trimmed, valid = jax.jit(layer)(x)
+    assert trimmed.shape == x.shape
+    t2, v2 = layer(x)
+    np.testing.assert_array_equal(np.asarray(trimmed), np.asarray(t2))
+    with pytest.raises(ValueError):
+        tac.Vad(SR, mode="bogus")

@@ -44,7 +44,7 @@ from .ops import (
     fade, gain, dither, dcshift, sliding_window_cmn,
     add_noise, speed, apply_codec,
     overdrive, contrast, phaser, flanger,
-    vad, vad_onset,
+    vad, vad_onset, vad_trim,
     convolve, fftconvolve, simulate_rir_ism,
     spectrogram, melspectrogram,
     oscillator_bank, adsr_envelope, extend_pitch,
@@ -162,7 +162,7 @@ __all__ = [
     "fade", "gain", "dither", "dcshift", "sliding_window_cmn",
     "add_noise", "speed", "apply_codec",
     "overdrive", "contrast", "phaser", "flanger",
-    "vad", "vad_onset",
+    "vad", "vad_onset", "vad_trim",
     "convolve", "fftconvolve", "simulate_rir_ism",
     "spectrogram", "melspectrogram",
     "oscillator_bank", "adsr_envelope", "extend_pitch",

@@ -359,14 +359,22 @@ class Equalizer(Transform):
 
 
 class Vad(Transform):
-    """Per-clip voice-onset index (jit-able; see ``ops/vad.py`` for the
-    onset-vs-trim API split)."""
+    """Voice activity detection (jit-able; see ``ops/vad.py`` for the
+    API split).  ``mode="onset"`` (default) → per-clip onset sample
+    index; ``mode="trim"`` → ``(trimmed, valid_length)`` fixed-shape
+    trim (speech shifted to sample 0, zero-filled tail) so the
+    torchaudio ``transforms.Vad`` semantic composes under ``jit``."""
 
-    def __init__(self, sample_rate: int, **kwargs):
-        self.sample_rate, self.kw = sample_rate, kwargs
-        self._config = (sample_rate,) + tuple(sorted(kwargs.items()))
+    def __init__(self, sample_rate: int, mode: str = "onset",
+                 **kwargs):
+        if mode not in ("onset", "trim"):
+            raise ValueError("mode must be 'onset' or 'trim'")
+        self.sample_rate, self.mode, self.kw = sample_rate, mode, kwargs
+        self._config = (sample_rate, mode) + tuple(sorted(kwargs.items()))
 
     def __call__(self, x, params=None):
+        if self.mode == "trim":
+            return _ops.vad_trim(x, self.sample_rate, **self.kw)
         return _ops.vad_onset(x, self.sample_rate, **self.kw)
 
 

@@ -62,7 +62,7 @@ from .pitchdetect import detect_pitch_frequency
 from .effects import (fade, gain, dither, dcshift, sliding_window_cmn,
                       add_noise, speed, apply_codec)
 from .modfx import overdrive, contrast, phaser, flanger
-from .vad import vad, vad_onset
+from .vad import vad, vad_onset, vad_trim
 from .convolve import convolve, fftconvolve
 from .rir import simulate_rir_ism
 from .dsp import (oscillator_bank, adsr_envelope, extend_pitch,
@@ -118,7 +118,7 @@ __all__ = [
     "fade", "gain", "dither", "dcshift", "sliding_window_cmn",
     "add_noise", "speed", "apply_codec",
     "overdrive", "contrast", "phaser", "flanger",
-    "vad", "vad_onset",
+    "vad", "vad_onset", "vad_trim",
     "convolve", "fftconvolve", "simulate_rir_ism",
     "forced_align", "merge_tokens", "TokenSpan",
     "edit_distance", "edit_distance_batched", "rnnt_loss",

@@ -61,7 +61,7 @@ import numpy as np
 from .iir import highpass_biquad, lowpass_biquad
 from .stft import frame_signal
 
-__all__ = ["vad", "vad_onset"]
+__all__ = ["vad", "vad_onset", "vad_trim"]
 
 
 def _vad_measures(waveform: jnp.ndarray, sample_rate: float,
@@ -215,6 +215,43 @@ def vad_onset(waveform: jnp.ndarray, sample_rate: float,
     onset = jnp.where(any_hit, onset_meas * period,
                       waveform.shape[-1]).astype(jnp.int32)
     return onset
+
+
+def vad_trim(waveform: jnp.ndarray, sample_rate: float,
+             **kwargs):
+    """Jit-able fixed-shape trim: → ``(trimmed, valid_length)``.
+
+    ``trimmed`` has the SAME shape as ``waveform`` with the detected
+    speech shifted to sample 0 and the tail zero-filled;
+    ``valid_length`` (int32, scalar per clip) is the number of valid
+    samples (``T − onset``).  Batched inputs ``(..., time)`` trim each
+    clip independently except that a trailing channel axis marked via
+    2-D ``(channel, time)`` input shares the min onset across channels
+    (same rule as :func:`vad`).  Everything is static-shaped, so
+    ``transforms.Vad``/pipelines compose under ``jit``; slice
+    host-side with ``trimmed[..., :int(valid_length)]`` if the
+    dynamic-length view is wanted.
+    """
+    waveform = jnp.asarray(waveform)
+    onset = vad_onset(waveform, sample_rate, **kwargs)
+    if waveform.ndim == 2:
+        # (channel, time): channels share the conservative min onset
+        onset = jnp.broadcast_to(jnp.min(onset, keepdims=True),
+                                 onset.shape)
+    T = waveform.shape[-1]
+    idx = jnp.arange(T)
+    if waveform.ndim == 0:
+        raise ValueError("waveform must have a time axis")
+    gather = jnp.minimum(idx + onset[..., None]
+                         if waveform.ndim > 1 else idx + onset, T - 1)
+    shifted = jnp.take_along_axis(
+        waveform.reshape((-1, T)),
+        gather.reshape((-1, T)) if waveform.ndim > 1
+        else jnp.broadcast_to(gather, (1, T)),
+        axis=-1).reshape(waveform.shape)
+    valid = (T - onset).astype(jnp.int32)
+    mask = (idx < (valid[..., None] if waveform.ndim > 1 else valid))
+    return jnp.where(mask, shifted, 0.0), valid
 
 
 def vad(waveform: jnp.ndarray, sample_rate: float,
