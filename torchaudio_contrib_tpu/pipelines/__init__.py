@@ -292,11 +292,14 @@ class SourceSeparationBundle:
     _factory: Callable
     sample_rate: int = 44100
     sources: Tuple[str, ...] = ("drums", "bass", "other", "vocals")
+    # family-specific torch importer (ConvTasNet has one; HDemucs's
+    # layout has no verified converter yet → loud NotImplementedError)
+    _torch_importer: Optional[Callable] = None
 
     def get_model(self, key=None, checkpoint=None,
                   torch_checkpoint=None):
         return _resolve(self._factory(), key, checkpoint,
-                        torch_checkpoint)
+                        torch_checkpoint, self._torch_importer)
 
 
 @dataclass(frozen=True)
@@ -323,7 +326,13 @@ EMFORMER_RNNT_BASE_LIBRISPEECH = RNNTBundle()
 TACOTRON2_WAVERNN_CHAR_LJSPEECH = Tacotron2TTSBundle()
 HIFIGAN_VOCODER_V3_LJSPEECH = HiFiGANVocoderBundle()
 HDEMUCS_HIGH_MUSDB = SourceSeparationBundle(M.HDemucs)
+def _import_conv_tasnet(sd, model):
+    from ..utils.import_torch import import_conv_tasnet
+    return import_conv_tasnet(sd, model)
+
+
 CONVTASNET_BASE_LIBRI2MIX = SourceSeparationBundle(
-    M.ConvTasNet, sample_rate=8000, sources=("speech1", "speech2"))
+    M.ConvTasNet, sample_rate=8000, sources=("speech1", "speech2"),
+    _torch_importer=_import_conv_tasnet)
 SQUIM_OBJECTIVE = SquimBundle(M.SquimObjective)
 SQUIM_SUBJECTIVE = SquimBundle(M.SquimSubjective)

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 __all__ = [
     "load_torch_state_dict",
     "import_wav2vec2", "import_hifigan", "import_lstm",
+    "import_conv_tasnet",
 ]
 
 
@@ -355,6 +356,73 @@ def import_hifigan(state_dict: Mapping[str, object], model):
     p["post"] = {"w": _conv_tio(sd.get("conv_post.weight")),
                  "b": jnp.asarray(sd.get("conv_post.bias"))}
     return _check_tree(p, model, "import_hifigan")
+
+
+# ----------------------------------------------------------------- #
+# ConvTasNet                                                        #
+# ----------------------------------------------------------------- #
+
+def import_conv_tasnet(state_dict: Mapping[str, object], model):
+    """torchaudio-layout ``models.ConvTasNet`` ``state_dict`` →
+    ``models.ConvTasNet`` param pytree.
+
+    Name map (torchaudio ``conv_tasnet.py`` — verified against a torch
+    replica of the published architecture in
+    ``tests/test_import_torch_extra.py``; torchaudio itself is not
+    installed in this environment, so the names are [ref-recon]):
+
+    ============================================  =================
+    ``encoder.weight`` ``(N,1,L)``                ``enc``
+    ``mask_generator.input_norm``                 ``ln_in``
+    ``mask_generator.input_conv``                 ``bottleneck``
+    ``…conv_layers.{i}.conv_layers.0``            ``blocks[i].in``
+    ``…conv_layers.{i}.conv_layers.1`` (PReLU)    ``blocks[i].a1``
+    ``…conv_layers.{i}.conv_layers.2`` (GN)       ``blocks[i].n1``
+    ``…conv_layers.{i}.conv_layers.3`` (dw)       ``blocks[i].dw``
+    ``…conv_layers.{i}.conv_layers.4/5``          ``a2``/``n2``
+    ``…conv_layers.{i}.res_out`` (absent last)    ``blocks[i].res``
+    ``…conv_layers.{i}.skip_out``                 ``blocks[i].skip``
+    ``mask_generator.output_prelu.weight``        ``mask_a``
+    ``mask_generator.output_conv``                ``mask``
+    ``decoder.weight`` ``(N,1,L)`` (transpose)    ``dec``
+    ============================================  =================
+    """
+    sd = _SD(dict(state_dict))
+
+    def _gln(prefix):
+        return {"g": jnp.asarray(sd.get(f"{prefix}.weight"))[None, :],
+                "b": jnp.asarray(sd.get(f"{prefix}.bias"))[None, :]}
+
+    def _c1x1(prefix):
+        return {"w": _conv_tio(sd.get(f"{prefix}.weight")),
+                "b": jnp.asarray(sd.get(f"{prefix}.bias"))}
+
+    mg = "mask_generator"
+    p: Dict = {
+        "enc": _conv_tio(sd.get("encoder.weight")),
+        "ln_in": _gln(f"{mg}.input_norm"),
+        "bottleneck": _c1x1(f"{mg}.input_conv"),
+        "blocks": [],
+        "mask_a": jnp.asarray(sd.get(f"{mg}.output_prelu.weight")),
+        "mask": _c1x1(f"{mg}.output_conv"),
+        "dec": _convT_tio(sd.get("decoder.weight")),
+    }
+    n_blocks = model.R * model.X
+    for i in range(n_blocks):
+        pre = f"{mg}.conv_layers.{i}"
+        blk = {
+            "in": _c1x1(f"{pre}.conv_layers.0"),
+            "a1": jnp.asarray(sd.get(f"{pre}.conv_layers.1.weight")),
+            "n1": _gln(f"{pre}.conv_layers.2"),
+            "dw": _c1x1(f"{pre}.conv_layers.3"),
+            "a2": jnp.asarray(sd.get(f"{pre}.conv_layers.4.weight")),
+            "n2": _gln(f"{pre}.conv_layers.5"),
+            "skip": _c1x1(f"{pre}.skip_out"),
+        }
+        if i != n_blocks - 1:
+            blk["res"] = _c1x1(f"{pre}.res_out")
+        p["blocks"].append(blk)
+    return _check_tree(p, model, "import_conv_tasnet")
 
 
 # ----------------------------------------------------------------- #
