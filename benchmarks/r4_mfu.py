@@ -209,9 +209,41 @@ def bench_hdemucs(rng, smoke):
     emit("hdemucs-fwdbwd", sec, fl)
 
 
+def bench_scale(rng, smoke):
+    """Batch-scaling probe: does MFU rise with B (arithmetic
+    intensity) as the latency-regime analysis predicts?"""
+    from torchaudio_contrib_tpu.models import Conformer, RNNT
+    from torchaudio_contrib_tpu.ops import rnnt_loss
+    T, U, V, L, D = (20, 5, 32, 2, 32) if smoke else \
+        (250, 30, 512, 16, 256)
+    enc = Conformer(input_dim=80, d_model=D, num_layers=L,
+                    num_heads=4, conv_kernel=31)
+    model = RNNT(enc, num_symbols=V, encoding_dim=D, joiner_dim=D,
+                 predictor_embed_dim=D // 2, predictor_hidden_dim=D,
+                 predictor_layers=2)
+    p = model.init(jax.random.PRNGKey(0))
+    for B in ((1, 2) if smoke else (4, 16, 32)):
+        feats = jnp.asarray(rng.standard_normal((B, T, 80)),
+                            jnp.float32)
+        tgts = jnp.asarray(rng.integers(1, V, (B, U)), jnp.int32)
+
+        def step(pp, x, tgts=tgts):
+            def loss_fn(q, v):
+                logits, _ = model.joint_logits(q, v, tgts)
+                return rnnt_loss(logits, tgts, blank=0,
+                                 reduction="mean")
+            g = jax.grad(loss_fn)(pp, x)
+            return jax.tree_util.tree_leaves(g)[0]
+
+        fl = _flops(step, p, feats)
+        sec = time_device_loop_p(step, p, feats, k=2)
+        emit(f"conformer_rnnt-fwdbwd-B{B}", sec, fl)
+
+
 _SECTIONS = {"conformer_rnnt": bench_conformer_rnnt,
              "w2v2_pretrain": bench_w2v2_pretrain,
-             "hdemucs": bench_hdemucs}
+             "hdemucs": bench_hdemucs,
+             "scale": bench_scale}
 
 
 def main(smoke=False, only=""):

@@ -161,3 +161,297 @@ def test_conv_tasnet_bundle_wiring():
     # HDemucs bundle has no importer: loud
     with pytest.raises(NotImplementedError):
         pl.HDEMUCS_HIGH_MUSDB.get_model(torch_checkpoint={})
+
+
+# ------------------------------------------------------------------ #
+# WaveRNN                                                            #
+# ------------------------------------------------------------------ #
+
+class _TorchResBlock(nn.Module):
+    def __init__(self, h):
+        super().__init__()
+        self.resblock_model = nn.Sequential(
+            nn.Conv1d(h, h, 1, bias=False), nn.BatchNorm1d(h),
+            nn.ReLU(inplace=True),
+            nn.Conv1d(h, h, 1, bias=False), nn.BatchNorm1d(h))
+
+    def forward(self, x):
+        return self.resblock_model(x) + x
+
+
+class _TorchMelResNet(nn.Module):
+    def __init__(self, n_res, n_freq, n_hidden, n_output, kernel):
+        super().__init__()
+        self.melresnet_model = nn.Sequential(
+            nn.Conv1d(n_freq, n_hidden, kernel, bias=False),
+            nn.BatchNorm1d(n_hidden), nn.ReLU(inplace=True),
+            *[_TorchResBlock(n_hidden) for _ in range(n_res)],
+            nn.Conv1d(n_hidden, n_output, 1))
+
+    def forward(self, x):
+        return self.melresnet_model(x)
+
+
+class _TorchStretch2d(nn.Module):
+    def __init__(self, time_scale):
+        super().__init__()
+        self.s = time_scale
+
+    def forward(self, x):                         # (..., F, T)
+        return x.repeat_interleave(self.s, dim=-1)
+
+
+class _TorchUpsampleNetwork(nn.Module):
+    def __init__(self, scales, n_res, n_freq, n_hidden, n_output,
+                 kernel):
+        super().__init__()
+        total = 1
+        for s in scales:
+            total *= s
+        self.indent = (kernel - 1) // 2 * total
+        self.resnet = _TorchMelResNet(n_res, n_freq, n_hidden,
+                                      n_output, kernel)
+        self.resnet_stretch = _TorchStretch2d(total)
+        layers = []
+        for s in scales:
+            conv = nn.Conv2d(1, 1, (1, 2 * s + 1), padding=(0, s),
+                             bias=False)
+            conv.weight.data.fill_(1.0 / (2 * s + 1))
+            layers.extend([_TorchStretch2d(s), conv])
+        self.upsample_layers = nn.Sequential(*layers)
+
+    def forward(self, spec):                      # (B, F, Tm)
+        aux = self.resnet(spec).unsqueeze(1)
+        aux = self.resnet_stretch(aux).squeeze(1)
+        up = self.upsample_layers(spec.unsqueeze(1)).squeeze(1)
+        return up[:, :, self.indent:-self.indent], aux
+
+
+class _TorchWaveRNN(nn.Module):
+    def __init__(self, scales=(2, 2), n_classes=32, hop=4, n_res=2,
+                 n_rnn=16, n_fc=16, kernel=3, n_freq=8, n_hidden=8,
+                 n_output=8):
+        super().__init__()
+        self.n_aux = n_output // 4
+        self.upsample = _TorchUpsampleNetwork(scales, n_res, n_freq,
+                                              n_hidden, n_output,
+                                              kernel)
+        self.fc = nn.Linear(n_freq + self.n_aux + 1, n_rnn)
+        self.rnn1 = nn.GRU(n_rnn, n_rnn, batch_first=True)
+        self.rnn2 = nn.GRU(n_rnn + self.n_aux, n_rnn,
+                           batch_first=True)
+        self.fc1 = nn.Linear(n_rnn + self.n_aux, n_fc)
+        self.fc2 = nn.Linear(n_fc + self.n_aux, n_fc)
+        self.fc3 = nn.Linear(n_fc, n_classes)
+
+    def forward(self, waveform, spec):            # (B,T), (B,F,Tm)
+        up, aux = self.upsample(spec)
+        up = up.transpose(1, 2)
+        aux = aux.transpose(1, 2)
+        na = self.n_aux
+        a = [aux[..., i * na:(i + 1) * na] for i in range(4)]
+        x = torch.cat([waveform.unsqueeze(-1), up, a[0]], -1)
+        x = self.fc(x)
+        res = x
+        x, _ = self.rnn1(x)
+        x = x + res
+        res = x
+        x, _ = self.rnn2(torch.cat([x, a[1]], -1))
+        x = x + res
+        x = torch.relu(self.fc1(torch.cat([x, a[2]], -1)))
+        x = torch.relu(self.fc2(torch.cat([x, a[3]], -1)))
+        return self.fc3(x)
+
+
+# ------------------------------------------------------------------ #
+# Tacotron2                                                          #
+# ------------------------------------------------------------------ #
+
+class _TorchLocationAttention(nn.Module):
+    def __init__(self, dec, enc, att, filters, kernel):
+        super().__init__()
+        self.query_layer = nn.Linear(dec, att, bias=False)
+        self.memory_layer = nn.Linear(enc, att, bias=False)
+        self.v = nn.Linear(att, 1, bias=False)
+        self.location_layer = nn.Module()
+        self.location_layer.location_conv = nn.Conv1d(
+            2, filters, kernel, padding=(kernel - 1) // 2, bias=False)
+        self.location_layer.location_dense = nn.Linear(filters, att,
+                                                       bias=False)
+
+    def forward(self, query, memory, proc_memory, weights_cat):
+        loc = self.location_layer.location_conv(weights_cat)
+        loc = self.location_layer.location_dense(loc.transpose(1, 2))
+        e = self.v(torch.tanh(
+            self.query_layer(query.unsqueeze(1)) + proc_memory + loc))
+        w = torch.softmax(e.squeeze(-1), -1)
+        ctx = torch.bmm(w.unsqueeze(1), memory).squeeze(1)
+        return ctx, w
+
+
+class _TorchTacotron2(nn.Module):
+    """torchaudio-layout teacher-forced Tacotron2 (NVIDIA topology),
+    full-length tokens (the packed-LSTM/pad-masking machinery is
+    exercised separately in tests/test_tacotron2.py); prenet dropout
+    off for determinism (torchaudio keeps it on even in eval — our
+    model's documented deviation)."""
+
+    def __init__(self, n_symbols=20, n_mels=8, embed=16, enc=16,
+                 att=12, filters=4, att_kernel=7, dec=20, prenet=12,
+                 post=12, post_k=5, enc_k=5, n_enc=2, n_post=3):
+        super().__init__()
+        self.n_mels, self.dec, self.enc = n_mels, dec, enc
+        self.embedding = nn.Embedding(n_symbols, embed)
+        self.encoder = nn.Module()
+        self.encoder.convolutions = nn.ModuleList(
+            nn.Sequential(
+                nn.Conv1d(embed if i == 0 else enc, enc, enc_k,
+                          padding=(enc_k - 1) // 2),
+                nn.BatchNorm1d(enc))
+            for i in range(n_enc))
+        self.encoder.lstm = nn.LSTM(enc, enc // 2, batch_first=True,
+                                    bidirectional=True)
+        self.decoder = nn.Module()
+        self.decoder.prenet = nn.Module()
+        self.decoder.prenet.layers = nn.ModuleList(
+            [nn.Linear(n_mels, prenet, bias=False),
+             nn.Linear(prenet, prenet, bias=False)])
+        self.decoder.attention_rnn = nn.LSTMCell(prenet + enc, dec)
+        self.decoder.attention_layer = _TorchLocationAttention(
+            dec, enc, att, filters, att_kernel)
+        self.decoder.decoder_rnn = nn.LSTMCell(dec + enc, dec)
+        self.decoder.linear_projection = nn.Linear(dec + enc, n_mels)
+        self.decoder.gate_layer = nn.Linear(dec + enc, 1)
+        self.postnet = nn.Module()
+        chans = [n_mels] + [post] * (n_post - 1) + [n_mels]
+        self.postnet.convolutions = nn.ModuleList(
+            nn.Sequential(
+                nn.Conv1d(chans[i], chans[i + 1], post_k,
+                          padding=(post_k - 1) // 2),
+                nn.BatchNorm1d(chans[i + 1]))
+            for i in range(n_post))
+
+    def forward(self, tokens, mels):          # (B, S), (B, M, T)
+        x = self.embedding(tokens).transpose(1, 2)
+        for c in self.encoder.convolutions:
+            x = torch.relu(c(x))
+        memory, _ = self.encoder.lstm(x.transpose(1, 2))
+        proc_mem = self.decoder.attention_layer.memory_layer(memory)
+        B, S, _ = memory.shape
+        T = mels.shape[2]
+        go = torch.zeros(B, 1, self.n_mels)
+        pre = torch.cat([go, mels.transpose(1, 2)[:, :-1]], 1)
+        for lyr in self.decoder.prenet.layers:
+            pre = torch.relu(lyr(pre))
+        h_a = torch.zeros(B, self.dec)
+        c_a, h_d, c_d = h_a.clone(), h_a.clone(), h_a.clone()
+        ctx = torch.zeros(B, self.enc)
+        att_w = torch.zeros(B, S)
+        att_cum = torch.zeros(B, S)
+        outs, stops, alis = [], [], []
+        for t in range(T):
+            h_a, c_a = self.decoder.attention_rnn(
+                torch.cat([pre[:, t], ctx], -1), (h_a, c_a))
+            cat_w = torch.stack([att_w, att_cum], 1)   # (B, 2, S)
+            ctx, att_w = self.decoder.attention_layer(
+                h_a, memory, proc_mem, cat_w)
+            att_cum = att_cum + att_w
+            h_d, c_d = self.decoder.decoder_rnn(
+                torch.cat([h_a, ctx], -1), (h_d, c_d))
+            hc = torch.cat([h_d, ctx], -1)
+            outs.append(self.decoder.linear_projection(hc))
+            stops.append(self.decoder.gate_layer(hc).squeeze(-1))
+            alis.append(att_w)
+        mel = torch.stack(outs, 2)                     # (B, M, T)
+        y = mel
+        n = len(self.postnet.convolutions)
+        for i, c in enumerate(self.postnet.convolutions):
+            y = c(y)
+            if i < n - 1:
+                y = torch.tanh(y)
+        return (mel, mel + y, torch.stack(stops, 1),
+                torch.stack(alis, 1))
+
+
+def _randomize_bn(model, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for name, buf in model.named_buffers():
+            if name.endswith("running_mean"):
+                buf.add_(torch.randn(buf.shape, generator=g) * 0.3)
+            elif name.endswith("running_var"):
+                buf.mul_(torch.rand(buf.shape, generator=g) + 0.5)
+
+
+def test_tacotron2_parity():
+    """Teacher-forced full-model parity vs the torch replica — pins
+    the embedding→conv/BN→biLSTM encoder, the decoder step order
+    (attention LSTM → location attention on (prev, cum) weights →
+    decoder LSTM → projections), LSTMCell gate order, and the
+    BatchNorm→frozen-affine folding across encoder AND postnet."""
+    from torchaudio_contrib_tpu.models import Tacotron2
+    tm = _TorchTacotron2().eval()
+    _randomize_bn(tm)
+    ours = Tacotron2(n_symbols=20, n_mels=8, embed_dim=16,
+                     encoder_dim=16, attention_dim=12,
+                     attention_filters=4, attention_kernel=7,
+                     decoder_dim=20, prenet_dim=12, postnet_dim=12,
+                     postnet_kernel=5, encoder_kernel=5,
+                     n_encoder_convs=2, n_postnet_convs=3)
+    p = it.import_tacotron2(tm.state_dict(), ours)
+    rng = np.random.default_rng(0)
+    B, S, T = 2, 5, 6
+    tokens = rng.integers(0, 20, (B, S))
+    mels = rng.standard_normal((B, 8, T)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(tokens), torch.from_numpy(mels))
+    got = ours.apply(p, tokens, np.full((B,), S, np.int32), mels)
+    for name, r, g in zip(("mel", "post", "stop", "ali"), ref, got):
+        r = r.numpy()
+        g = np.asarray(g)
+        assert g.shape == r.shape, name
+        np.testing.assert_allclose(g, r, atol=2e-4, err_msg=name)
+
+
+def test_tacotron2_bundle_wiring():
+    from torchaudio_contrib_tpu import pipelines as pl
+    bundle = pl.TACOTRON2_WAVERNN_CHAR_LJSPEECH
+    # a fabricated full-size state_dict round-trips through the
+    # importer and runs (smoke — real parity is test_tacotron2_parity)
+    model = bundle.get_tacotron2(key=jax.random.PRNGKey(0))[0]
+    tm = _TorchTacotron2(
+        n_symbols=model.n_symbols, n_mels=80, embed=512, enc=512,
+        att=128, filters=32, att_kernel=31, dec=1024, prenet=256,
+        post=512, post_k=5, enc_k=5, n_enc=3, n_post=5)
+    _, params = bundle.get_tacotron2(torch_checkpoint=tm.state_dict())
+    assert params["embedding"].shape == (model.n_symbols, 512)
+
+
+def test_wavernn_parity():
+    """Teacher-forced logits parity vs the torch replica — pins GRU
+    gate order + the separate-bias n-gate convention, the upsample
+    trim arithmetic, aux splits, and the BatchNorm→frozen-affine
+    folding (running stats randomized to make folding non-trivial)."""
+    from torchaudio_contrib_tpu.models import WaveRNN
+    tm = _TorchWaveRNN().eval()
+    g = torch.Generator().manual_seed(0)
+    with torch.no_grad():
+        for name, buf in tm.named_buffers():
+            if name.endswith("running_mean"):
+                buf.add_(torch.randn(buf.shape, generator=g) * 0.3)
+            elif name.endswith("running_var"):
+                buf.mul_(torch.rand(buf.shape, generator=g) + 0.5)
+    ours = WaveRNN(upsample_scales=(2, 2), n_classes=32, hop_length=4,
+                   n_res_block=2, n_rnn=16, n_fc=16, kernel_size=3,
+                   n_freq=8, n_hidden=8, n_output=8)
+    p = it.import_wavernn(tm.state_dict(), ours)
+    rng = np.random.default_rng(0)
+    Tm = 9
+    T = 4 * (Tm - 3 + 1)
+    spec = rng.standard_normal((2, 8, Tm)).astype(np.float32)
+    wav = rng.standard_normal((2, T)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(wav), torch.from_numpy(spec)).numpy()
+    got = np.asarray(ours.apply(p, wav, spec))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-4)

@@ -16,11 +16,15 @@ TPU formulation:
 * ``infer`` is the same scan with the step's own output fed back and a
   fixed ``max_steps`` (XLA-friendly bounded loop); the returned
   ``lengths`` mark each clip's first stop-token crossing.
-* Deviations (documented): layernorm replaces batchnorm in the conv
-  stacks (pure-params contract, as in ``models/conformer.py``), and
-  the prenet runs WITHOUT dropout (torchaudio applies dropout even at
-  inference; randomness here would need an explicit key — pass your
-  own prenet noise via SpecAugment-style augmentation instead).
+* The conv stacks' BatchNorms are carried as FROZEN per-channel
+  affines (inference form; ``utils.import_torch.import_tacotron2``
+  folds a checkpoint's running stats in exactly — round 4, was
+  layernorm before, which cannot represent a trained BN).  Remaining
+  deviation (documented): the prenet runs WITHOUT dropout (torchaudio
+  applies dropout even at inference; randomness here would need an
+  explicit key — pass your own prenet noise via SpecAugment-style
+  augmentation instead).  Forward parity vs a torch replica is pinned
+  in ``tests/test_import_torch_extra.py``.
 """
 from __future__ import annotations
 
@@ -28,7 +32,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ._common import _dense, _conv, _ln
+from ._common import _dense, _conv
 
 __all__ = ["Tacotron2"]
 
@@ -105,13 +109,16 @@ class Tacotron2:
         cin = self.embed
         for _ in range(self.n_enc_convs):
             enc_convs.append({"w": _conv(next(keys), self.enc_k, cin,
-                                         self.enc), "n": ln(self.enc)})
+                                         self.enc),
+                              "b": jnp.zeros((self.enc,)),
+                              "n": ln(self.enc)})
             cin = self.enc
         post = []
         cin = self.n_mels
         for i in range(self.n_post_convs):
             cout = self.n_mels if i == self.n_post_convs - 1 else self.post
             post.append({"w": _conv(next(keys), self.post_k, cin, cout),
+                         "b": jnp.zeros((cout,)),
                          "n": ln(cout)})
             cin = cout
         return {
@@ -154,7 +161,10 @@ class Tacotron2:
                    < token_lengths[:, None])[..., None]
         x = jnp.where(in_mask, x, 0.0)
         for c in params["enc_convs"]:
-            x = jax.nn.relu(_ln(_conv1d(x, c["w"], "SAME"), c["n"]))
+            # conv + frozen-BN affine (inference form; imported
+            # checkpoints fold running stats into n.g/n.b) + relu
+            x = jax.nn.relu((_conv1d(x, c["w"], "SAME") + c["b"])
+                            * c["n"]["g"] + c["n"]["b"])
             x = jnp.where(in_mask, x, 0.0)
         # bi-LSTM over symbols
         h2 = self.enc // 2
@@ -229,7 +239,8 @@ class Tacotron2:
     def _postnet(self, params, mel):                  # (B, T, n_mels)
         y = mel
         for i, c in enumerate(params["postnet"]):
-            y = _ln(_conv1d(y, c["w"], "SAME"), c["n"])
+            y = (_conv1d(y, c["w"], "SAME") + c["b"]) \
+                * c["n"]["g"] + c["n"]["b"]
             if i < len(params["postnet"]) - 1:
                 y = jnp.tanh(y)
         return mel + y

@@ -13,9 +13,13 @@ TPU notes:
   as one big ``(B·T, 3H)`` GEMM; the scan body is only the ``h·U``
   recurrent GEMM + elementwise gates.  Conditioning (MelResNet +
   upsampling) is convs.
-* Norms: layernorm instead of torchaudio's batchnorm in MelResNet
-  (mutable running stats are excluded by the pure-params contract —
-  same deviation as ``models/conformer.py``).
+* Norms: torchaudio's MelResNet BatchNorms are carried as FROZEN
+  per-channel affines (``y·g + b`` — the inference form; an imported
+  checkpoint's running stats fold into ``g``/``b`` exactly, see
+  ``utils.import_torch.import_wavernn``).  Mutable running stats are
+  excluded by the pure-params contract; training from scratch trains
+  the affine directly (round 4 — was layernorm before, which cannot
+  represent a trained BN and broke checkpoint import).
 * ``infer`` (sample-by-sample generation, torchaudio's name) is one
   ``lax.scan`` over time with categorical sampling — sequential by
   nature; batch clips to fill the chip.  Pinned exactly consistent
@@ -30,7 +34,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-from ._common import _dense, _conv, _ln
+from ._common import _dense, _conv
 
 __all__ = ["WaveRNN"]
 
@@ -86,6 +90,7 @@ class WaveRNN:
                         "c2": _conv(next(keys), 1, h, h), "n2": ln(h)}
                        for _ in range(self.n_res_block)],
             "conv_out": _conv(next(keys), 1, h, self.n_output),
+            "out_b": jnp.zeros((self.n_output,)),
         }
         # smoothing convs of the upsample net: fixed-average init
         ups = [jnp.full((2 * s + 1, 1, 1), 1.0 / (2 * s + 1))
@@ -113,14 +118,20 @@ class WaveRNN:
         }
 
     # -- conditioning ------------------------------------------------------
+    @staticmethod
+    def _affine(x, p):
+        """Frozen-BN inference form: per-channel scale + shift."""
+        return x * p["g"] + p["b"]
+
     def _melresnet(self, p, spec):                 # (B, Tm, F) -> (B, T', O)
-        y = jax.nn.relu(_ln(_conv1d(spec, p["conv_in"]), p["ln_in"]))
+        y = jax.nn.relu(self._affine(_conv1d(spec, p["conv_in"]),
+                                     p["ln_in"]))
         for blk in p["blocks"]:
-            z = jax.nn.relu(_ln(_conv1d(y, blk["c1"], "SAME"),
-                                blk["n1"]))
-            z = _ln(_conv1d(z, blk["c2"], "SAME"), blk["n2"])
+            z = jax.nn.relu(self._affine(_conv1d(y, blk["c1"], "SAME"),
+                                         blk["n1"]))
+            z = self._affine(_conv1d(z, blk["c2"], "SAME"), blk["n2"])
             y = y + z
-        return _conv1d(y, p["conv_out"])
+        return _conv1d(y, p["conv_out"]) + p["out_b"]
 
     def _stretch(self, x, factor):                 # repeat along time
         return jnp.repeat(x, factor, axis=1)

@@ -130,7 +130,11 @@ def _gl_bases_tiled(fft_length: int, win_key):
 
 @functools.lru_cache(maxsize=16)
 def _build_gl_call(N: int, HOP: int, bc: int, rows: int, ft: int,
-                   n_iter: int, momentum: float, interpret: bool):
+                   n_iter: int, momentum: float, interpret: bool,
+                   tile_major: bool = False):
+    if tile_major:
+        return _build_gl_call_tile_major(N, HOP, bc, rows, ft,
+                                         n_iter, momentum, interpret)
     W2T = 2 * _FBT
     W2 = ft * W2T
     r = N // HOP
@@ -253,8 +257,129 @@ def _build_gl_call(N: int, HOP: int, bc: int, rows: int, ft: int,
     )
 
 
+@functools.lru_cache(maxsize=16)
+def _build_gl_call_tile_major(N: int, HOP: int, bc: int, rows: int,
+                              ft: int, n_iter: int, momentum: float,
+                              interpret: bool):
+    """Round-4 probe of PERFORMANCE.md's 'FBT probe' named next lever:
+    spectrum state/mag/prev in TILE-MAJOR layout ``(ft, rows, 2FBT)``
+    so every per-tile access indexes a LEADING dim (whole-tile-aligned
+    memory offsets) instead of a dynamic lane offset ``pl.ds(t·2FBT)``
+    into one wide ``(rows, ft·2FBT)`` plane.  Same math bit-for-bit
+    modulo layout."""
+    W2T = 2 * _FBT
+    r = N // HOP
+    lrows = rows - 1 + r
+
+    def kernel(state0_ref, mag_ref, syn_hbm, ana_hbm, env_ref, o_ref,
+               prev, fr, xv, sbuf, abuf, sem_s, sem_a):
+        o_ref[0] = state0_ref[0]
+        prev[:] = jnp.zeros((ft, rows, W2T), jnp.bfloat16)
+
+        def syn_copy(t, slot):
+            return pltpu.make_async_copy(
+                syn_hbm.at[pl.ds(t * W2T, W2T), :], sbuf.at[slot],
+                sem_s.at[slot])
+
+        def ana_copy(t, slot):
+            return pltpu.make_async_copy(
+                ana_hbm.at[pl.ds(t * N, N), :], abuf.at[slot],
+                sem_a.at[slot])
+
+        def iteration(it, carry):
+            syn_copy(0, 0).start()
+
+            def syn_t(t, c):
+                slot = jax.lax.rem(t, 2)
+
+                @pl.when(t + 1 < ft)
+                def _prefetch():
+                    syn_copy(t + 1, jax.lax.rem(t + 1, 2)).start()
+
+                syn_copy(t, slot).wait()
+                spec_t = o_ref[0, t]                 # (rows, 2FBT)
+                part = jnp.dot(spec_t, sbuf[slot],
+                               preferred_element_type=jnp.float32)
+
+                @pl.when(t == 0)
+                def _init():
+                    fr[:] = part.astype(jnp.bfloat16)
+
+                @pl.when(t > 0)
+                def _acc():
+                    fr[:] = (fr[:].astype(jnp.float32)
+                             + part).astype(jnp.bfloat16)
+                return c
+
+            jax.lax.fori_loop(0, ft, syn_t, 0)
+            ana_copy(0, 0).start()
+
+            xv[:] = jnp.zeros((lrows, HOP), jnp.float32)
+            for k in range(r):
+                xv[k:k + rows, :] = (xv[k:k + rows, :]
+                                     + fr[:, k * HOP:(k + 1) * HOP]
+                                     .astype(jnp.float32))
+            xv[:] = xv[:] * env_ref[:]
+            for k in range(r):
+                fr[:, k * HOP:(k + 1) * HOP] = \
+                    xv[k:k + rows, :].astype(jnp.bfloat16)
+
+            def ana_t(t, c):
+                slot = jax.lax.rem(t, 2)
+
+                @pl.when(t + 1 < ft)
+                def _prefetch():
+                    ana_copy(t + 1, jax.lax.rem(t + 1, 2)).start()
+
+                ana_copy(t, slot).wait()
+                reim = jnp.dot(fr[:], abuf[slot],
+                               preferred_element_type=jnp.float32)
+                pv = prev[t].astype(jnp.float32)
+                prev[t] = reim.astype(jnp.bfloat16)
+                upd = reim + momentum * (reim - pv)
+                re, im = upd[:, :_FBT], upd[:, _FBT:]
+                nrm = jnp.sqrt(re * re + im * im)
+                sc = mag_ref[0, t] / jnp.maximum(nrm, 1e-16)
+                o_ref[0, t] = jnp.concatenate(
+                    [re * sc, im * sc], axis=1).astype(jnp.bfloat16)
+                return c
+
+            jax.lax.fori_loop(0, ft, ana_t, 0)
+            return carry
+
+        jax.lax.fori_loop(0, n_iter, iteration, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(bc,),
+        in_specs=[
+            pl.BlockSpec((1, ft, rows, W2T), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),          # state0
+            pl.BlockSpec((1, ft, rows, _FBT), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),          # |mag| tiles
+            pl.BlockSpec(memory_space=pl.ANY),              # syn (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),              # ana (HBM)
+            pl.BlockSpec((lrows, HOP), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),          # inv envelope
+        ],
+        out_specs=pl.BlockSpec((1, ft, rows, W2T),
+                               lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bc, ft, rows, W2T),
+                                       jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((ft, rows, W2T), jnp.bfloat16),
+                        pltpu.VMEM((rows, N), jnp.bfloat16),
+                        pltpu.VMEM((lrows, HOP), jnp.float32),
+                        pltpu.VMEM((2, W2T, N), jnp.bfloat16),
+                        pltpu.VMEM((2, N, W2T), jnp.bfloat16),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )
+
+
 def _gl_pallas(mag_specgrams, fft_length, hop_length, window, n_iter,
-               momentum, length, center, key=None):
+               momentum, length, center, key=None, tile_major=False):
     """The kernel-path GL loop; caller guarantees eligibility."""
     N, HOP = fft_length, hop_length
     F = N // 2 + 1
@@ -281,9 +406,16 @@ def _gl_pallas(mag_specgrams, fft_length, hop_length, window, n_iter,
     magL = jnp.pad(magL, ((0, 0), (0, rows - n_frames), (0, FP - F)))
     magT4 = magL.reshape(bc, rows, ft, _FBT)
 
-    def merge_reim(re, im):
-        return jnp.stack([re, im], axis=-2).reshape(bc, rows,
-                                                    ft * 2 * _FBT)
+    if tile_major:
+        def merge_reim(re, im):
+            # (bc, rows, ft, FBT) pair → (bc, ft, rows, 2FBT)
+            return jnp.concatenate([jnp.transpose(re, (0, 2, 1, 3)),
+                                    jnp.transpose(im, (0, 2, 1, 3))],
+                                   axis=-1)
+    else:
+        def merge_reim(re, im):
+            return jnp.stack([re, im], axis=-2).reshape(
+                bc, rows, ft * 2 * _FBT)
 
     if key is not None:
         phase = jax.random.uniform(key, magT4.shape, jnp.float32,
@@ -293,16 +425,27 @@ def _gl_pallas(mag_specgrams, fft_length, hop_length, window, n_iter,
     else:
         state0 = merge_reim(magT4, jnp.zeros_like(magT4))
     state0 = state0.astype(jnp.bfloat16)
-    magT = magT4.reshape(bc, rows, ft * _FBT).astype(jnp.bfloat16)
+    if tile_major:
+        magT = jnp.transpose(magT4, (0, 2, 1, 3)).astype(jnp.bfloat16)
+    else:
+        magT = magT4.reshape(bc, rows, ft * _FBT).astype(jnp.bfloat16)
 
     solve = _build_gl_call(N, HOP, bc, rows, ft, int(n_iter),
-                           float(momentum), _interpret())
+                           float(momentum), _interpret(),
+                           bool(tile_major))
     state = solve(state0, magT, syn_j, ana_j, env2d).astype(jnp.float32)
 
     # final clamped-envelope inverse (XLA side, exact irfft)
-    s4 = state.reshape(bc, rows, ft, 2, _FBT)
-    re2 = s4[..., 0, :].reshape(bc, rows, FP)[:, :n_frames, :F]
-    im2 = s4[..., 1, :].reshape(bc, rows, FP)[:, :n_frames, :F]
+    if tile_major:
+        # (bc, ft, rows, 2FBT) → per-half (bc, rows, FP)
+        re2 = jnp.transpose(state[..., :_FBT], (0, 2, 1, 3)) \
+            .reshape(bc, rows, FP)[:, :n_frames, :F]
+        im2 = jnp.transpose(state[..., _FBT:], (0, 2, 1, 3)) \
+            .reshape(bc, rows, FP)[:, :n_frames, :F]
+    else:
+        s4 = state.reshape(bc, rows, ft, 2, _FBT)
+        re2 = s4[..., 0, :].reshape(bc, rows, FP)[:, :n_frames, :F]
+        im2 = s4[..., 1, :].reshape(bc, rows, FP)[:, :n_frames, :F]
     spec_f = jax.lax.complex(re2, im2)
     fr_x = jnp.fft.irfft(spec_f, n=N, axis=-1) * jnp.asarray(w, jnp.float32)
     y = _overlap_add(fr_x, N, HOP, T_used) * inv_env[:T_used]

@@ -50,10 +50,11 @@ def _resolve(model, key, checkpoint, torch_checkpoint=None,
         if torch_importer is None:
             raise NotImplementedError(
                 "torch_checkpoint import is wired for the "
-                "wav2vec2/HuBERT/WavLM and HiFi-GAN bundles "
-                "(utils.import_torch has verified converters for "
-                "those families); for this bundle save the weights "
-                "with utils.checkpoint.save_params instead")
+                "wav2vec2/HuBERT/WavLM, HiFi-GAN, ConvTasNet, "
+                "WaveRNN and Tacotron2 bundles (utils.import_torch "
+                "has verified converters for those families); for "
+                "this bundle save the weights with "
+                "utils.checkpoint.save_params instead")
         from ..utils.import_torch import load_torch_state_dict
         sd = (torch_checkpoint if isinstance(torch_checkpoint, dict)
               else load_torch_state_dict(torch_checkpoint))
@@ -220,17 +221,25 @@ class Tacotron2TTSBundle:
 
     def get_tacotron2(self, key=None, checkpoint=None,
                       torch_checkpoint=None):
+        """``torch_checkpoint`` — a torchaudio-layout ``Tacotron2``
+        ``state_dict`` (BatchNorms folded to frozen affines)."""
+        from ..utils.import_torch import import_tacotron2
         model = M.Tacotron2(
             n_symbols=len(_CharTextProcessor.symbols),
             n_mels=self.n_mels)
-        return _resolve(model, key, checkpoint, torch_checkpoint)
+        return _resolve(model, key, checkpoint, torch_checkpoint,
+                        import_tacotron2)
 
     def get_vocoder(self, key=None, checkpoint=None,
                     torch_checkpoint=None):
+        """``torch_checkpoint`` — a torchaudio-layout ``WaveRNN``
+        ``state_dict`` (BatchNorms folded to frozen affines)."""
+        from ..utils.import_torch import import_wavernn
         model = M.WaveRNN(upsample_scales=(5, 5, 11),
                           hop_length=self.hop_length,
                           n_freq=self.n_mels)
-        return _resolve(model, key, checkpoint, torch_checkpoint)
+        return _resolve(model, key, checkpoint, torch_checkpoint,
+                        import_wavernn)
 
 
 @dataclass(frozen=True)

@@ -24,9 +24,13 @@ raises with the offending path otherwise, so a architecture/checkpoint
 mismatch is loud, never silently truncated.
 
 Forward parity against the torch oracles (``transformers``
-Wav2Vec2Model / HubertModel / WavLMModel / SpeechT5HifiGan and
-``torch.nn.LSTM``) is pinned ≤1e-4 (measured ~1e-6) in
-``tests/test_import_torch.py``.  [ref-recon: the contrib reference has
+Wav2Vec2Model / HubertModel / WavLMModel / SpeechT5HifiGan,
+``torch.nn.LSTM``, and full-model ``nn``-primitive replicas of
+torchaudio's ConvTasNet / WaveRNN / Tacotron2) is pinned ≤1e-4
+(measured ~1e-6) in ``tests/test_import_torch.py`` and
+``tests/test_import_torch_extra.py``.  BatchNorms (WaveRNN MelResNet,
+Tacotron2 conv stacks) fold into the models' frozen per-channel
+affines exactly (``_fold_bn``).  [ref-recon: the contrib reference has
 no model zoo (SURVEY §2) — this capability mirrors
 ``torchaudio.models.wav2vec2.utils.import_huggingface/import_fairseq``]
 """
@@ -41,7 +45,8 @@ import jax.numpy as jnp
 __all__ = [
     "load_torch_state_dict",
     "import_wav2vec2", "import_hifigan", "import_lstm",
-    "import_conv_tasnet",
+    "import_conv_tasnet", "import_wavernn", "import_gru",
+    "import_tacotron2",
 ]
 
 
@@ -423,6 +428,166 @@ def import_conv_tasnet(state_dict: Mapping[str, object], model):
             blk["res"] = _c1x1(f"{pre}.res_out")
         p["blocks"].append(blk)
     return _check_tree(p, model, "import_conv_tasnet")
+
+
+# ----------------------------------------------------------------- #
+# WaveRNN                                                           #
+# ----------------------------------------------------------------- #
+
+def _fold_bn(sd: "_SD", prefix: str, eps: float = 1e-5):
+    """BatchNorm1d → frozen per-channel affine: ``g = w/√(rv+eps)``,
+    ``b = b − rm·g`` (the exact inference form)."""
+    w = sd.get(f"{prefix}.weight").astype(np.float64)
+    b = sd.get(f"{prefix}.bias").astype(np.float64)
+    rm = sd.get(f"{prefix}.running_mean").astype(np.float64)
+    rv = sd.get(f"{prefix}.running_var").astype(np.float64)
+    sd.used.add(f"{prefix}.num_batches_tracked")
+    g = w / np.sqrt(rv + eps)
+    return {"g": jnp.asarray((g).astype(np.float32)),
+            "b": jnp.asarray((b - rm * g).astype(np.float32))}
+
+
+def import_gru(state_dict: Mapping[str, object], prefix: str):
+    """One-layer ``nn.GRU`` under ``prefix`` → the ``models.WaveRNN``
+    GRU dict ``{"wx", "wh", "bx", "bh"}`` (gate order ``r, z, n``;
+    biases stay separate — torch's ``n`` gate applies the reset gate
+    to ``W_hn·h + b_hn`` INCLUDING its bias)."""
+    sd = state_dict if isinstance(state_dict, _SD) \
+        else _SD(dict(state_dict))
+    dot = "." if prefix and not prefix.endswith(".") else ""
+    return {"wx": jnp.asarray(sd.get(f"{prefix}{dot}weight_ih_l0").T),
+            "wh": jnp.asarray(sd.get(f"{prefix}{dot}weight_hh_l0").T),
+            "bx": jnp.asarray(sd.get(f"{prefix}{dot}bias_ih_l0")),
+            "bh": jnp.asarray(sd.get(f"{prefix}{dot}bias_hh_l0"))}
+
+
+def import_wavernn(state_dict: Mapping[str, object], model):
+    """torchaudio-layout ``models.WaveRNN`` ``state_dict`` →
+    ``models.WaveRNN`` param pytree.
+
+    Name map (torchaudio ``wavernn.py`` — verified against a torch
+    replica in ``tests/test_import_torch_extra.py``; [ref-recon]):
+    ``upsample.resnet.melresnet_model.{0,1,3..,last}`` (conv_in, BN →
+    folded affine, ResBlocks ``resblock_model.{0,1,3,4}``, conv_out),
+    ``upsample.upsample_layers.{2i+1}.weight`` (smoothing Conv2d
+    ``(1,1,1,K)`` → ``(K,1,1)``), ``fc``/``fc1``/``fc2``/``fc3``,
+    ``rnn1``/``rnn2`` (``nn.GRU``).
+    """
+    sd = _SD(dict(state_dict))
+    nrb = model.n_res_block
+    mm = "upsample.resnet.melresnet_model"
+    blocks = []
+    for i in range(nrb):
+        rb = f"{mm}.{3 + i}.resblock_model"
+        blocks.append({
+            "c1": _conv_tio(sd.get(f"{rb}.0.weight")),
+            "n1": _fold_bn(sd, f"{rb}.1"),
+            "c2": _conv_tio(sd.get(f"{rb}.3.weight")),
+            "n2": _fold_bn(sd, f"{rb}.4"),
+        })
+    resnet = {
+        "conv_in": _conv_tio(sd.get(f"{mm}.0.weight")),
+        "ln_in": _fold_bn(sd, f"{mm}.1"),
+        "blocks": blocks,
+        "conv_out": _conv_tio(sd.get(f"{mm}.{3 + nrb}.weight")),
+        "out_b": jnp.asarray(sd.get(f"{mm}.{3 + nrb}.bias")),
+    }
+    ups = []
+    for i in range(len(model.scales)):
+        w = sd.get(f"upsample.upsample_layers.{2 * i + 1}.weight")
+        ups.append(jnp.asarray(w.reshape(-1)[:, None, None]))  # (K,1,1)
+    p = {
+        "resnet": resnet,
+        "upsample": ups,
+        "fc_in": _linear(sd, "fc"),
+        "gru1": import_gru(sd, "rnn1"),
+        "gru2": import_gru(sd, "rnn2"),
+        "fc1": _linear(sd, "fc1"),
+        "fc2": _linear(sd, "fc2"),
+        "fc3": _linear(sd, "fc3"),
+    }
+    return _check_tree(p, model, "import_wavernn")
+
+
+# ----------------------------------------------------------------- #
+# Tacotron2                                                         #
+# ----------------------------------------------------------------- #
+
+def _lstm_cell(sd: "_SD", prefix: str):
+    """``nn.LSTMCell``/one ``nn.LSTM`` direction → the
+    ``models/tacotron2.py`` dict ``{"wx", "wh", "b"}`` (gates
+    ``i,f,g,o``, torch's two biases summed)."""
+    suffix = "_l0" if sd.has(f"{prefix}.weight_ih_l0") else ""
+    return {"wx": jnp.asarray(sd.get(f"{prefix}.weight_ih{suffix}").T),
+            "wh": jnp.asarray(sd.get(f"{prefix}.weight_hh{suffix}").T),
+            "b": jnp.asarray(sd.get(f"{prefix}.bias_ih{suffix}")
+                             + sd.get(f"{prefix}.bias_hh{suffix}"))}
+
+
+def import_tacotron2(state_dict: Mapping[str, object], model):
+    """torchaudio-layout ``models.Tacotron2`` ``state_dict`` →
+    ``models.Tacotron2`` param pytree.
+
+    Name map (torchaudio ``tacotron2.py`` — verified against a torch
+    replica in ``tests/test_import_torch_extra.py``; [ref-recon]):
+    ``embedding``; ``encoder.convolutions.{i}.{0,1}`` (conv + BN →
+    frozen affine) + ``encoder.lstm`` (bi-LSTM, ``_reverse`` weights →
+    ``enc_bwd``); ``decoder.prenet.layers.{0,1}`` (bias-free),
+    ``decoder.attention_rnn``/``decoder_rnn`` (LSTMCells),
+    ``decoder.attention_layer.{query_layer,memory_layer,v,
+    location_layer.location_conv,location_layer.location_dense}``
+    (all bias-free), ``decoder.linear_projection`` → ``mel_out``,
+    ``decoder.gate_layer`` → ``stop``; ``postnet.convolutions.{i}``.
+    """
+    sd = _SD(dict(state_dict))
+    enc_convs = []
+    for i in range(model.n_enc_convs):
+        pre = f"encoder.convolutions.{i}"
+        enc_convs.append({
+            "w": _conv_tio(sd.get(f"{pre}.0.weight")),
+            "b": jnp.asarray(sd.get(f"{pre}.0.bias")),
+            "n": _fold_bn(sd, f"{pre}.1"),
+        })
+    post = []
+    for i in range(model.n_post_convs):
+        pre = f"postnet.convolutions.{i}"
+        post.append({
+            "w": _conv_tio(sd.get(f"{pre}.0.weight")),
+            "b": jnp.asarray(sd.get(f"{pre}.0.bias")),
+            "n": _fold_bn(sd, f"{pre}.1"),
+        })
+    att = "decoder.attention_layer"
+    enc_bwd = {
+        "wx": jnp.asarray(sd.get("encoder.lstm.weight_ih_l0_reverse").T),
+        "wh": jnp.asarray(sd.get("encoder.lstm.weight_hh_l0_reverse").T),
+        "b": jnp.asarray(sd.get("encoder.lstm.bias_ih_l0_reverse")
+                         + sd.get("encoder.lstm.bias_hh_l0_reverse")),
+    }
+    p: Dict = {
+        "embedding": jnp.asarray(sd.get("embedding.weight")),
+        "enc_convs": enc_convs,
+        "enc_fwd": _lstm_cell(sd, "encoder.lstm"),
+        "enc_bwd": enc_bwd,
+        "prenet1": {"w": jnp.asarray(
+            sd.get("decoder.prenet.layers.0.weight").T)},
+        "prenet2": {"w": jnp.asarray(
+            sd.get("decoder.prenet.layers.1.weight").T)},
+        "att_rnn": _lstm_cell(sd, "decoder.attention_rnn"),
+        "att_query": jnp.asarray(
+            sd.get(f"{att}.query_layer.weight").T),
+        "att_memory": jnp.asarray(
+            sd.get(f"{att}.memory_layer.weight").T),
+        "att_loc_conv": _conv_tio(
+            sd.get(f"{att}.location_layer.location_conv.weight")),
+        "att_loc_fc": jnp.asarray(
+            sd.get(f"{att}.location_layer.location_dense.weight").T),
+        "att_v": jnp.asarray(sd.get(f"{att}.v.weight").T),
+        "dec_rnn": _lstm_cell(sd, "decoder.decoder_rnn"),
+        "mel_out": _linear(sd, "decoder.linear_projection"),
+        "stop": _linear(sd, "decoder.gate_layer"),
+        "postnet": post,
+    }
+    return _check_tree(p, model, "import_tacotron2")
 
 
 # ----------------------------------------------------------------- #
