@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
 from torch import nn
@@ -455,3 +456,140 @@ def test_wavernn_parity():
     got = np.asarray(ours.apply(p, wav, spec))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+# ------------------------------------------------------------------ #
+# Conformer                                                          #
+# ------------------------------------------------------------------ #
+
+class _TorchFFNModule(nn.Module):
+    """torchaudio ``conformer._FeedForwardModule`` replica (module
+    path + Sequential indices match, so state_dict names do too)."""
+
+    def __init__(self, d, ffn):
+        super().__init__()
+        self.sequential = nn.Sequential(
+            nn.LayerNorm(d), nn.Linear(d, ffn), nn.SiLU(),
+            nn.Dropout(0.0), nn.Linear(ffn, d), nn.Dropout(0.0))
+
+    def forward(self, x):
+        return self.sequential(x)
+
+
+class _TorchConvModule(nn.Module):
+    """torchaudio ``conformer._ConvolutionModule`` replica
+    (BatchNorm1d variant, i.e. ``use_group_norm=False``)."""
+
+    def __init__(self, d, k):
+        super().__init__()
+        self.layer_norm = nn.LayerNorm(d)
+        self.sequential = nn.Sequential(
+            nn.Conv1d(d, 2 * d, 1), nn.GLU(dim=1),
+            nn.Conv1d(d, d, k, padding=(k - 1) // 2, groups=d),
+            nn.BatchNorm1d(d), nn.SiLU(), nn.Conv1d(d, d, 1),
+            nn.Dropout(0.0))
+
+    def forward(self, x):                      # (B, T, D)
+        x = self.layer_norm(x)
+        x = self.sequential(x.transpose(1, 2))
+        return x.transpose(1, 2)
+
+
+class _TorchConformerLayer(nn.Module):
+    def __init__(self, d, heads, ffn, k, convolution_first=False):
+        super().__init__()
+        self.ffn1 = _TorchFFNModule(d, ffn)
+        self.self_attn_layer_norm = nn.LayerNorm(d)
+        self.self_attn = nn.MultiheadAttention(d, heads,
+                                               batch_first=True)
+        self.conv_module = _TorchConvModule(d, k)
+        self.ffn2 = _TorchFFNModule(d, ffn)
+        self.final_layer_norm = nn.LayerNorm(d)
+        self.convolution_first = convolution_first
+
+    def forward(self, x):
+        x = x + 0.5 * self.ffn1(x)
+        if self.convolution_first:
+            x = x + self.conv_module(x)
+        y = self.self_attn_layer_norm(x)
+        y, _ = self.self_attn(y, y, y, need_weights=False)
+        x = x + y
+        if not self.convolution_first:
+            x = x + self.conv_module(x)
+        x = x + 0.5 * self.ffn2(x)
+        return self.final_layer_norm(x)
+
+
+class _TorchConformer(nn.Module):
+    def __init__(self, d=16, heads=2, ffn=32, layers=2, k=7,
+                 convolution_first=False):
+        super().__init__()
+        self.conformer_layers = nn.ModuleList(
+            [_TorchConformerLayer(d, heads, ffn, k, convolution_first)
+             for _ in range(layers)])
+
+    def forward(self, x):
+        for layer in self.conformer_layers:
+            x = layer(x)
+        return x
+
+
+def _conformer_pair(convolution_first=False):
+    from torchaudio_contrib_tpu.models import Conformer
+    torch.manual_seed(3)
+    tm = _TorchConformer(convolution_first=convolution_first).eval()
+    g = torch.Generator().manual_seed(1)
+    with torch.no_grad():
+        for name, buf in tm.named_buffers():
+            if name.endswith("running_mean"):
+                buf.add_(torch.randn(buf.shape, generator=g) * 0.3)
+            elif name.endswith("running_var"):
+                buf.mul_(torch.rand(buf.shape, generator=g) + 0.5)
+    ours = Conformer(input_dim=16, d_model=16, num_layers=2,
+                     num_heads=2, ff_ratio=2, conv_kernel=7,
+                     max_distance=4, conv_norm="affine",
+                     convolution_first=convolution_first)
+    return tm, ours
+
+
+def test_conformer_parity():
+    """Forward parity vs the torch replica of torchaudio's Conformer —
+    pins the fused in_proj q/k/v block order + bias, the GLU channel
+    split, depthwise tap layout, BatchNorm→frozen-affine folding, the
+    half-FFN residuals, and that the zero rel table is exactly plain
+    MHA."""
+    tm, ours = _conformer_pair()
+    p = it.import_conformer(tm.state_dict(), ours)
+    assert float(jnp.sum(jnp.abs(p["layers"][0]["attn"]["rel"]))) == 0
+    x = np.random.default_rng(2).standard_normal(
+        (2, 12, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(ours.apply(p, x))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_conformer_parity_convolution_first():
+    tm, ours = _conformer_pair(convolution_first=True)
+    p = it.import_conformer(tm.state_dict(), ours)
+    x = np.random.default_rng(4).standard_normal(
+        (1, 9, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(np.asarray(ours.apply(p, x)), ref,
+                               atol=1e-4)
+
+
+def test_conformer_import_validation():
+    from torchaudio_contrib_tpu.models import Conformer
+    tm, _ = _conformer_pair()
+    ln_model = Conformer(input_dim=16, d_model=16, num_layers=2,
+                         num_heads=2, ff_ratio=2, conv_kernel=7)
+    with pytest.raises(ValueError, match="conv_norm"):
+        it.import_conformer(tm.state_dict(), ln_model)
+    proj_model = Conformer(input_dim=8, d_model=16, num_layers=2,
+                           num_heads=2, ff_ratio=2, conv_kernel=7,
+                           conv_norm="affine")
+    with pytest.raises(ValueError, match="input projection"):
+        it.import_conformer(tm.state_dict(), proj_model)

@@ -6,11 +6,20 @@ HDemucs, Squim, WavLM, and a HuBERT-pretrain step.
 Each test runs the real compiled path on the chip AND cross-checks
 against the same computation on the in-process CPU backend — the
 failure mode these exist to catch is CPU-green-but-device-broken
-numerics (complex transfers, grouped-conv VJP mis-partitioning, bf16
-dot precision), not logic bugs (tests/ owns those).  Configs are tiny
-to bound tunnel compile times.
+numerics (complex transfers, grouped-conv VJP mis-partitioning), not
+logic bugs (tests/ owns those).  Configs are tiny to bound tunnel
+compile times.
+
+Every test body runs under ``jax.default_matmul_precision("highest")``
+(module autouse fixture): at the TPU's default bf16 matmul precision a
+deep GEMM stack legitimately drifts 0.5–2 % from the CPU's f32 GEMMs
+(measured round 4: wavlm 2.1e-2, hdemucs 1.4e-2, tacotron2 5.5e-3,
+emformer 8.6e-3 rel — pure mantissa noise), which would force
+tolerances so loose they'd mask real breakage.  At HIGHEST the same
+comparisons sit at ~1e-6 and the 2e-3 tolerances are meaningful.
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -18,6 +27,12 @@ import torchaudio_contrib_tpu as tac
 from torchaudio_contrib_tpu.models import (
     Emformer, RNNT, RNNTBeamSearch, Tacotron2, WaveRNN, HDemucs,
     SquimObjective, WavLM, HuBERTPretrainModel)
+
+
+@pytest.fixture(autouse=True)
+def _highest_matmul_precision():
+    with jax.default_matmul_precision("highest"):
+        yield
 
 
 def _cpu():

@@ -19,10 +19,18 @@ TPU-first choices:
 * Padding: ``lengths`` masks attention scores AND zeroes padded frames
   between blocks, so a bucketed batch gives identical valid outputs
   regardless of padding (pinned by test).
-* Norm: layernorm everywhere, including the conv module, instead of
-  the paper's batchnorm — batchnorm's running stats are mutable state,
-  which the library's pure/immutable contract excludes; documented
-  deviation (torchaudio uses batchnorm here).
+* Norm: layernorm everywhere by default, including the conv module,
+  instead of the paper's batchnorm — batchnorm's running stats are
+  mutable state, which the library's pure/immutable contract excludes.
+  ``conv_norm="affine"`` switches the conv-module norm to a frozen
+  per-channel affine (``y·g + b`` — BatchNorm1d's inference form, the
+  exact target of ``utils.import_torch._fold_bn``), making the layer
+  weight-compatible with torchaudio's ``models.Conformer``
+  (torch-replica forward parity pinned in
+  ``tests/test_import_torch_extra.py``).  Zeroing the ``rel`` bias
+  table makes the attention exactly plain MHA (torchaudio's Conformer
+  has no relative-position term); ``convolution_first=True`` mirrors
+  torchaudio's flag of the same name.
 * Deterministic: no dropout (augment inputs with SpecAugment instead —
   ``ops/augment.py``).  Params are an explicit pytree; ``init`` /
   ``apply`` follow ``MelFrontendClassifier``'s idiom.
@@ -60,11 +68,16 @@ class Conformer:
     def __init__(self, input_dim: int, d_model: int = 256,
                  num_layers: int = 4, num_heads: int = 4,
                  ff_ratio: int = 4, conv_kernel: int = 31,
-                 max_distance: int = 128):
+                 max_distance: int = 128,
+                 conv_norm: str = "layernorm",
+                 convolution_first: bool = False):
         if d_model % num_heads:
             raise ValueError("d_model must divide num_heads")
         if conv_kernel % 2 == 0:
             raise ValueError("conv_kernel must be odd")
+        if conv_norm not in ("layernorm", "affine"):
+            raise ValueError("conv_norm must be 'layernorm' or "
+                             f"'affine', got {conv_norm!r}")
         self.input_dim = input_dim
         self.d_model = d_model
         self.num_layers = num_layers
@@ -72,8 +85,11 @@ class Conformer:
         self.ff_dim = ff_ratio * d_model
         self.conv_kernel = conv_kernel
         self.max_distance = max_distance
+        self.conv_norm = conv_norm
+        self.convolution_first = convolution_first
         self._config = (input_dim, d_model, num_layers, num_heads,
-                        ff_ratio, conv_kernel, max_distance)
+                        ff_ratio, conv_kernel, max_distance,
+                        conv_norm, convolution_first)
 
     # -- params ----------------------------------------------------------
     def init(self, key):
@@ -94,6 +110,7 @@ class Conformer:
                 "attn": {
                     "ln": _ln_params(d),
                     "wqkv": _glorot(next(keys), (d, 3 * d)),
+                    "bqkv": jnp.zeros((3 * d,)),
                     "wo": _glorot(next(keys), (d, d)),
                     "bo": jnp.zeros((d,)),
                     "rel": 0.02 * jax.random.normal(
@@ -102,10 +119,13 @@ class Conformer:
                 "conv": {
                     "ln": _ln_params(d),
                     "pw1": _glorot(next(keys), (d, 2 * d)),
+                    "pb1": jnp.zeros((2 * d,)),
                     "dw": 0.1 * jax.random.normal(
                         next(keys), (self.conv_kernel, 1, d)),
+                    "db": jnp.zeros((d,)),
                     "norm": _ln_params(d),
                     "pw2": _glorot(next(keys), (d, d)),
+                    "pb2": jnp.zeros((d,)),
                 },
                 "ffn2": ffn(),
                 "out_ln": _ln_params(d),
@@ -125,7 +145,7 @@ class Conformer:
         h = self.num_heads
         hd = d // h
         y = _layernorm(x, p["ln"])
-        qkv = (y @ p["wqkv"]).reshape(b, t, 3, h, hd)
+        qkv = (y @ p["wqkv"] + p["bqkv"]).reshape(b, t, 3, h, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
         # shared T5-style relative bias table, clipped distance
@@ -143,7 +163,7 @@ class Conformer:
         y = _layernorm(x, p["ln"])
         if pad_mask is not None:
             y = jnp.where(pad_mask[..., None], y, 0.0)
-        y = jax.nn.glu(y @ p["pw1"], axis=-1)
+        y = jax.nn.glu(y @ p["pw1"] + p["pb1"], axis=-1)
         # depthwise conv as kernel-tap shifted multiply-adds: same VPU
         # work as feature_group_count=D on TPU (depthwise never uses
         # the MXU), but its VJP is plain elementwise ops — the grouped
@@ -154,9 +174,13 @@ class Conformer:
         T = y.shape[1]
         yp = jnp.pad(y, ((0, 0), (pad, pad), (0, 0)))
         y = sum(yp[:, j:j + T] * p["dw"][j, 0]
-                for j in range(self.conv_kernel))
-        y = jax.nn.silu(_layernorm(y, p["norm"]))
-        return x + y @ p["pw2"]
+                for j in range(self.conv_kernel)) + p["db"]
+        if self.conv_norm == "affine":
+            y = y * p["norm"]["g"] + p["norm"]["b"]
+        else:
+            y = _layernorm(y, p["norm"])
+        y = jax.nn.silu(y)
+        return x + y @ p["pw2"] + p["pb2"]
 
     # -- forward ---------------------------------------------------------
     def apply(self, params, x, lengths: Optional[jnp.ndarray] = None):
@@ -171,8 +195,12 @@ class Conformer:
         x = x @ params["proj"] + params["proj_b"]
         for p in params["layers"]:
             x = self._ffn(x, p["ffn1"])
-            x = self._attention(x, p["attn"], pad_mask)
-            x = self._conv_module(x, p["conv"], pad_mask)
+            if self.convolution_first:
+                x = self._conv_module(x, p["conv"], pad_mask)
+                x = self._attention(x, p["attn"], pad_mask)
+            else:
+                x = self._attention(x, p["attn"], pad_mask)
+                x = self._conv_module(x, p["conv"], pad_mask)
             x = self._ffn(x, p["ffn2"])
             x = _layernorm(x, p["out_ln"])
             if pad_mask is not None:

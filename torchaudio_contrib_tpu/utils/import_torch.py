@@ -46,7 +46,7 @@ __all__ = [
     "load_torch_state_dict",
     "import_wav2vec2", "import_hifigan", "import_lstm",
     "import_conv_tasnet", "import_wavernn", "import_gru",
-    "import_tacotron2",
+    "import_tacotron2", "import_conformer",
 ]
 
 
@@ -616,3 +616,102 @@ def import_lstm(state_dict: Mapping[str, object], prefix: str,
                        "wh": jnp.asarray(wh.T),
                        "b": jnp.asarray(b)})
     return layers
+
+
+# ----------------------------------------------------------------- #
+# Conformer                                                         #
+# ----------------------------------------------------------------- #
+
+def import_conformer(state_dict: Mapping[str, object], model,
+                     prefix: str = ""):
+    """torchaudio-layout ``models.Conformer`` ``state_dict`` → the
+    ``models/conformer.py::Conformer`` param pytree.
+
+    Name map (torchaudio ``models/conformer.py`` — verified against a
+    torch ``nn``-primitive replica in
+    ``tests/test_import_torch_extra.py``; [ref-recon: the contrib
+    reference has no model zoo, SURVEY §2]):
+    ``conformer_layers.{i}.ffn{1,2}.sequential.{0,1,4}`` (LN, the two
+    GEMMs), ``self_attn_layer_norm`` + ``self_attn`` (fused
+    ``in_proj`` in q/k/v block order → ``wqkv``/``bqkv``),
+    ``conv_module.layer_norm`` + ``conv_module.sequential.{0,2,3,5}``
+    (pointwise, depthwise ``(d,1,k)`` → tap-major ``(k,1,d)``,
+    BatchNorm1d → frozen affine via ``_fold_bn``, pointwise),
+    ``final_layer_norm``.
+
+    Requirements enforced loudly: the model must be built with
+    ``conv_norm="affine"`` (BatchNorm's inference form — layernorm
+    would silently diverge) and ``input_dim == d_model`` (torchaudio's
+    Conformer has no input projection; ``proj`` imports as identity).
+    torchaudio's Conformer has no relative-position term, so ``rel``
+    imports as the zero table (exactly plain MHA in ``_attention``).
+    ``use_group_norm=True`` checkpoints are rejected (GroupNorm is a
+    data-dependent normalization, not a foldable affine).
+    """
+    sd = state_dict if isinstance(state_dict, _SD) \
+        else _SD(_strip_prefix(dict(state_dict), "conformer_layers."))
+    if prefix and not prefix.endswith("."):
+        prefix += "."
+    if model.conv_norm != "affine":
+        raise ValueError(
+            "import_conformer needs a model built with "
+            "conv_norm='affine' (BatchNorm1d's inference form); got "
+            f"conv_norm={model.conv_norm!r}")
+    if model.input_dim != model.d_model:
+        raise ValueError(
+            "torchaudio's Conformer has no input projection — build "
+            f"with input_dim == d_model (got {model.input_dim} vs "
+            f"{model.d_model})")
+
+    def _ffn(pre):
+        return {"ln": _lnp(sd, f"{pre}.sequential.0"),
+                "w1": jnp.asarray(sd.get(f"{pre}.sequential.1.weight").T),
+                "b1": jnp.asarray(sd.get(f"{pre}.sequential.1.bias")),
+                "w2": jnp.asarray(sd.get(f"{pre}.sequential.4.weight").T),
+                "b2": jnp.asarray(sd.get(f"{pre}.sequential.4.bias"))}
+
+    d = model.d_model
+    layers = []
+    for i in range(model.num_layers):
+        lp = f"{prefix}conformer_layers.{i}"
+        cm = f"{lp}.conv_module.sequential"
+        if not sd.has(f"{cm}.3.running_mean"):
+            raise NotImplementedError(
+                "use_group_norm=True Conformer checkpoints are not "
+                "importable (GroupNorm is not a frozen affine); "
+                f"missing '{cm}.3.running_mean'")
+        pw1 = sd.get(f"{cm}.0.weight")   # (2d, d, 1)
+        dw = sd.get(f"{cm}.2.weight")    # (d, 1, k)
+        pw2 = sd.get(f"{cm}.5.weight")   # (d, d, 1)
+        layers.append({
+            "ffn1": _ffn(f"{lp}.ffn1"),
+            "attn": {
+                "ln": _lnp(sd, f"{lp}.self_attn_layer_norm"),
+                "wqkv": jnp.asarray(
+                    sd.get(f"{lp}.self_attn.in_proj_weight").T),
+                "bqkv": jnp.asarray(
+                    sd.get(f"{lp}.self_attn.in_proj_bias")),
+                "wo": jnp.asarray(
+                    sd.get(f"{lp}.self_attn.out_proj.weight").T),
+                "bo": jnp.asarray(
+                    sd.get(f"{lp}.self_attn.out_proj.bias")),
+                "rel": jnp.zeros((2 * model.max_distance + 1,
+                                  model.num_heads), jnp.float32),
+            },
+            "conv": {
+                "ln": _lnp(sd, f"{lp}.conv_module.layer_norm"),
+                "pw1": jnp.asarray(pw1[:, :, 0].T),
+                "pb1": jnp.asarray(sd.get(f"{cm}.0.bias")),
+                "dw": jnp.asarray(np.transpose(dw, (2, 1, 0))),
+                "db": jnp.asarray(sd.get(f"{cm}.2.bias")),
+                "norm": _fold_bn(sd, f"{cm}.3"),
+                "pw2": jnp.asarray(pw2[:, :, 0].T),
+                "pb2": jnp.asarray(sd.get(f"{cm}.5.bias")),
+            },
+            "ffn2": _ffn(f"{lp}.ffn2"),
+            "out_ln": _lnp(sd, f"{lp}.final_layer_norm"),
+        })
+    p = {"proj": jnp.eye(d, dtype=jnp.float32),
+         "proj_b": jnp.zeros((d,), jnp.float32),
+         "layers": layers}
+    return _check_tree(p, model, "import_conformer")
