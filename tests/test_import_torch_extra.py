@@ -593,3 +593,131 @@ def test_conformer_import_validation():
                            conv_norm="affine")
     with pytest.raises(ValueError, match="input projection"):
         it.import_conformer(tm.state_dict(), proj_model)
+
+
+# ------------------------------------------------------------------ #
+# Wav2Letter / DeepSpeech                                            #
+# ------------------------------------------------------------------ #
+
+def _torch_wav2letter(num_classes, input_type, num_features):
+    """torchaudio ``models.Wav2Letter`` replica: one conv+ReLU stack,
+    log-softmax over classes (dim=1 in torch's (B, C, T) layout)."""
+    acoustic_in = 250 if input_type == "waveform" else num_features
+    body = [nn.Conv1d(acoustic_in, 250, 48, 2, 23), nn.ReLU()]
+    for _ in range(7):
+        body += [nn.Conv1d(250, 250, 7, 1, 3), nn.ReLU()]
+    body += [nn.Conv1d(250, 2000, 32, 1, 16), nn.ReLU(),
+             nn.Conv1d(2000, 2000, 1, 1, 0), nn.ReLU(),
+             nn.Conv1d(2000, num_classes, 1, 1, 0), nn.ReLU()]
+    acoustic = nn.Sequential(*body)
+
+    class _W2L(nn.Module):
+        def __init__(self):
+            super().__init__()
+            if input_type == "waveform":
+                head = nn.Sequential(
+                    nn.Conv1d(num_features, 250, 250, 160, 45),
+                    nn.ReLU())
+                self.acoustic_model = nn.Sequential(head, acoustic)
+            else:
+                self.acoustic_model = acoustic
+
+        def forward(self, x):
+            return torch.nn.functional.log_softmax(
+                self.acoustic_model(x), dim=1)
+
+    return _W2L().eval()
+
+
+def test_wav2letter_parity_waveform():
+    from torchaudio_contrib_tpu.models import Wav2Letter
+    torch.manual_seed(5)
+    tm = _torch_wav2letter(12, "waveform", 1)
+    ours = Wav2Letter(num_classes=12, input_type="waveform",
+                      compat="torchaudio")
+    p = it.import_wav2letter(tm.state_dict(), ours)
+    x = np.random.default_rng(5).standard_normal(
+        (2, 2048)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)[:, None, :]).numpy()  # (B, C, T)
+    got = np.asarray(ours.apply(p, x))                     # (B, T, C)
+    assert got.shape == (ref.shape[0], ref.shape[2], ref.shape[1])
+    np.testing.assert_allclose(got, np.transpose(ref, (0, 2, 1)),
+                               atol=1e-4)
+
+
+def test_wav2letter_parity_mfcc():
+    from torchaudio_contrib_tpu.models import Wav2Letter
+    torch.manual_seed(6)
+    tm = _torch_wav2letter(8, "mfcc", 13)
+    ours = Wav2Letter(num_classes=8, input_type="mfcc",
+                      num_features=13, compat="torchaudio")
+    p = it.import_wav2letter(tm.state_dict(), ours)
+    x = np.random.default_rng(6).standard_normal(
+        (2, 13, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(np.asarray(ours.apply(p, x)),
+                               np.transpose(ref, (0, 2, 1)), atol=1e-4)
+
+
+def test_wav2letter_import_requires_compat():
+    from torchaudio_contrib_tpu.models import Wav2Letter
+    tm = _torch_wav2letter(8, "mfcc", 13)
+    with pytest.raises(ValueError, match="compat"):
+        it.import_wav2letter(
+            tm.state_dict(),
+            Wav2Letter(num_classes=8, input_type="mfcc",
+                       num_features=13))
+
+
+class _TorchFullyConnected(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.fc = nn.Linear(cin, cout)
+
+    def forward(self, x):
+        return torch.nn.functional.hardtanh(
+            torch.nn.functional.relu(self.fc(x)), 0.0, 20.0)
+
+
+class _TorchDeepSpeech(nn.Module):
+    """torchaudio ``models.DeepSpeech`` replica — the RNN is a REAL
+    ``nn.RNN`` (relu nonlinearity, bidirectional), so the recurrence
+    itself is a true torch oracle, not a reconstruction."""
+
+    def __init__(self, n_feature=10, n_hidden=24, n_class=7):
+        super().__init__()
+        self.n_hidden = n_hidden
+        self.fc1 = _TorchFullyConnected(n_feature, n_hidden)
+        self.fc2 = _TorchFullyConnected(n_hidden, n_hidden)
+        self.fc3 = _TorchFullyConnected(n_hidden, n_hidden)
+        self.bi_rnn = nn.RNN(n_hidden, n_hidden, num_layers=1,
+                             nonlinearity="relu", bidirectional=True)
+        self.fc4 = _TorchFullyConnected(n_hidden, n_hidden)
+        self.out = nn.Linear(n_hidden, n_class)
+
+    def forward(self, x):                          # (B, T, F)
+        x = self.fc3(self.fc2(self.fc1(x)))
+        x = x.transpose(0, 1)                      # (T, B, H)
+        x, _ = self.bi_rnn(x)
+        x = x[:, :, :self.n_hidden] + x[:, :, self.n_hidden:]
+        x = self.fc4(x)
+        x = self.out(x)
+        x = torch.nn.functional.log_softmax(x, dim=2)
+        return x.transpose(0, 1)                   # (B, T, C)
+
+
+def test_deepspeech_parity():
+    from torchaudio_contrib_tpu.models import DeepSpeech
+    torch.manual_seed(7)
+    tm = _TorchDeepSpeech().eval()
+    ours = DeepSpeech(n_feature=10, n_hidden=24, n_class=7)
+    p = it.import_deepspeech(tm.state_dict(), ours)
+    x = np.random.default_rng(7).standard_normal(
+        (3, 17, 10)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(ours.apply(p, x, log_probs=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-4)

@@ -47,6 +47,7 @@ __all__ = [
     "import_wav2vec2", "import_hifigan", "import_lstm",
     "import_conv_tasnet", "import_wavernn", "import_gru",
     "import_tacotron2", "import_conformer",
+    "import_wav2letter", "import_deepspeech",
 ]
 
 
@@ -715,3 +716,81 @@ def import_conformer(state_dict: Mapping[str, object], model,
          "proj_b": jnp.zeros((d,), jnp.float32),
          "layers": layers}
     return _check_tree(p, model, "import_conformer")
+
+
+# ----------------------------------------------------------------- #
+# Wav2Letter / DeepSpeech                                           #
+# ----------------------------------------------------------------- #
+
+def import_wav2letter(state_dict: Mapping[str, object], model):
+    """torchaudio-layout ``models.Wav2Letter`` ``state_dict`` → the
+    ``models/asr.py::Wav2Letter`` param pytree.
+
+    torchaudio's model is one conv stack registered in forward order
+    (``acoustic_model...``), so the map is positional: every 3-D
+    ``.weight`` in state-dict insertion order is a Conv1d kernel
+    ``(out, in, k)`` → TIO, paired with its ``.bias`` — robust to the
+    flat vs nested-Sequential indexing difference between input types.
+    The model must be built with ``compat="torchaudio"`` (symmetric
+    paddings + terminal ReLU/log-softmax); torch ``nn``-replica
+    forward parity pinned in ``tests/test_import_torch_extra.py``.
+    [ref-recon: contrib reference has no model zoo, SURVEY §2]
+    """
+    if getattr(model, "compat", "tpu") != "torchaudio":
+        raise ValueError(
+            "import_wav2letter needs a model built with "
+            "compat='torchaudio' (torch conv geometry + output "
+            f"log-softmax); got compat={model.compat!r}")
+    sd = _SD(dict(state_dict))
+    convs = [k for k, v in sd.sd.items()
+             if k.endswith(".weight") and _np(v).ndim == 3]
+    arch = model._arch()
+    if len(convs) != len(arch):
+        raise ValueError(
+            f"import_wav2letter: found {len(convs)} conv kernels, "
+            f"model has {len(arch)} layers ({convs[:4]}…)")
+    layers = []
+    for name, (k, _, cin, cout, _) in zip(convs, arch):
+        w = sd.get(name)
+        if w.shape != (cout, cin, k):
+            raise ValueError(
+                f"import_wav2letter: {name} has shape {w.shape}, "
+                f"expected {(cout, cin, k)}")
+        layers.append({"w": _conv_tio(w),
+                       "b": jnp.asarray(
+                           sd.get(name[:-len("weight")] + "bias"))})
+    return _check_tree({"layers": layers}, model, "import_wav2letter")
+
+
+def import_deepspeech(state_dict: Mapping[str, object], model):
+    """torchaudio-layout ``models.DeepSpeech`` ``state_dict`` → the
+    ``models/asr.py::DeepSpeech`` param pytree.
+
+    Name map (torchaudio ``models/deepspeech.py``): ``fc{1..4}.fc``
+    (the Linear inside each FullyConnected), ``bi_rnn`` (one
+    bidirectional ``nn.RNN`` layer, ``relu`` nonlinearity — the
+    ``_reverse`` weights land in the ``bwd`` direction, the two torch
+    biases act summed), ``out``.  Forward parity (with
+    ``log_probs=True``) pinned against a torch oracle using a REAL
+    ``nn.RNN`` in ``tests/test_import_torch_extra.py``.
+    """
+    sd = _SD(dict(state_dict))
+
+    def rnn_dir(suffix):
+        return {"wx": jnp.asarray(
+                    sd.get(f"bi_rnn.weight_ih_l0{suffix}").T),
+                "wh": jnp.asarray(
+                    sd.get(f"bi_rnn.weight_hh_l0{suffix}").T),
+                "b": jnp.asarray(
+                    sd.get(f"bi_rnn.bias_ih_l0{suffix}")
+                    + sd.get(f"bi_rnn.bias_hh_l0{suffix}"))}
+
+    p = {
+        "fc1": _linear(sd, "fc1.fc"),
+        "fc2": _linear(sd, "fc2.fc"),
+        "fc3": _linear(sd, "fc3.fc"),
+        "rnn": {"fwd": rnn_dir(""), "bwd": rnn_dir("_reverse")},
+        "fc4": _linear(sd, "fc4.fc"),
+        "out": _linear(sd, "out"),
+    }
+    return _check_tree(p, model, "import_deepspeech")
