@@ -28,7 +28,8 @@ from ._flac import (read_flac, write_flac, flac_info,
 __all__ = ["read_wav", "write_wav", "wav_info", "have_native",
            "make_wav_loader",
            "read_flac", "write_flac", "flac_info", "have_native_flac",
-           "read_audio", "audio_info", "write_audio"]
+           "read_audio", "audio_info", "write_audio",
+           "StreamReader", "StreamWriter", "SourceAudioStream"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libwavio.so")
@@ -203,6 +204,15 @@ def write_audio(path, data, sample_rate: int, bits: int = 16) -> None:
         write_flac(path, data, sample_rate, bits=bits)
     else:
         write_wav(path, data, sample_rate, bits=bits)
+
+
+def __getattr__(name):
+    # StreamReader/StreamWriter live in .stream (imported lazily so the
+    # hot corpus-loader import path stays minimal)
+    if name in ("StreamReader", "StreamWriter", "SourceAudioStream"):
+        from . import stream
+        return getattr(stream, name)
+    raise AttributeError(name)
 
 
 # ---------------------------------------------------------------- fallback

@@ -345,11 +345,12 @@ def _py_subframe(br, bs, bps):
     return x
 
 
-def _py_flac_decode(buf: bytes, info: Optional[dict] = None):
-    si = _py_streaminfo(buf)
+def _py_flac_frames(buf: bytes, si: dict):
+    """Generator over decoded FLAC frames → float32 ``(ch, bs)``
+    arrays in stream order (the streaming counterpart of
+    ``_py_flac_decode``; O(block) memory)."""
     ch, total, bits = si["channels"], si["num_frames"], si["bits"]
     scale = 1.0 / (1 << (bits - 1))
-    out = np.empty((ch, total), np.float32)
     br = _BitReader(buf, si["_off"])
     done = 0
     while done < total:
@@ -430,10 +431,20 @@ def _py_flac_decode(buf: bytes, info: Optional[dict] = None):
                 left.append((mm + s) >> 1)
                 right.append((mm - s) >> 1)
             chans = [left, right]
+        frame = np.empty((ch, bs), np.float32)
         for c in range(ch):
-            out[c, done:done + bs] = np.asarray(chans[c],
-                                                np.float64) * scale
+            frame[c] = np.asarray(chans[c], np.float64) * scale
+        yield frame
         done += bs
+
+
+def _py_flac_decode(buf: bytes, info: Optional[dict] = None):
+    si = _py_streaminfo(buf)
+    out = np.empty((si["channels"], si["num_frames"]), np.float32)
+    done = 0
+    for frame in _py_flac_frames(buf, si):
+        out[:, done:done + frame.shape[1]] = frame
+        done += frame.shape[1]
     return out
 
 
@@ -560,6 +571,61 @@ def _utf8_number(n: int) -> bytes:
     raise ValueError("frame number too large")
 
 
+def _encode_frame(blk: np.ndarray, frame_no: int, bits: int,
+                  ss_code: int, asgn: Optional[int],
+                  subframe: str) -> bytes:
+    """Encode one FLAC frame from quantized ``(ch, bs)`` int64."""
+    ch, bs = blk.shape
+    hw = _BitWriter()
+    hw.bits(0b11111111111110, 14)
+    hw.bits(0, 1)          # reserved
+    hw.bits(0, 1)          # fixed blocking strategy
+    hw.bits(7, 4)          # blocksize: 16-bit value follows
+    hw.bits(0, 4)          # sample rate: from STREAMINFO
+    hw.bits(asgn if asgn is not None else ch - 1, 4)
+    hw.bits(ss_code, 3)
+    hw.bits(0, 1)
+    hw.align()
+    header = hw.bytes() + _utf8_number(frame_no) \
+        + struct.pack(">H", bs - 1)
+    header += bytes([_crc8(header)])
+
+    bw = _BitWriter()
+    if asgn is None:
+        subs = [(blk[c], bits) for c in range(ch)]
+    else:
+        left, right = blk[0], blk[1]
+        side = left - right
+        if asgn == 8:
+            subs = [(left, bits), (side, bits + 1)]
+        elif asgn == 9:
+            subs = [(side, bits + 1), (right, bits)]
+        else:
+            mid = (left + right) >> 1
+            subs = [(mid, bits), (side, bits + 1)]
+    for xdata, sub_bps in subs:
+        _write_subframe(bw, xdata, sub_bps, subframe)
+    bw.align()
+    frame = header + bw.bytes()
+    return frame + struct.pack(">H", _crc16(frame))
+
+
+def _streaminfo_block(min_bs: int, max_bs: int, sample_rate: int,
+                      ch: int, bits: int, nf: int) -> bytes:
+    """The complete STREAMINFO metadata block (header + 34-byte body
+    + 16 zero MD5 bytes), marked last-metadata-block."""
+    si = _BitWriter()
+    si.bits(min_bs, 16)
+    si.bits(max_bs, 16)
+    si.bits(0, 24); si.bits(0, 24)
+    si.bits(sample_rate, 20)
+    si.bits(ch - 1, 3)
+    si.bits(bits - 1, 5)
+    si.bits(nf, 36)
+    body = si.bytes() + b"\x00" * 16          # md5 unset (all zero)
+    return bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
 def write_flac(path, data: np.ndarray, sample_rate: int,
                bits: int = 16, block_size: int = 4096,
                subframe: str = "auto", stereo: str = "independent"
@@ -589,58 +655,15 @@ def write_flac(path, data: np.ndarray, sample_rate: int,
                 -full, full - 1).astype(np.int64)
 
     out = bytearray(b"fLaC")
-    si = _BitWriter()
-    si.bits(min(block_size, nf) if nf else block_size, 16)
-    si.bits(block_size, 16)
-    si.bits(0, 24); si.bits(0, 24)
-    si.bits(sample_rate, 20)
-    si.bits(ch - 1, 3)
-    si.bits(bits - 1, 5)
-    si.bits(nf, 36)
-    body = si.bytes() + b"\x00" * 16          # md5 unset (all zero)
-    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+    out += _streaminfo_block(min(block_size, nf) if nf else block_size,
+                             block_size, sample_rate, ch, bits, nf)
 
     ss_code = {8: 1, 16: 4, 24: 6}[bits]
     asgn = {"independent": None, "left_side": 8, "right_side": 9,
             "mid_side": 10}[stereo]
-    frame_no = 0
-    for lo in range(0, nf, block_size):
-        blk = q[:, lo:lo + block_size]
-        bs = blk.shape[1]
-        hw = _BitWriter()
-        hw.bits(0b11111111111110, 14)
-        hw.bits(0, 1)          # reserved
-        hw.bits(0, 1)          # fixed blocking strategy
-        hw.bits(7, 4)          # blocksize: 16-bit value follows
-        hw.bits(0, 4)          # sample rate: from STREAMINFO
-        hw.bits(asgn if asgn is not None else ch - 1, 4)
-        hw.bits(ss_code, 3)
-        hw.bits(0, 1)
-        hw.align()
-        header = hw.bytes() + _utf8_number(frame_no) \
-            + struct.pack(">H", bs - 1)
-        header += bytes([_crc8(header)])
-
-        bw = _BitWriter()
-        if asgn is None:
-            subs = [(blk[c], bits) for c in range(ch)]
-        else:
-            left, right = blk[0], blk[1]
-            side = left - right
-            if asgn == 8:
-                subs = [(left, bits), (side, bits + 1)]
-            elif asgn == 9:
-                subs = [(side, bits + 1), (right, bits)]
-            else:
-                mid = (left + right) >> 1
-                subs = [(mid, bits), (side, bits + 1)]
-        for xdata, sub_bps in subs:
-            _write_subframe(bw, xdata, sub_bps, subframe)
-        bw.align()
-        frame = header + bw.bytes()
-        frame += struct.pack(">H", _crc16(frame))
-        out += frame
-        frame_no += 1
+    for frame_no, lo in enumerate(range(0, nf, block_size)):
+        out += _encode_frame(q[:, lo:lo + block_size], frame_no,
+                             bits, ss_code, asgn, subframe)
 
     with open(path, "wb") as f:
         f.write(bytes(out))
