@@ -52,7 +52,7 @@ from .ops import (
     filter_waveform,
     forced_align, merge_tokens, TokenSpan,
     edit_distance, edit_distance_batched, rnnt_loss,
-    ctc_greedy_decode, ctc_prefix_beam_search, CTCHypothesis,
+    ctc_greedy_decode, ctc_prefix_beam_search, ctc_beam_decode, CTCHypothesis,
     ctc_loss, snr, si_snr,
     psd, mvdr_weights_souden, mvdr_weights_rtf,
     rtf_evd, rtf_power, apply_beamforming,
@@ -170,7 +170,7 @@ __all__ = [
     "filter_waveform",
     "forced_align", "merge_tokens", "TokenSpan",
     "edit_distance", "edit_distance_batched", "rnnt_loss",
-    "ctc_greedy_decode", "ctc_prefix_beam_search", "CTCHypothesis",
+    "ctc_greedy_decode", "ctc_prefix_beam_search", "ctc_beam_decode", "CTCHypothesis",
     "ctc_loss", "snr", "si_snr",
     "psd", "mvdr_weights_souden", "mvdr_weights_rtf",
     "rtf_evd", "rtf_power", "apply_beamforming",

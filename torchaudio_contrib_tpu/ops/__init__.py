@@ -73,7 +73,7 @@ from .edit import edit_distance, edit_distance_batched
 from .rnnt import rnnt_loss
 from .ctcloss import ctc_loss
 from .metrics import snr, si_snr
-from .ctcdecode import (ctc_greedy_decode, ctc_prefix_beam_search,
+from .ctcdecode import (ctc_greedy_decode, ctc_prefix_beam_search, ctc_beam_decode,
                         CTCHypothesis)
 from .beamform import (psd, mvdr_weights_souden, mvdr_weights_rtf,
                        rtf_evd, rtf_power, apply_beamforming)
@@ -122,7 +122,7 @@ __all__ = [
     "convolve", "fftconvolve", "simulate_rir_ism",
     "forced_align", "merge_tokens", "TokenSpan",
     "edit_distance", "edit_distance_batched", "rnnt_loss",
-    "ctc_greedy_decode", "ctc_prefix_beam_search", "CTCHypothesis",
+    "ctc_greedy_decode", "ctc_prefix_beam_search", "ctc_beam_decode", "CTCHypothesis",
     "ctc_loss", "snr", "si_snr",
     "psd", "mvdr_weights_souden", "mvdr_weights_rtf",
     "rtf_evd", "rtf_power", "apply_beamforming",
