@@ -21,6 +21,7 @@ from .ops import (
     melscale_fbanks, linear_fbanks, barkscale_fbanks,
     apply_filterbank,
     amplitude_to_db, db_to_amplitude,
+    amplitude_to_DB, DB_to_amplitude,
     mu_law_encoding, mu_law_decoding,
     phase_vocoder, compute_phase_advance,
     fused_melspectrogram, fused_mel_supported, resolve_precision,
@@ -38,7 +39,7 @@ from .ops import (
     equalizer_biquad, bass_biquad, treble_biquad,
     band_biquad, deemph_biquad, riaa_biquad,
     loudness, a_weighting,
-    create_chroma_filter,
+    create_chroma_filter, chroma_filterbank,
     cqt_frequencies, create_cqt_kernel, cqt, pseudo_cqt,
     detect_pitch_frequency,
     fade, gain, dither, dcshift, sliding_window_cmn,
@@ -46,7 +47,7 @@ from .ops import (
     overdrive, contrast, phaser, flanger,
     vad, vad_onset, vad_trim,
     convolve, fftconvolve, simulate_rir_ism,
-    spectrogram, melspectrogram,
+    spectrogram, melspectrogram, inverse_spectrogram,
     oscillator_bank, adsr_envelope, extend_pitch,
     sinc_impulse_response, frequency_impulse_response,
     filter_waveform,
@@ -69,6 +70,7 @@ from .models import (
     Overdrive, Phaser, Flanger, Contrast,
     Lowpass, Highpass, Equalizer, RNNTLoss,
     LFCC, Convolve, FFTConvolve, SpeedPerturbation,
+    AmplitudeToDB, MelSpectrogram, TimeStretch, SpecAugment, MVDR,
     Transform, Pipeline,
     STFT, ISTFT, InverseSpectrogram, ComplexNorm,
     Filterbank, MelFilterbank, BarkFilterbank, ChromaFilterbank,
@@ -78,7 +80,7 @@ from .models import (
     StretchSpecTime, Resample, GriffinLim,
     Spectrogram, Melspectrogram, FusedMelspectrogram,
     MelFrontendClassifier, Conformer, Wav2Letter, DeepSpeech,
-    ConvTasNet, WaveRNN, Tacotron2, Wav2Vec2, Emformer, ConvEmformer,
+    ConvTasNet, WaveRNN, Tacotron2, Wav2Vec2, Wav2Vec2Model, Emformer, ConvEmformer,
     RNNT, RNNTPredictor, RNNTBeamSearch,
     wav2vec2_base, wav2vec2_large,
     hubert_base, hubert_large, hubert_xlarge,
@@ -128,6 +130,9 @@ def info(path) -> dict:
     return io.audio_info(path)
 
 __all__ = [
+    "amplitude_to_DB", "DB_to_amplitude", "inverse_spectrogram",
+    "chroma_filterbank", "AmplitudeToDB", "MelSpectrogram",
+    "TimeStretch", "SpecAugment", "MVDR", "Wav2Vec2Model",
     "ops", "models", "parallel", "utils", "io", "compliance",
     "datasets", "pipelines", "sox_effects", "kaldi_io",
     "load", "save", "info",

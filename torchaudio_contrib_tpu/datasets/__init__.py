@@ -34,6 +34,7 @@ __all__ = [
     "AudioFolder", "LIBRISPEECH", "LJSPEECH", "SPEECHCOMMANDS",
     "YESNO", "CMUARCTIC", "LIBRITTS", "VCTK_092", "GTZAN",
     "COMMONVOICE", "MUSDB_HQ", "TEDLIUM", "FLUENTSPEECHCOMMANDS",
+    "FluentSpeechCommands",
     "pad_collate", "bucket_indices", "batch_iterator",
 ]
 
@@ -625,3 +626,7 @@ def batch_iterator(dataset, batch_size: int, shuffle_key=None,
                 "resample the corpus to a common rate first")
         wavs, lengths = collate([it[0] for it in items])
         yield wavs, lengths, [it[2:] for it in items]
+
+
+# torchaudio's CamelCase name for the same parser
+FluentSpeechCommands = FLUENTSPEECHCOMMANDS

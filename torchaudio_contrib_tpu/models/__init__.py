@@ -55,9 +55,15 @@ from .transforms import (
     Overdrive, Phaser, Flanger, Contrast,
     Lowpass, Highpass, Equalizer, RNNTLoss,
     LFCC, Convolve, FFTConvolve, SpeedPerturbation,
+    AmplitudeToDB, MelSpectrogram, TimeStretch, SpecAugment, MVDR,
 )
 
+# torchaudio's class name for the wav2vec2 encoder
+Wav2Vec2Model = Wav2Vec2
+
 __all__ = [
+    "Wav2Vec2Model", "AmplitudeToDB", "MelSpectrogram", "TimeStretch",
+    "SpecAugment", "MVDR",
     "Transform", "Pipeline",
     "STFT", "ISTFT", "InverseSpectrogram", "ComplexNorm",
     "Filterbank", "MelFilterbank", "BarkFilterbank",

@@ -27,6 +27,8 @@ __all__ = [
     "Overdrive", "Phaser", "Flanger", "Contrast",
     "Lowpass", "Highpass", "Equalizer", "RNNTLoss",
     "LFCC", "Convolve", "FFTConvolve", "SpeedPerturbation",
+    "AmplitudeToDB", "MelSpectrogram", "TimeStretch", "SpecAugment",
+    "MVDR",
 ]
 
 
@@ -454,3 +456,201 @@ class SpeedPerturbation(Transform):
         i = int(_jax.random.randint(key, (), 0, len(self.factors)))
         return _ops.speed(x, self.orig_freq, self.factors[i],
                           lengths=lengths)
+
+
+class AmplitudeToDB(Transform):
+    """torchaudio-named dB transform: ``stype`` ∈ power|magnitude
+    picks the 10·/20·log10 multiplier (the house ``AmplitudeToDb``
+    layer derives the same from ``power=``); ``top_db`` clamps to each
+    spectrogram's peak."""
+
+    def __init__(self, stype: str = "power",
+                 top_db: float | None = None):
+        if stype not in ("power", "magnitude"):
+            raise ValueError("stype must be 'power' or 'magnitude'")
+        self.multiplier = 10.0 if stype == "power" else 20.0
+        self.top_db = top_db
+        self._config = (stype, top_db)
+
+    def __call__(self, x, params=None):
+        return _ops.amplitude_to_DB(x, self.multiplier, 1e-10, 0.0,
+                                    self.top_db)
+
+
+class MelSpectrogram(Transform):
+    """torchaudio-named/argumented mel spectrogram (``n_fft``/
+    ``n_mels``/``window_fn`` spelling; the house factory is
+    ``Melspectrogram()`` with reference-style names).  ``pad`` zero-pads
+    the waveform on both sides before the STFT, as torchaudio does."""
+
+    def __init__(self, sample_rate: int = 16000, n_fft: int = 400,
+                 win_length: int | None = None,
+                 hop_length: int | None = None,
+                 f_min: float = 0.0, f_max: float | None = None,
+                 pad: int = 0, n_mels: int = 128, window_fn=None,
+                 power: float = 2.0, normalized: bool = False,
+                 center: bool = True, pad_mode: str = "reflect",
+                 norm: str | None = None, mel_scale: str = "htk",
+                 onesided: bool = True):
+        if not onesided:
+            raise ValueError("MelSpectrogram requires onesided=True")
+        self.pad = int(pad)
+        self.window_fn = window_fn
+        self.kw = dict(
+            num_mels=n_mels, sample_rate=sample_rate, f_min=f_min,
+            f_max=f_max, mel_scale=mel_scale, norm=norm, power=power,
+            fft_length=n_fft,
+            hop_length=n_fft // 2 if hop_length is None else hop_length,
+            win_length=win_length, center=center, pad_mode=pad_mode,
+            normalized=normalized)
+        self._config = (self.pad, window_fn,
+                        tuple(sorted(self.kw.items())))
+
+    def __call__(self, x, params=None):
+        import jax.numpy as jnp
+        if self.pad:
+            cfg = [(0, 0)] * (x.ndim - 1) + [(self.pad, self.pad)]
+            x = jnp.pad(x, cfg)
+        window = None
+        if self.window_fn is not None:
+            wl = self.kw["win_length"] or self.kw["fft_length"]
+            window = jnp.asarray(self.window_fn(wl))
+        return _ops.melspectrogram(x, window=window, **self.kw)
+
+
+class TimeStretch(Transform):
+    """torchaudio-named phase-vocoder stretch on COMPLEX spectrograms:
+    ``t(spec)`` at the fixed rate, or ``t(spec,
+    overriding_rate=r)`` (the house layer is ``StretchSpecTime``,
+    which derives the phase advance from STFT config)."""
+
+    def __init__(self, hop_length: int | None = None,
+                 n_freq: int = 201, fixed_rate: float | None = None):
+        self.n_freq = n_freq
+        self.hop = hop_length if hop_length is not None \
+            else (n_freq - 1)  # torchaudio default: n_fft // 2
+        self.fixed_rate = fixed_rate
+        self._config = (self.hop, n_freq, fixed_rate)
+
+    def __call__(self, x, overriding_rate=None, params=None):
+        rate = overriding_rate if overriding_rate is not None \
+            else self.fixed_rate
+        if rate is None:
+            raise ValueError(
+                "TimeStretch built without fixed_rate needs "
+                "overriding_rate=")
+        if x.shape[-2] != self.n_freq:
+            raise ValueError(
+                f"spec has {x.shape[-2]} freq bins, transform built "
+                f"for n_freq={self.n_freq}")
+        if float(rate) == 1.0:
+            return x
+        # torchaudio's linspace(0, pi*hop, n_freq) IS hop*2*pi*f/n_fft
+        advance = _ops.compute_phase_advance(
+            self.n_freq, self.hop, 2 * (self.n_freq - 1))
+        return _ops.phase_vocoder(x, float(rate), advance)
+
+
+class SpecAugment(Transform):
+    """torchaudio-named SpecAugment (mask-only form, Park et al.
+    2019): ``n_time_masks`` time masks of width ≤
+    ``min(time_mask_param, p·T)`` and ``n_freq_masks`` frequency masks
+    of width ≤ ``freq_mask_param``; ``t(spec, key=key)``.
+    ``iid_masks`` samples independent masks per leading-batch element
+    (needs ``spec.ndim >= 3``); ``zero_masking=False`` fills with each
+    spectrogram's mean instead of zero."""
+
+    def __init__(self, n_time_masks: int, time_mask_param: int,
+                 n_freq_masks: int, freq_mask_param: int,
+                 iid_masks: bool = True, p: float = 1.0,
+                 zero_masking: bool = True):
+        if not 0.0 <= p <= 1.0:
+            raise ValueError("p must be in [0, 1]")
+        self.cfg = (int(n_time_masks), int(time_mask_param),
+                    int(n_freq_masks), int(freq_mask_param),
+                    bool(iid_masks), float(p), bool(zero_masking))
+        self._config = self.cfg
+
+    def __call__(self, x, key=None, params=None):
+        import jax
+        import jax.numpy as jnp
+        if key is None:
+            raise TypeError("SpecAugment requires key=")
+        (n_t, t_param, n_f, f_param, iid, p, zero) = self.cfg
+        t_param = min(t_param, int(p * x.shape[-1]))
+        # torchaudio fills with the GLOBAL mean when not zero-masking
+        val = 0.0 if zero else jnp.mean(x)
+        kt, kf = jax.random.split(key)
+
+        def one(spec, kt, kf):
+            out = spec
+            if n_t and t_param > 0:
+                out = _ops.time_mask(kt, out, t_param, num_masks=n_t,
+                                     mask_value=val)
+            if n_f and f_param > 0:
+                out = _ops.freq_mask(kf, out, f_param, num_masks=n_f,
+                                     mask_value=val)
+            return out
+
+        if iid and x.ndim >= 3:
+            B = x.shape[0]
+            return jax.vmap(one)(x, jax.random.split(kt, B),
+                                 jax.random.split(kf, B))
+        return one(x, kt, kf)
+
+
+class MVDR(Transform):
+    """torchaudio's classic ``transforms.MVDR``: ``t(spec, mask_s,
+    mask_n)`` — PSDs from time-frequency masks, then MVDR weights by
+    ``solution`` ∈ ref_channel (Souden) | stv_evd | stv_power
+    (steering-vector estimates + RTF formula) → enhanced
+    single-channel complex spec.  The composable pieces are
+    ``PSD``/``SoudenMVDR``/``RTFMVDR``; ``online=True`` (recursive
+    PSD updates) is not provided."""
+
+    def __init__(self, ref_channel: int = 0,
+                 solution: str = "ref_channel",
+                 multi_mask: bool = False,
+                 diag_loading: bool = True, diag_eps: float = 1e-7,
+                 online: bool = False):
+        if solution not in ("ref_channel", "stv_evd", "stv_power"):
+            raise ValueError(
+                "solution must be ref_channel|stv_evd|stv_power")
+        if online:
+            raise NotImplementedError(
+                "online (recursive) MVDR is not provided — compute "
+                "PSDs per block and rebuild weights instead")
+        self.kw = dict(ref_channel=int(ref_channel), solution=solution,
+                       multi_mask=bool(multi_mask),
+                       diag_loading=bool(diag_loading),
+                       diag_eps=float(diag_eps))
+        self._config = tuple(sorted(self.kw.items()))
+
+    def __call__(self, x, mask_s=None, mask_n=None, params=None):
+        import jax.numpy as jnp
+        if mask_s is None or mask_n is None:
+            raise TypeError("MVDR requires mask_s= and mask_n=")
+        if self.kw["multi_mask"]:
+            # (..., channel, freq, time) masks: average over channels
+            mask_s = jnp.mean(mask_s, axis=-3)
+            mask_n = jnp.mean(mask_n, axis=-3)
+        psd_s = _ops.psd(x, mask_s)
+        psd_n = _ops.psd(x, mask_n)
+        ref, sol = self.kw["ref_channel"], self.kw["solution"]
+        dl, de = self.kw["diag_loading"], self.kw["diag_eps"]
+        if sol == "ref_channel":
+            w = _ops.mvdr_weights_souden(psd_s, psd_n,
+                                         reference_channel=ref,
+                                         diagonal_loading=dl,
+                                         diag_eps=de)
+        else:
+            if sol == "stv_evd":
+                rtf = _ops.rtf_evd(psd_s, reference_channel=ref)
+            else:
+                rtf = _ops.rtf_power(psd_s, psd_n,
+                                     reference_channel=ref,
+                                     diagonal_loading=dl, diag_eps=de)
+            w = _ops.mvdr_weights_rtf(rtf, psd_n,
+                                      reference_channel=ref,
+                                      diagonal_loading=dl, diag_eps=de)
+        return _ops.apply_beamforming(w, x)

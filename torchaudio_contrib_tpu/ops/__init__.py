@@ -18,7 +18,7 @@ from .windows import (
     check_nola,
 )
 from .stft import stft, istft, frame_signal, num_frames, stft_output_length
-from .spectro import spectrogram, melspectrogram
+from .spectro import spectrogram, melspectrogram, inverse_spectrogram
 from .complexops import complex_norm, angle, magphase
 from .filters import (
     hertz_to_mel,
@@ -33,7 +33,8 @@ from .filters import (
     barkscale_fbanks,
     apply_filterbank,
 )
-from .db import amplitude_to_db, db_to_amplitude
+from .db import (amplitude_to_db, db_to_amplitude,
+                 amplitude_to_DB, DB_to_amplitude)
 from .mulaw import mu_law_encoding, mu_law_decoding
 from .phase_vocoder import phase_vocoder, compute_phase_advance
 from .fused import (fused_melspectrogram, fused_mel_supported,
@@ -56,7 +57,7 @@ from .iir import (lfilter, filtfilt, biquad, lowpass_biquad, highpass_biquad,
                   equalizer_biquad, bass_biquad, treble_biquad,
                   band_biquad, deemph_biquad, riaa_biquad)
 from .loudness import loudness, a_weighting
-from .chroma import create_chroma_filter
+from .chroma import create_chroma_filter, chroma_filterbank
 from .cqt import cqt_frequencies, create_cqt_kernel, cqt, pseudo_cqt
 from .pitchdetect import detect_pitch_frequency
 from .effects import (fade, gain, dither, dcshift, sliding_window_cmn,
@@ -90,6 +91,7 @@ __all__ = [
     "melscale_fbanks", "linear_fbanks", "barkscale_fbanks",
     "apply_filterbank",
     "amplitude_to_db", "db_to_amplitude",
+    "amplitude_to_DB", "DB_to_amplitude", "inverse_spectrogram",
     "mu_law_encoding", "mu_law_decoding",
     "phase_vocoder", "compute_phase_advance",
     "fused_melspectrogram", "fused_mel_supported",
@@ -112,7 +114,7 @@ __all__ = [
     "equalizer_biquad", "bass_biquad", "treble_biquad",
     "band_biquad", "deemph_biquad", "riaa_biquad",
     "loudness", "a_weighting",
-    "create_chroma_filter",
+    "create_chroma_filter", "chroma_filterbank",
     "cqt_frequencies", "create_cqt_kernel", "cqt", "pseudo_cqt",
     "detect_pitch_frequency",
     "fade", "gain", "dither", "dcshift", "sliding_window_cmn",

@@ -24,7 +24,7 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["create_chroma_filter"]
+__all__ = ["create_chroma_filter", "chroma_filterbank"]
 
 
 @functools.lru_cache(maxsize=32)
@@ -85,3 +85,17 @@ def create_chroma_filter(n_chroma: int = 12, sample_rate: float = 22050,
                            None if octwidth is None else float(octwidth),
                            bool(base_c), norm)
     return jnp.asarray(fb, dtype=dtype)
+
+
+def chroma_filterbank(sample_rate: float, n_freqs: int, n_chroma: int,
+                      *, tuning: float = 0.0, ctroct: float = 5.0,
+                      octwidth: Optional[float] = 2.0,
+                      norm: Optional[int] = 2,
+                      base_c: bool = True) -> jnp.ndarray:
+    """torchaudio-signature alias of :func:`create_chroma_filter`
+    (``torchaudio.prototype.functional.chroma_filterbank`` argument
+    order) → ``(n_freqs, n_chroma)``."""
+    return create_chroma_filter(n_chroma, sample_rate, n_freqs,
+                                tuning=tuning, ctroct=ctroct,
+                                octwidth=octwidth, base_c=base_c,
+                                norm=norm)

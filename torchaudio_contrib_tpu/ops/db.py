@@ -15,7 +15,8 @@ import math
 
 import jax.numpy as jnp
 
-__all__ = ["amplitude_to_db", "db_to_amplitude"]
+__all__ = ["amplitude_to_db", "db_to_amplitude",
+           "amplitude_to_DB", "DB_to_amplitude"]
 
 
 def amplitude_to_db(x: jnp.ndarray, ref: float = 1.0, amin: float = 1e-7,
@@ -48,3 +49,35 @@ def db_to_amplitude(x_db: jnp.ndarray, ref: float = 1.0,
     """Inverse of :func:`amplitude_to_db` (exact above the ``amin`` clamp)."""
     mult = 20.0 / power
     return ref * jnp.power(10.0, x_db / mult)
+
+
+def amplitude_to_DB(x: jnp.ndarray, multiplier: float, amin: float,
+                    db_multiplier: float,
+                    top_db: float | None = None) -> jnp.ndarray:
+    """torchaudio-signature dB conversion:
+    ``multiplier·log10(clamp(x, amin)) − multiplier·db_multiplier``
+    (``multiplier`` = 10 for power, 20 for amplitude inputs;
+    ``db_multiplier = log10(max(amin, ref))``), ``top_db`` clamped to
+    each spectrogram's own peak over its trailing (freq, time) plane.
+    The house :func:`amplitude_to_db` derives all of this from
+    ``ref``/``power`` — this adapter exists so torchaudio call sites
+    port verbatim."""
+    if amin <= 0:
+        raise ValueError("amin must be > 0")
+    x_db = multiplier * jnp.log10(jnp.maximum(x, amin)) \
+        - multiplier * db_multiplier
+    if top_db is not None:
+        if top_db < 0:
+            raise ValueError("top_db must be >= 0")
+        axes = tuple(range(max(x_db.ndim - 2, 0), x_db.ndim))
+        peak = jnp.max(x_db, axis=axes, keepdims=True)
+        x_db = jnp.maximum(x_db, peak - top_db)
+    return x_db
+
+
+def DB_to_amplitude(x_db: jnp.ndarray, ref: float,
+                    power: float) -> jnp.ndarray:
+    """torchaudio-signature inverse: ``ref · (10^(x/10))^power``
+    (``power`` = 1 recovers a power spectrogram, 0.5 an amplitude
+    one)."""
+    return ref * jnp.power(jnp.power(10.0, 0.1 * x_db), power)

@@ -15,11 +15,54 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from .stft import stft
+from .stft import stft, istft, _resolve_window
 from .complexops import complex_norm
 from .filters import create_mel_filter, apply_filterbank
 
-__all__ = ["spectrogram", "melspectrogram"]
+__all__ = ["spectrogram", "melspectrogram", "inverse_spectrogram"]
+
+
+def inverse_spectrogram(spec: jnp.ndarray,
+                        length: Optional[int] = None,
+                        pad: int = 0,
+                        window=None,
+                        n_fft: int = 400,
+                        hop_length: Optional[int] = None,
+                        win_length: Optional[int] = None,
+                        normalized=False,
+                        center: bool = True,
+                        pad_mode: str = "reflect",
+                        onesided: bool = True) -> jnp.ndarray:
+    """torchaudio-signature ``functional.inverse_spectrogram``: the
+    least-squares inverse of a COMPLEX ``spectrogram(..., power=None)``
+    (an adapter over :func:`istft` with torchaudio's ``pad`` and
+    ``normalized`` conventions; ``pad_mode`` is accepted for signature
+    symmetry — it only affects the forward transform)."""
+    if not jnp.iscomplexobj(spec):
+        raise ValueError(
+            "inverse_spectrogram expects a complex spectrogram "
+            "(forward power=None); magnitude spectrograms are not "
+            "invertible — use griffin_lim")
+    if win_length is None:
+        win_length = n_fft
+    if normalized:
+        w = _resolve_window(window, win_length, n_fft)
+        if normalized in (True, "window"):
+            spec = spec * float((w ** 2).sum()) ** 0.5
+        elif normalized == "frame_length":
+            spec = spec * float(win_length) ** 0.5
+        else:
+            raise ValueError(
+                f"normalized must be bool|'window'|'frame_length', "
+                f"got {normalized!r}")
+    out = istft(spec, hop_length=hop_length, win_length=win_length,
+                window=window, center=center, normalized=False,
+                onesided=onesided,
+                length=None if length is None else length + 2 * pad,
+                fft_length=n_fft)
+    if pad > 0:
+        out = out[..., pad:out.shape[-1] - pad]
+    return out
 
 
 def spectrogram(waveform: jnp.ndarray,
