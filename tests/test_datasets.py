@@ -234,6 +234,178 @@ def test_fluentspeechcommands(tmp_path):
         D.FLUENTSPEECHCOMMANDS(str(tmp_path), subset="eval")
 
 
+def test_cmudict(tmp_path):
+    (tmp_path / "cmudict-0.7b").write_bytes(
+        b";;; comment line\n"
+        b"!EXCLAMATION-POINT  EH2 K S K L AH0\n"
+        b"HELLO  HH AH0 L OW1\n"
+        b"HELLO(1)  HH EH0 L OW1\n"
+        b"WORLD  W ER1 L D\n")
+    (tmp_path / "cmudict-0.7b.symbols").write_text("AH\nEH\nHH\n")
+    ds = D.CMUDict(str(tmp_path))
+    assert len(ds) == 3
+    assert ds[0] == ("HELLO", ["HH", "AH0", "L", "OW1"])
+    assert ds[1] == ("HELLO", ["HH", "EH0", "L", "OW1"])
+    assert ds[2][0] == "WORLD"
+    assert ds.symbols == ["AH", "EH", "HH"]
+    full = D.CMUDict(str(tmp_path), exclude_punctuations=False)
+    assert len(full) == 4
+    assert full[0][0] == "!EXCLAMATION-POINT"
+
+
+def test_librilight_limited(tmp_path):
+    base = tmp_path / "librispeech_finetuning"
+    for part, spk in (("1h/0", 19), ("1h/1", 26), ("9h", 39)):
+        d = base / part / "clean" / str(spk) / "1000"
+        d.mkdir(parents=True)
+        utt = f"{spk}-1000-0000"
+        write_wav(str(d / f"{utt}.wav"), _tone(1200), 16000)
+        (d / f"{spk}-1000.trans.txt").write_text(
+            f"{utt} TEXT {spk}")
+    ds10 = D.LibriLightLimited(str(tmp_path), subset="10min")
+    ds1h = D.LibriLightLimited(str(tmp_path), subset="1h")
+    ds10h = D.LibriLightLimited(str(tmp_path), subset="10h")
+    assert (len(ds10), len(ds1h), len(ds10h)) == (1, 2, 3)
+    wav, sr, text, spk, chap, uid = ds10[0]
+    assert sr == 16000 and wav.shape[-1] == 1200
+    assert text == "TEXT 19" and (spk, chap, uid) == (19, 1000, 0)
+    with pytest.raises(ValueError):
+        D.LibriLightLimited(str(tmp_path), subset="5h")
+
+
+def test_librimix(tmp_path):
+    base = tmp_path / "Libri2Mix" / "wav8k" / "min" / "dev"
+    for d in ("mix_clean", "mix_both", "s1", "s2"):
+        (base / d).mkdir(parents=True)
+        for i in range(2):
+            write_wav(str(base / d / f"utt{i}.wav"),
+                      _tone(640, 8000), 8000)
+    ds = D.LibriMix(str(tmp_path), subset="dev")
+    assert len(ds) == 2
+    sr, mix, srcs = ds[0]
+    assert sr == 8000 and mix.shape == (1, 640) and len(srcs) == 2
+    ds1 = D.LibriMix(str(tmp_path), subset="dev", task="sep_noisy")
+    assert len(ds1[1][2]) == 2
+    with pytest.raises(ValueError):
+        D.LibriMix(str(tmp_path), subset="dev", task="nope")
+
+
+def test_dr_vctk(tmp_path):
+    base = tmp_path / "DR-VCTK" / "DR-VCTK"
+    (base / "clean_trainset_wav_16k").mkdir(parents=True)
+    (base / "device-recorded_trainset_wav_16k").mkdir(parents=True)
+    (base / "configurations").mkdir(parents=True)
+    for i in range(2):
+        for d in ("clean_trainset_wav_16k",
+                  "device-recorded_trainset_wav_16k"):
+            write_wav(str(base / d / f"p226_00{i}.wav"),
+                      _tone(800 + i), 16000)
+    (base / "configurations" / "train_ch_log.txt").write_text(
+        "File Name\tMain Source\tChannel Idx\n"
+        "p226_000.wav\toffice1\t1\n"
+        "p226_001.wav\toffice2\t5\n")
+    ds = D.DR_VCTK(str(tmp_path))
+    assert len(ds) == 2
+    clean, csr, noisy, nsr, name, source, chan = ds[1]
+    assert csr == nsr == 16000
+    assert clean.shape[-1] == noisy.shape[-1] == 801
+    assert (name, source, chan) == ("p226_001.wav", "office2", 5)
+
+
+def test_iemocap(tmp_path):
+    sess = tmp_path / "IEMOCAP" / "Session1"
+    wavd = sess / "sentences" / "wav" / "Ses01F_impro01"
+    wavd.mkdir(parents=True)
+    labd = sess / "dialog" / "EmoEvaluation"
+    labd.mkdir(parents=True)
+    for i, lab in enumerate(("neu", "hap", "xxx")):
+        write_wav(str(wavd / f"Ses01F_impro01_F00{i}.wav"),
+                  _tone(700 + i), 16000)
+    (labd / "Ses01F_impro01.txt").write_text(
+        "% header\n"
+        "[0.1 - 0.5]\tSes01F_impro01_F000\tneu\t[2.5, 2.5, 2.5]\n"
+        "[0.6 - 0.9]\tSes01F_impro01_F001\thap\t[3.5, 3.0, 3.0]\n"
+        "[1.0 - 1.4]\tSes01F_impro01_F002\txxx\t[2.0, 2.0, 2.0]\n")
+    ds = D.IEMOCAP(str(tmp_path))
+    assert len(ds) == 2          # 'xxx' filtered out
+    wav, sr, name, label, speaker = ds[1]
+    assert sr == 16000 and wav.shape[-1] == 701
+    assert (name, label, speaker) == (
+        "Ses01F_impro01_F001", "hap", "Ses01F")
+    assert len(D.IEMOCAP(str(tmp_path),
+                         utterance_type="scripted")) == 0
+    assert len(D.IEMOCAP(str(tmp_path),
+                         utterance_type="improvised")) == 2
+
+
+def test_quesst14(tmp_path):
+    base = tmp_path / "quesst14Database"
+    (base / "Audio").mkdir(parents=True)
+    (base / "scoring").mkdir(parents=True)
+    lines = []
+    for i, lang in enumerate(("nnenglish", "czech")):
+        name = f"quesst14_0000{i}.wav"
+        write_wav(str(base / "Audio" / name), _tone(640, 8000), 8000)
+        lines.append(f"quesst14Database/Audio/{name} {lang}")
+    (base / "scoring" / "language_key_utterances.lst").write_text(
+        "\n".join(lines))
+    ds = D.QUESST14(str(tmp_path))
+    assert len(ds) == 1
+    wav, sr, name = ds[0]
+    assert sr == 8000 and name == "quesst14_00000"
+    assert len(D.QUESST14(str(tmp_path), language=None)) == 2
+    with pytest.raises(ValueError):
+        D.QUESST14(str(tmp_path), subset="queries")
+
+
+def test_snips(tmp_path):
+    base = tmp_path / "SNIPS"
+    (base / "train").mkdir(parents=True)
+    for i, spk in enumerate(("Aditi", "Brian")):
+        write_wav(str(base / "train" / f"{spk}-snips-train-{i}.wav"),
+                  _tone(900 + i), 16000)
+    (base / "all.iob.snips.txt").write_text(
+        "Aditi-snips-train-0 BOS turn on the light EOS\t"
+        "O O O O B-device SwitchLightOn\n"
+        "Brian-snips-train-1 BOS dim the light EOS\t"
+        "O O O B-device SetLightBrightness\n")
+    ds = D.Snips(str(tmp_path), subset="train")
+    assert len(ds) == 2
+    wav, sr, name, text, iob, intent = ds[0]
+    assert name == "Aditi-snips-train-0"
+    assert text == "turn on the light"
+    assert iob == "O O O B-device" and intent == "SwitchLightOn"
+    only = D.Snips(str(tmp_path), subset="train",
+                   speakers=["Brian"])
+    assert len(only) == 1 and only[0][5] == "SetLightBrightness"
+
+
+def test_voxceleb1(tmp_path):
+    wavroot = tmp_path / "wav"
+    rels = []
+    for spk, vid in ((10001, "abc"), (10002, "xyz")):
+        d = wavroot / f"id{spk}" / vid
+        d.mkdir(parents=True)
+        write_wav(str(d / "00001.wav"), _tone(600), 16000)
+        rels.append(f"id{spk}/{vid}/00001.wav")
+    (tmp_path / "iden_split.txt").write_text(
+        f"1 {rels[0]}\n3 {rels[1]}\n")
+    (tmp_path / "veri_test.txt").write_text(
+        f"1 {rels[0]} {rels[1]}\n0 {rels[1]} {rels[0]}\n")
+    train = D.VoxCeleb1Identification(str(tmp_path), subset="train")
+    test = D.VoxCeleb1Identification(str(tmp_path), subset="test")
+    assert len(train) == 1 and len(test) == 1
+    wav, sr, spk, fid = train[0]
+    assert sr == 16000 and spk == 10001
+    assert fid == "id10001-abc-00001"
+    ver = D.VoxCeleb1Verification(str(tmp_path))
+    assert len(ver) == 2
+    w1, w2, sr, label, f1, f2 = ver[0]
+    assert label == 1 and f1 == "id10001-abc-00001" \
+        and f2 == "id10002-xyz-00001"
+    assert ver[1][3] == 0
+
+
 def test_pad_collate_mono_and_multichannel():
     batch, lengths = D.pad_collate([_tone(100), _tone(60)])
     assert batch.shape == (2, 100) and lengths.tolist() == [100, 60]

@@ -35,6 +35,9 @@ __all__ = [
     "YESNO", "CMUARCTIC", "LIBRITTS", "VCTK_092", "GTZAN",
     "COMMONVOICE", "MUSDB_HQ", "TEDLIUM", "FLUENTSPEECHCOMMANDS",
     "FluentSpeechCommands",
+    "CMUDict", "LibriLightLimited", "LibriMix", "DR_VCTK",
+    "IEMOCAP", "QUESST14", "Snips",
+    "VoxCeleb1Identification", "VoxCeleb1Verification",
     "pad_collate", "bucket_indices", "batch_iterator",
 ]
 
@@ -550,6 +553,537 @@ class FLUENTSPEECHCOMMANDS:
         return (np.asarray(wav, np.float32), sr, name,
                 r["speakerId"], r["transcription"], r["action"],
                 r["object"], r["location"])
+
+
+class CMUDict:
+    """CMU Pronouncing Dictionary: ``root/cmudict-0.7b`` (latin-1
+    text, ``;;;`` comments, entries ``WORD  PH1 PH2 ...``) plus the
+    optional ``cmudict-0.7b.symbols`` phone list.
+
+    ``__getitem__`` → ``(word, [phonemes])`` (torchaudio's tuple).
+    Alternate pronunciations (``WORD(1)``) keep the word with the
+    marker stripped, as separate items.  ``exclude_punctuations``
+    (default True) drops entries whose head is a punctuation token
+    (e.g. ``!EXCLAMATION-POINT``)."""
+
+    def __init__(self, root: str, exclude_punctuations: bool = True,
+                 dict_file: str = "cmudict-0.7b",
+                 symbols_file: str = "cmudict-0.7b.symbols"):
+        _require_dir(root, "cmudict-0.7b [+ .symbols]")
+        path = os.path.join(root, dict_file)
+        if not os.path.isfile(path):
+            raise FileNotFoundError(
+                f"{path} does not exist. This environment cannot "
+                "download datasets; place the dictionary file there.")
+        self._entries: List[Tuple[str, List[str]]] = []
+        with open(path, encoding="latin-1") as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith(";;;"):
+                    continue
+                word, _, phones = line.partition("  ")
+                if not phones:
+                    word, _, phones = line.partition(" ")
+                if exclude_punctuations and not word[:1].isalnum():
+                    continue
+                if word.endswith(")") and "(" in word:
+                    word = word[:word.rfind("(")]
+                self._entries.append((word, phones.split()))
+        self._symbols: List[str] = []
+        spath = os.path.join(root, symbols_file)
+        if os.path.isfile(spath):
+            with open(spath, encoding="latin-1") as f:
+                self._symbols = [ln.strip() for ln in f if ln.strip()]
+
+    @property
+    def symbols(self) -> List[str]:
+        """Phone symbols from the ``.symbols`` file (may be empty if
+        the file is absent)."""
+        return list(self._symbols)
+
+    def __len__(self):
+        return len(self._entries)
+
+    def __getitem__(self, n: int):
+        word, phones = self._entries[n]
+        return word, list(phones)
+
+
+class LibriLightLimited(AudioFolder):
+    """Libri-Light limited-supervision layout:
+    ``root/librispeech_finetuning/{1h/<0..5>,9h}/{clean,other}/
+    <spk>/<chap>/<spk>-<chap>-<utt>{ext}`` with per-chapter
+    ``.trans.txt`` files.  ``subset``: ``10min`` (= ``1h/0``),
+    ``1h`` (= ``1h/*``), ``10h`` (= ``1h/* + 9h``).
+
+    ``__getitem__`` → ``(waveform, sample_rate, transcript,
+    speaker_id, chapter_id, utterance_id)`` (LibriSpeech's tuple).
+    The release ships FLAC (decoded natively); ``ext=None``
+    auto-detects like :class:`LIBRISPEECH`."""
+
+    def __init__(self, root: str, subset: str = "10min",
+                 folder_in_archive: str = "librispeech_finetuning",
+                 ext: Optional[str] = None):
+        if subset not in ("10min", "1h", "10h"):
+            raise ValueError("subset must be 10min/1h/10h")
+        base = os.path.join(root, folder_in_archive)
+        _require_dir(base, "librispeech_finetuning/{1h,9h}")
+        if subset == "10min":
+            parts = [os.path.join(base, "1h", "0")]
+        else:
+            parts = [os.path.join(base, "1h", str(i))
+                     for i in range(6)
+                     if os.path.isdir(os.path.join(base, "1h", str(i)))]
+            if subset == "10h":
+                parts.append(os.path.join(base, "9h"))
+        if ext is None:
+            ext = ".wav"
+            for part in parts:
+                for _, _, names in os.walk(part):
+                    if any(n.endswith(".flac") for n in names):
+                        ext = ".flac"
+                        break
+        self.root = base
+        self.ext = ext
+        self._files = []
+        self._trans = {}
+        for part in parts:
+            for dirpath, _, names in sorted(os.walk(part)):
+                for n in sorted(names):
+                    if n.endswith(ext):
+                        self._files.append(os.path.join(dirpath, n))
+                    elif n.endswith(".trans.txt"):
+                        with open(os.path.join(dirpath, n)) as f:
+                            for line in f:
+                                key, _, text = (
+                                    line.strip().partition(" "))
+                                self._trans[key] = text
+
+    def __getitem__(self, n: int):
+        path = self._files[n]
+        wav, sr = self._load(path)
+        utt = os.path.splitext(os.path.basename(path))[0]
+        spk, chap, uid = utt.split("-")
+        text = self._trans.get(utt)
+        if text is None:
+            raise KeyError(f"no transcript for {utt}")
+        return wav, sr, text, int(spk), int(chap), int(uid)
+
+
+class LibriMix:
+    """LibriMix layout: ``root/Libri<N>Mix/wav<k>k/<mode>/<subset>/
+    {mix_clean,mix_both,mix_single,s1..sN,noise}/*.wav``.
+
+    ``task`` picks the mixture/source dirs (torchaudio semantics):
+    ``sep_clean`` → ``mix_clean`` vs ``s1..sN``; ``sep_noisy`` →
+    ``mix_both`` vs ``s1..sN``; ``enh_single`` → ``mix_single`` vs
+    ``s1``; ``enh_both`` → ``mix_both`` vs ``mix_clean``.
+
+    ``__getitem__`` → ``(sample_rate, mixture (1, T), [sources])``
+    (torchaudio's tuple)."""
+
+    def __init__(self, root: str, subset: str = "train-360",
+                 num_speakers: int = 2, sample_rate: int = 8000,
+                 task: str = "sep_clean", mode: str = "min"):
+        if mode not in ("min", "max"):
+            raise ValueError("mode must be 'min' or 'max'")
+        if task not in ("sep_clean", "sep_noisy",
+                        "enh_single", "enh_both"):
+            raise ValueError(f"unsupported task {task!r}")
+        base = os.path.join(root, f"Libri{num_speakers}Mix",
+                            f"wav{sample_rate // 1000}k", mode, subset)
+        _require_dir(base, "Libri2Mix/wav8k/min/<subset>/{mix_*,s*}")
+        mix_dir = {"sep_clean": "mix_clean", "sep_noisy": "mix_both",
+                   "enh_single": "mix_single",
+                   "enh_both": "mix_both"}[task]
+        if task == "enh_single":
+            src_dirs = ["s1"]
+        elif task == "enh_both":
+            src_dirs = ["mix_clean"]
+        else:
+            src_dirs = [f"s{i + 1}" for i in range(num_speakers)]
+        self._mix_dir = os.path.join(base, mix_dir)
+        self._src_dirs = [os.path.join(base, d) for d in src_dirs]
+        _require_dir(self._mix_dir, f"<subset>/{mix_dir}/*.wav")
+        self.sample_rate = sample_rate
+        self.task = task
+        self._names = sorted(
+            n for n in os.listdir(self._mix_dir) if n.endswith(".wav"))
+
+    def __len__(self):
+        return len(self._names)
+
+    def path(self, n: int) -> str:
+        return os.path.join(self._mix_dir, self._names[n])
+
+    def num_frames(self, n: int) -> int:
+        return _header_frames(self.path(n))
+
+    @staticmethod
+    def _read(path):
+        wav, sr = read_audio(path)
+        return np.atleast_2d(np.asarray(wav, np.float32)), sr
+
+    def __getitem__(self, n: int):
+        name = self._names[n]
+        mix, sr = self._read(self.path(n))
+        if sr != self.sample_rate:
+            raise ValueError(
+                f"{name}: header rate {sr} != dataset rate "
+                f"{self.sample_rate}")
+        srcs = []
+        for d in self._src_dirs:
+            s, ssr = self._read(os.path.join(d, name))
+            if ssr != sr:
+                raise ValueError(f"mixed rates for {name}")
+            srcs.append(s)
+        return sr, mix, srcs
+
+
+class DR_VCTK:
+    """Device-Recorded VCTK layout: ``root/DR-VCTK/DR-VCTK/
+    {clean_<subset>set_wav_16k, device-recorded_<subset>set_wav_16k,
+    configurations/<subset>_ch_log.txt}`` where the config is a
+    tab-separated ``(file name, main source, channel idx)`` table
+    with one header line.
+
+    ``__getitem__`` → ``(clean_waveform, clean_sr, noisy_waveform,
+    noisy_sr, filename, source, channel_id)`` (torchaudio's tuple)."""
+
+    def __init__(self, root: str, subset: str = "train"):
+        if subset not in ("train", "test"):
+            raise ValueError("subset must be 'train' or 'test'")
+        base = os.path.join(root, "DR-VCTK", "DR-VCTK")
+        _require_dir(base, "DR-VCTK/DR-VCTK/{clean_*,device-recorded_*}")
+        self._clean = os.path.join(base, f"clean_{subset}set_wav_16k")
+        self._noisy = os.path.join(
+            base, f"device-recorded_{subset}set_wav_16k")
+        cfg = os.path.join(base, "configurations",
+                           f"{subset}_ch_log.txt")
+        if not os.path.isfile(cfg):
+            raise FileNotFoundError(
+                f"{cfg} does not exist. This environment cannot "
+                "download datasets; place the corpus there.")
+        self._config = {}
+        with open(cfg, encoding="utf-8") as f:
+            rows = [r for r in csv.reader(f, delimiter="\t") if r]
+        for row in rows[1:]:           # skip the header line
+            if len(row) >= 3:
+                self._config[row[0]] = (row[1], int(row[2]))
+        self._names = sorted(
+            n for n in os.listdir(self._clean) if n.endswith(".wav"))
+
+    def __len__(self):
+        return len(self._names)
+
+    def path(self, n: int) -> str:
+        return os.path.join(self._clean, self._names[n])
+
+    def num_frames(self, n: int) -> int:
+        return _header_frames(self.path(n))
+
+    def __getitem__(self, n: int):
+        name = self._names[n]
+        clean, csr = read_audio(self.path(n))
+        noisy, nsr = read_audio(os.path.join(self._noisy, name))
+        source, channel = self._config.get(name, ("", 0))
+        return (np.asarray(clean, np.float32), csr,
+                np.asarray(noisy, np.float32), nsr,
+                name, source, channel)
+
+
+class IEMOCAP:
+    """IEMOCAP layout: ``root/IEMOCAP/Session<n>/sentences/wav/
+    <dialog>/<utt>.wav`` with labels in ``Session<n>/dialog/
+    EmoEvaluation/<dialog>.txt`` (lines ``[start - end]\\t<utt>\\t
+    <label>\\t[v, a, d]``).  Only utterances labeled
+    neu/hap/ang/sad/exc/fru are kept (torchaudio semantics);
+    ``utterance_type`` filters scripted vs improvised dialogs.
+
+    ``__getitem__`` → ``(waveform, sample_rate, file_name, label,
+    speaker)``."""
+
+    _LABELS = ("neu", "hap", "ang", "sad", "exc", "fru")
+
+    def __init__(self, root: str,
+                 sessions: Sequence[int] = (1, 2, 3, 4, 5),
+                 utterance_type: Optional[str] = None):
+        if utterance_type not in (None, "scripted", "improvised"):
+            raise ValueError(
+                "utterance_type must be None/'scripted'/'improvised'")
+        base = os.path.join(root, "IEMOCAP")
+        _require_dir(base, "IEMOCAP/Session<n>/{sentences,dialog}")
+        self._items: List[Tuple[str, str, str, str]] = []
+        for sess in sessions:
+            sdir = os.path.join(base, f"Session{int(sess)}")
+            wav_root = os.path.join(sdir, "sentences", "wav")
+            lab_root = os.path.join(sdir, "dialog", "EmoEvaluation")
+            if not os.path.isdir(wav_root):
+                continue
+            labels = {}
+            if os.path.isdir(lab_root):
+                for nme in sorted(os.listdir(lab_root)):
+                    if not nme.endswith(".txt"):
+                        continue
+                    with open(os.path.join(lab_root, nme),
+                              encoding="utf-8", errors="replace") as f:
+                        for line in f:
+                            if not line.startswith("["):
+                                continue
+                            parts = line.strip().split("\t")
+                            if len(parts) >= 3:
+                                labels[parts[1]] = parts[2]
+            for dialog in sorted(os.listdir(wav_root)):
+                if utterance_type == "scripted" \
+                        and "script" not in dialog:
+                    continue
+                if utterance_type == "improvised" \
+                        and "impro" not in dialog:
+                    continue
+                ddir = os.path.join(wav_root, dialog)
+                if not os.path.isdir(ddir):
+                    continue
+                for nme in sorted(os.listdir(ddir)):
+                    if not nme.endswith(".wav"):
+                        continue
+                    utt = nme[:-4]
+                    label = labels.get(utt)
+                    if label in self._LABELS:
+                        self._items.append(
+                            (os.path.join(ddir, nme), utt, label,
+                             utt.split("_")[0]))
+
+    def __len__(self):
+        return len(self._items)
+
+    def path(self, n: int) -> str:
+        return self._items[n][0]
+
+    def num_frames(self, n: int) -> int:
+        return _header_frames(self.path(n))
+
+    def __getitem__(self, n: int):
+        path, utt, label, speaker = self._items[n]
+        wav, sr = read_audio(path)
+        return np.asarray(wav, np.float32), sr, utt, label, speaker
+
+
+class QUESST14:
+    """QUESST 2014 layout: ``root/quesst14Database/{Audio,
+    dev_queries, eval_queries, scoring/language_key_*.lst}``; each
+    ``.lst`` line is ``quesst14Database/<dir>/<file>.wav <language>``.
+
+    ``subset``: ``docs`` (utterances) / ``dev`` / ``eval`` (queries);
+    ``language`` filters (``None`` keeps all).
+
+    ``__getitem__`` → ``(waveform, sample_rate, file_name)``
+    (torchaudio's tuple; ``file_name`` is the stem)."""
+
+    def __init__(self, root: str, subset: str = "docs",
+                 language: Optional[str] = "nnenglish"):
+        if subset not in ("docs", "dev", "eval"):
+            raise ValueError("subset must be docs/dev/eval")
+        base = os.path.join(root, "quesst14Database")
+        _require_dir(base, "quesst14Database/{Audio,scoring}")
+        key = {"docs": "language_key_utterances.lst",
+               "dev": "language_key_dev.lst",
+               "eval": "language_key_eval.lst"}[subset]
+        lst = os.path.join(base, "scoring", key)
+        if not os.path.isfile(lst):
+            raise FileNotFoundError(
+                f"{lst} does not exist. This environment cannot "
+                "download datasets; place the corpus there.")
+        self._files: List[str] = []
+        with open(lst, encoding="utf-8") as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 2:
+                    continue
+                relpath, lang = parts[0], parts[1]
+                if language is not None and lang != language:
+                    continue
+                self._files.append(os.path.join(root, relpath))
+
+    def __len__(self):
+        return len(self._files)
+
+    def path(self, n: int) -> str:
+        return self._files[n]
+
+    def num_frames(self, n: int) -> int:
+        return _header_frames(self.path(n))
+
+    def __getitem__(self, n: int):
+        path = self._files[n]
+        wav, sr = read_audio(path)
+        name = os.path.splitext(os.path.basename(path))[0]
+        return np.asarray(wav, np.float32), sr, name
+
+
+class Snips(AudioFolder):
+    """SNIPS smart-lights SLU layout: ``root/SNIPS/<subset>/
+    <speaker>-snips-<subset>-<n>{ext}`` plus the IOB transcript file
+    ``root/SNIPS/all.iob.snips.txt`` whose lines are
+    ``BOS <words> EOS\\tO <iob tags> <intent>``.
+
+    Transcript keying is reconstructed [ref-recon: torchaudio
+    datasets.Snips — UNVERIFIED, mount empty]: a line whose first
+    token is not ``BOS`` is treated as utterance-keyed
+    (``<utt_id> BOS ... EOS\\t...``); otherwise lines map
+    positionally onto the sorted audio list of the subset.
+
+    ``__getitem__`` → ``(waveform, sample_rate, file_name,
+    transcript, iob, intent)``."""
+
+    def __init__(self, root: str, subset: str = "train",
+                 speakers: Optional[Sequence[str]] = None,
+                 audio_format: str = ".wav"):
+        if subset not in ("train", "valid", "test"):
+            raise ValueError("subset must be train/valid/test")
+        base = os.path.join(root, "SNIPS")
+        _require_dir(base, "SNIPS/{train,valid,test,all.iob.snips.txt}")
+        super().__init__(os.path.join(base, subset), audio_format)
+        if speakers is not None:
+            speakers = set(speakers)
+            self._files = [p for p in self._files
+                           if os.path.basename(p).split("-")[0]
+                           in speakers]
+        self._keyed = {}
+        self._ordered: List[Tuple[str, str, str]] = []
+        trans = os.path.join(base, "all.iob.snips.txt")
+        if os.path.isfile(trans):
+            with open(trans, encoding="utf-8") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    key = None
+                    if not line.startswith("BOS "):
+                        key, _, line = line.partition(" ")
+                    inp, _, out = line.partition("\t")
+                    words = inp.split()
+                    if words[:1] == ["BOS"]:
+                        words = words[1:]
+                    if words[-1:] == ["EOS"]:
+                        words = words[:-1]
+                    tags = out.split()
+                    if tags[:1] == ["O"]:
+                        tags = tags[1:]
+                    intent = tags[-1] if tags else ""
+                    iob = " ".join(tags[:-1])
+                    rec = (" ".join(words), iob, intent)
+                    if key is not None:
+                        self._keyed[key] = rec
+                    else:
+                        self._ordered.append(rec)
+
+    def __getitem__(self, n: int):
+        path = self._files[n]
+        wav, sr = self._load(path)
+        name = os.path.splitext(os.path.basename(path))[0]
+        rec = self._keyed.get(name)
+        if rec is None and n < len(self._ordered):
+            rec = self._ordered[n]
+        if rec is None:
+            raise KeyError(f"no transcript for {name}")
+        text, iob, intent = rec
+        return (np.asarray(wav, np.float32), sr, name,
+                text, iob, intent)
+
+
+def _voxceleb1_file_id(rel: str) -> str:
+    """``id10001/1zcIwhmdeo4/00001.wav`` → the torchaudio file id
+    ``id10001-1zcIwhmdeo4-00001``."""
+    return "-".join(os.path.splitext(rel)[0].split("/"))
+
+
+class VoxCeleb1Identification:
+    """VoxCeleb1 speaker-identification layout: ``root/wav/
+    id<NNNNN>/<video>/<file>.wav`` plus the official
+    ``iden_split.txt`` (lines ``<subset_id> <relpath>``, 1=train,
+    2=dev, 3=test) placed at ``root/iden_split.txt`` (or pass
+    ``meta_path``).
+
+    ``__getitem__`` → ``(waveform, sample_rate, speaker_id int,
+    file_id)`` (torchaudio's tuple)."""
+
+    _SUBSETS = {"train": "1", "dev": "2", "test": "3"}
+
+    def __init__(self, root: str, subset: str = "train",
+                 meta_path: Optional[str] = None):
+        if subset not in self._SUBSETS:
+            raise ValueError("subset must be train/dev/test")
+        _require_dir(os.path.join(root, "wav"),
+                     "wav/id*/<video>/*.wav + iden_split.txt")
+        meta = meta_path or os.path.join(root, "iden_split.txt")
+        if not os.path.isfile(meta):
+            raise FileNotFoundError(
+                f"{meta} does not exist. This environment cannot "
+                "download datasets; place iden_split.txt there.")
+        want = self._SUBSETS[subset]
+        self._root = os.path.join(root, "wav")
+        self._rels: List[str] = []
+        with open(meta, encoding="utf-8") as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) == 2 and parts[0] == want:
+                    self._rels.append(parts[1])
+
+    def __len__(self):
+        return len(self._rels)
+
+    def path(self, n: int) -> str:
+        return os.path.join(self._root, self._rels[n])
+
+    def num_frames(self, n: int) -> int:
+        return _header_frames(self.path(n))
+
+    def __getitem__(self, n: int):
+        rel = self._rels[n]
+        wav, sr = read_audio(self.path(n))
+        spk = int(rel.split("/", 1)[0][2:])
+        return (np.asarray(wav, np.float32), sr, spk,
+                _voxceleb1_file_id(rel))
+
+
+class VoxCeleb1Verification:
+    """VoxCeleb1 verification pairs: same audio tree as
+    :class:`VoxCeleb1Identification` plus the official trial list
+    ``veri_test.txt`` (lines ``<label> <relpath1> <relpath2>``) at
+    ``root/veri_test.txt`` (or pass ``meta_path``).
+
+    ``__getitem__`` → ``(waveform_spk1, waveform_spk2, sample_rate,
+    label int, file_id_spk1, file_id_spk2)`` (torchaudio's tuple)."""
+
+    def __init__(self, root: str, meta_path: Optional[str] = None):
+        _require_dir(os.path.join(root, "wav"),
+                     "wav/id*/<video>/*.wav + veri_test.txt")
+        meta = meta_path or os.path.join(root, "veri_test.txt")
+        if not os.path.isfile(meta):
+            raise FileNotFoundError(
+                f"{meta} does not exist. This environment cannot "
+                "download datasets; place veri_test.txt there.")
+        self._root = os.path.join(root, "wav")
+        self._trials: List[Tuple[int, str, str]] = []
+        with open(meta, encoding="utf-8") as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) == 3:
+                    self._trials.append(
+                        (int(parts[0]), parts[1], parts[2]))
+
+    def __len__(self):
+        return len(self._trials)
+
+    def __getitem__(self, n: int):
+        label, rel1, rel2 = self._trials[n]
+        wav1, sr1 = read_audio(os.path.join(self._root, rel1))
+        wav2, sr2 = read_audio(os.path.join(self._root, rel2))
+        if sr1 != sr2:
+            raise ValueError(f"mixed sample rates in trial {n}")
+        return (np.asarray(wav1, np.float32),
+                np.asarray(wav2, np.float32), sr1, label,
+                _voxceleb1_file_id(rel1), _voxceleb1_file_id(rel2))
 
 
 # -- batching -------------------------------------------------------
