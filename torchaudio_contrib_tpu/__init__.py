@@ -42,6 +42,7 @@ from .ops import (
     create_chroma_filter, chroma_filterbank,
     cqt_frequencies, create_cqt_kernel, cqt, pseudo_cqt,
     detect_pitch_frequency,
+    compute_kaldi_pitch,
     fade, gain, dither, dcshift, sliding_window_cmn,
     add_noise, speed, apply_codec,
     overdrive, contrast, phaser, flanger,
@@ -164,6 +165,7 @@ __all__ = [
     "create_chroma_filter",
     "cqt_frequencies", "create_cqt_kernel", "cqt", "pseudo_cqt",
     "detect_pitch_frequency",
+    "compute_kaldi_pitch",
     "fade", "gain", "dither", "dcshift", "sliding_window_cmn",
     "add_noise", "speed", "apply_codec",
     "overdrive", "contrast", "phaser", "flanger",

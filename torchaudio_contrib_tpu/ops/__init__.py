@@ -60,6 +60,7 @@ from .loudness import loudness, a_weighting
 from .chroma import create_chroma_filter, chroma_filterbank
 from .cqt import cqt_frequencies, create_cqt_kernel, cqt, pseudo_cqt
 from .pitchdetect import detect_pitch_frequency
+from .kaldipitch import compute_kaldi_pitch
 from .effects import (fade, gain, dither, dcshift, sliding_window_cmn,
                       add_noise, speed, apply_codec)
 from .modfx import overdrive, contrast, phaser, flanger
@@ -117,6 +118,7 @@ __all__ = [
     "create_chroma_filter", "chroma_filterbank",
     "cqt_frequencies", "create_cqt_kernel", "cqt", "pseudo_cqt",
     "detect_pitch_frequency",
+    "compute_kaldi_pitch",
     "fade", "gain", "dither", "dcshift", "sliding_window_cmn",
     "add_noise", "speed", "apply_codec",
     "overdrive", "contrast", "phaser", "flanger",
