@@ -72,6 +72,8 @@ from .models import (
     Lowpass, Highpass, Equalizer, RNNTLoss,
     LFCC, Convolve, FFTConvolve, SpeedPerturbation,
     AmplitudeToDB, MelSpectrogram, TimeStretch, SpecAugment, MVDR,
+    BarkScale, InverseBarkScale, BarkSpectrogram,
+    ChromaScale, ChromaSpectrogram,
     Transform, Pipeline,
     STFT, ISTFT, InverseSpectrogram, ComplexNorm,
     Filterbank, MelFilterbank, BarkFilterbank, ChromaFilterbank,
@@ -133,7 +135,9 @@ def info(path) -> dict:
 __all__ = [
     "amplitude_to_DB", "DB_to_amplitude", "inverse_spectrogram",
     "chroma_filterbank", "AmplitudeToDB", "MelSpectrogram",
-    "TimeStretch", "SpecAugment", "MVDR", "Wav2Vec2Model",
+    "TimeStretch", "SpecAugment", "MVDR",
+    "BarkScale", "InverseBarkScale", "BarkSpectrogram",
+    "ChromaScale", "ChromaSpectrogram", "Wav2Vec2Model",
     "ops", "models", "parallel", "utils", "io", "compliance",
     "datasets", "pipelines", "sox_effects", "kaldi_io",
     "load", "save", "info",

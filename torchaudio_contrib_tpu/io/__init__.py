@@ -212,6 +212,9 @@ def __getattr__(name):
     if name in ("StreamReader", "StreamWriter", "SourceAudioStream"):
         from . import stream
         return getattr(stream, name)
+    if name == "AudioEffector":
+        from .effector import AudioEffector
+        return AudioEffector
     raise AttributeError(name)
 
 

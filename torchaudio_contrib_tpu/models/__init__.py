@@ -56,6 +56,8 @@ from .transforms import (
     Lowpass, Highpass, Equalizer, RNNTLoss,
     LFCC, Convolve, FFTConvolve, SpeedPerturbation,
     AmplitudeToDB, MelSpectrogram, TimeStretch, SpecAugment, MVDR,
+    BarkScale, InverseBarkScale, BarkSpectrogram,
+    ChromaScale, ChromaSpectrogram,
 )
 
 # torchaudio's class name for the wav2vec2 encoder
@@ -64,6 +66,8 @@ Wav2Vec2Model = Wav2Vec2
 __all__ = [
     "Wav2Vec2Model", "AmplitudeToDB", "MelSpectrogram", "TimeStretch",
     "SpecAugment", "MVDR",
+    "BarkScale", "InverseBarkScale", "BarkSpectrogram",
+    "ChromaScale", "ChromaSpectrogram",
     "Transform", "Pipeline",
     "STFT", "ISTFT", "InverseSpectrogram", "ComplexNorm",
     "Filterbank", "MelFilterbank", "BarkFilterbank",

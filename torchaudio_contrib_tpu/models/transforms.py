@@ -29,6 +29,8 @@ __all__ = [
     "LFCC", "Convolve", "FFTConvolve", "SpeedPerturbation",
     "AmplitudeToDB", "MelSpectrogram", "TimeStretch", "SpecAugment",
     "MVDR",
+    "BarkScale", "InverseBarkScale", "BarkSpectrogram",
+    "ChromaScale", "ChromaSpectrogram",
 ]
 
 
@@ -654,3 +656,152 @@ class MVDR(Transform):
                                       reference_channel=ref,
                                       diagonal_loading=dl, diag_eps=de)
         return _ops.apply_beamforming(w, x)
+
+
+class BarkScale(Transform):
+    """Linear-magnitude spectrogram ``(..., F, T)`` → bark
+    ``(..., n_barks, T)`` (torchaudio prototype ``BarkScale``: the
+    bark-filterbank GEMM alone)."""
+
+    def __init__(self, n_stft: int = 201, sample_rate: int = 16000,
+                 f_min: float = 0.0, f_max: float | None = None,
+                 n_barks: int = 128, bark_scale: str = "traunmuller"):
+        self.kw = dict(n_barks=n_barks, sample_rate=sample_rate,
+                       f_min=f_min, f_max=f_max, num_bins=n_stft,
+                       bark_scale=bark_scale)
+        self._config = tuple(sorted(self.kw.items()))
+
+    def __call__(self, x, params=None):
+        fb = _ops.create_bark_filter(**self.kw)
+        return _ops.apply_filterbank(x, fb)
+
+
+class InverseBarkScale(Transform):
+    """Bark spectrogram → linear spectrogram.  torchaudio's prototype
+    solves this by SGD; here it is the same closed-form ridge
+    pseudo-inverse GEMM as :class:`InverseMelScale` (clamped at 0) —
+    a deliberate TPU-first divergence, one matmul instead of an
+    optimization loop."""
+
+    def __init__(self, n_stft: int, n_barks: int = 128,
+                 sample_rate: int = 16000, f_min: float = 0.0,
+                 f_max: float | None = None,
+                 bark_scale: str = "traunmuller", ridge: float = 1e-8):
+        self.kw = dict(n_barks=n_barks, sample_rate=sample_rate,
+                       f_min=f_min, f_max=f_max, num_bins=n_stft,
+                       bark_scale=bark_scale)
+        self.ridge = float(ridge)
+        self._config = (self.ridge, tuple(sorted(self.kw.items())))
+
+    def __call__(self, x, params=None):
+        import numpy as _np
+        import jax.numpy as _jnp
+        fb = _np.asarray(_ops.create_bark_filter(**self.kw),
+                         _np.float64)              # (F, B)
+        gram = fb.T @ fb + self.ridge * _np.eye(fb.shape[1])
+        inv = _np.linalg.solve(gram, fb.T)         # (B, F)
+        y = _jnp.einsum("...bt,bf->...ft", x,
+                        _jnp.asarray(inv, x.dtype),
+                        precision="highest")
+        return _jnp.maximum(y, 0.0)
+
+
+class BarkSpectrogram(Transform):
+    """torchaudio-prototype-named bark spectrogram (``n_fft``/
+    ``n_barks`` spelling; the house factory is ``Barkspectrogram()``)."""
+
+    def __init__(self, sample_rate: int = 16000, n_fft: int = 400,
+                 win_length: int | None = None,
+                 hop_length: int | None = None,
+                 f_min: float = 0.0, f_max: float | None = None,
+                 pad: int = 0, n_barks: int = 128, window_fn=None,
+                 power: float = 2.0, normalized: bool = False,
+                 center: bool = True, pad_mode: str = "reflect",
+                 bark_scale: str = "traunmuller"):
+        self.pad = int(pad)
+        self.window_fn = window_fn
+        self.spec_kw = dict(
+            fft_length=n_fft,
+            hop_length=n_fft // 2 if hop_length is None else hop_length,
+            win_length=win_length, center=center, pad_mode=pad_mode,
+            normalized=normalized, power=power)
+        self.fb_kw = dict(n_barks=n_barks, sample_rate=sample_rate,
+                          f_min=f_min, f_max=f_max,
+                          num_bins=n_fft // 2 + 1,
+                          bark_scale=bark_scale)
+        self._config = (self.pad, window_fn,
+                        tuple(sorted(self.spec_kw.items())),
+                        tuple(sorted(self.fb_kw.items())))
+
+    def __call__(self, x, params=None):
+        import jax.numpy as jnp
+        if self.pad:
+            cfg = [(0, 0)] * (x.ndim - 1) + [(self.pad, self.pad)]
+            x = jnp.pad(x, cfg)
+        kw = dict(self.spec_kw)
+        if self.window_fn is not None:
+            wl = kw["win_length"] or kw["fft_length"]
+            kw["window"] = jnp.asarray(self.window_fn(wl))
+        spec = _ops.spectrogram(x, **kw)
+        return _ops.apply_filterbank(
+            spec, _ops.create_bark_filter(**self.fb_kw))
+
+
+class ChromaScale(Transform):
+    """Spectrogram ``(..., F, T)`` → pitch-class chroma
+    ``(..., n_chroma, T)`` (torchaudio prototype ``ChromaScale``)."""
+
+    def __init__(self, sample_rate: int = 16000, n_freqs: int = 201,
+                 n_chroma: int = 12, tuning: float = 0.0,
+                 ctroct: float = 5.0, octwidth: float | None = 2.0,
+                 norm: int | None = 2, base_c: bool = True):
+        self.kw = dict(n_chroma=n_chroma, sample_rate=sample_rate,
+                       num_bins=n_freqs, tuning=tuning, ctroct=ctroct,
+                       octwidth=octwidth, base_c=base_c, norm=norm)
+        self._config = tuple(sorted(self.kw.items()))
+
+    def __call__(self, x, params=None):
+        fb = _ops.create_chroma_filter(**self.kw)
+        return _ops.apply_filterbank(x, fb)
+
+
+class ChromaSpectrogram(Transform):
+    """torchaudio-prototype-named chromagram: spectrogram +
+    chroma-filterbank GEMM (the house factory is ``Chromagram()``)."""
+
+    def __init__(self, sample_rate: int = 16000, n_fft: int = 400,
+                 win_length: int | None = None,
+                 hop_length: int | None = None, pad: int = 0,
+                 window_fn=None, power: float = 2.0,
+                 normalized: bool = False, center: bool = True,
+                 pad_mode: str = "reflect", n_chroma: int = 12,
+                 tuning: float = 0.0, ctroct: float = 5.0,
+                 octwidth: float | None = 2.0, norm: int | None = 2,
+                 base_c: bool = True):
+        self.pad = int(pad)
+        self.window_fn = window_fn
+        self.spec_kw = dict(
+            fft_length=n_fft,
+            hop_length=n_fft // 2 if hop_length is None else hop_length,
+            win_length=win_length, center=center, pad_mode=pad_mode,
+            normalized=normalized, power=power)
+        self.fb_kw = dict(n_chroma=n_chroma, sample_rate=sample_rate,
+                          num_bins=n_fft // 2 + 1, tuning=tuning,
+                          ctroct=ctroct, octwidth=octwidth,
+                          base_c=base_c, norm=norm)
+        self._config = (self.pad, window_fn,
+                        tuple(sorted(self.spec_kw.items())),
+                        tuple(sorted(self.fb_kw.items())))
+
+    def __call__(self, x, params=None):
+        import jax.numpy as jnp
+        if self.pad:
+            cfg = [(0, 0)] * (x.ndim - 1) + [(self.pad, self.pad)]
+            x = jnp.pad(x, cfg)
+        kw = dict(self.spec_kw)
+        if self.window_fn is not None:
+            wl = kw["win_length"] or kw["fft_length"]
+            kw["window"] = jnp.asarray(self.window_fn(wl))
+        spec = _ops.spectrogram(x, **kw)
+        return _ops.apply_filterbank(
+            spec, _ops.create_chroma_filter(**self.fb_kw))
