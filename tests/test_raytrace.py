@@ -1,0 +1,119 @@
+"""ray_tracing (`ops/raytrace.py`): physical behavioral pinning —
+direct-path arrival bin, statistical inverse-square law, absorption
+monotonicity, per-band ordering, scattering deposits, validation."""
+import math
+
+import jax
+import numpy as np
+import pytest
+
+from torchaudio_contrib_tpu.ops import ray_tracing
+
+C = 343.0
+ROOM = np.array([6.0, 5.0, 4.0])
+SRC = np.array([1.0, 2.5, 2.0])
+
+
+def _hist(mics, num_rays=20000, **kw):
+    kw.setdefault("time_thres", 0.08)
+    kw.setdefault("hist_bin_size", 0.001)
+    return np.asarray(ray_tracing(ROOM, SRC, np.atleast_2d(mics),
+                                  num_rays, **kw))
+
+
+def test_direct_path_bin_and_full_absorption():
+    mic = np.array([4.0, 2.5, 2.0])          # 3 m away, line of sight
+    h = _hist(mic, absorption=1.0)
+    assert h.shape == (1, 1, 80)
+    d = np.linalg.norm(mic - SRC)
+    bin_expect = int(d / (C * 0.001))
+    nz = np.nonzero(h[0, 0])[0]
+    # fully absorbing walls: ONLY the direct path deposits
+    assert nz.size >= 1 and set(nz) <= {bin_expect, bin_expect + 1}
+    assert h.sum() > 0
+
+
+def test_inverse_square_law():
+    mics = np.array([[2.0, 2.5, 2.0],        # 1 m
+                     [5.0, 2.5, 2.0]])       # 4 m
+    h = _hist(mics, num_rays=80000, absorption=1.0, mic_radius=0.25)
+    e = h.sum(axis=(1, 2))
+    ratio = e[0] / e[1]
+    assert 16 * 0.7 < ratio < 16 * 1.3, ratio
+
+
+def test_reverberation_and_absorption_monotonicity():
+    mic = np.array([4.0, 2.5, 2.0])
+    live = _hist(mic, absorption=0.1)
+    dead = _hist(mic, absorption=0.7)
+    d = np.linalg.norm(mic - SRC)
+    first = int(d / (C * 0.001)) + 2
+    # reflections arrive after the direct sound
+    assert live[0, 0, first:].sum() > 0
+    # higher absorption -> less late energy
+    assert dead[0, 0, first:].sum() < live[0, 0, first:].sum()
+    # direct sound identical (walls untouched)
+    np.testing.assert_allclose(live[0, 0, :first - 2],
+                               dead[0, 0, :first - 2], rtol=1e-5)
+
+
+def test_banded_absorption_ordering():
+    mic = np.array([4.0, 2.5, 2.0])
+    absorb = np.stack([np.full(6, 0.1), np.full(6, 0.6)])
+    h = _hist(mic, absorption=absorb)
+    assert h.shape[1] == 2
+    d = np.linalg.norm(mic - SRC)
+    first = int(d / (C * 0.001)) + 2
+    late = h[0, :, first:].sum(axis=-1)
+    assert late[0] > late[1] > 0
+
+
+def test_scattering_deposits_and_specular_reduction():
+    mic = np.array([4.0, 2.5, 2.0])
+    spec = _hist(mic, absorption=0.0)
+    rain = _hist(mic, absorption=0.0, scattering=0.5)
+    assert rain.sum() > 0
+    d = np.linalg.norm(mic - SRC)
+    first = int(d / (C * 0.001)) + 2
+    # diffuse rain spreads energy over many more bins
+    assert (rain[0, 0, first:] > 0).sum() >= \
+        (spec[0, 0, first:] > 0).sum()
+
+
+def test_energy_bounded_by_emission():
+    mic = np.array([3.0, 2.0, 2.0])
+    h = _hist(mic, absorption=0.0, time_thres=0.04)
+    # a mic can capture each ray several times, but with a 0.5 m
+    # sphere in this room the capture fraction stays well below the
+    # total emitted energy per crossing epoch
+    assert 0 < h.sum() < 5.0
+    assert (h >= 0).all()
+
+
+def test_jit_and_determinism():
+    mic = np.array([[4.0, 2.5, 2.0]])
+    f = jax.jit(lambda: ray_tracing(ROOM, SRC, mic, 2000,
+                                    absorption=0.2,
+                                    time_thres=0.03,
+                                    hist_bin_size=0.002))
+    a, b = np.asarray(f()), np.asarray(f())
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(ray_tracing(ROOM, SRC, mic, 2000, absorption=0.2,
+                               time_thres=0.03, hist_bin_size=0.002))
+    np.testing.assert_allclose(a, c, atol=1e-7)
+
+
+def test_validation():
+    mic = np.array([1.0, 1.0, 1.0])
+    with pytest.raises(ValueError, match="inside"):
+        ray_tracing(ROOM, np.array([7.0, 1.0, 1.0]), mic, 10)
+    with pytest.raises(ValueError, match="inside"):
+        ray_tracing(ROOM, SRC, np.array([1.0, 9.0, 1.0]), 10)
+    with pytest.raises(ValueError, match="scattering"):
+        ray_tracing(ROOM, SRC, mic, 10, scattering=1.0)
+    with pytest.raises(ValueError, match="absorption"):
+        ray_tracing(ROOM, SRC, mic, 10, absorption=1.5)
+    with pytest.raises(ValueError, match="positive"):
+        ray_tracing(np.array([0.0, 5.0, 4.0]), SRC, mic, 10)
+    with pytest.raises(ValueError, match="num_rays"):
+        ray_tracing(ROOM, SRC, mic, 0)

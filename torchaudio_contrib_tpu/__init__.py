@@ -47,11 +47,12 @@ from .ops import (
     add_noise, speed, apply_codec,
     overdrive, contrast, phaser, flanger,
     vad, vad_onset, vad_trim,
-    convolve, fftconvolve, simulate_rir_ism,
+    convolve, fftconvolve, simulate_rir_ism, ray_tracing,
     spectrogram, melspectrogram, inverse_spectrogram,
     oscillator_bank, adsr_envelope, extend_pitch,
     sinc_impulse_response, frequency_impulse_response,
     filter_waveform,
+    exp_sigmoid,
     forced_align, merge_tokens, TokenSpan,
     edit_distance, edit_distance_batched, rnnt_loss,
     ctc_greedy_decode, ctc_prefix_beam_search, ctc_beam_decode, CTCHypothesis,
@@ -174,11 +175,12 @@ __all__ = [
     "add_noise", "speed", "apply_codec",
     "overdrive", "contrast", "phaser", "flanger",
     "vad", "vad_onset", "vad_trim",
-    "convolve", "fftconvolve", "simulate_rir_ism",
+    "convolve", "fftconvolve", "simulate_rir_ism", "ray_tracing",
     "spectrogram", "melspectrogram",
     "oscillator_bank", "adsr_envelope", "extend_pitch",
     "sinc_impulse_response", "frequency_impulse_response",
     "filter_waveform",
+    "exp_sigmoid",
     "forced_align", "merge_tokens", "TokenSpan",
     "edit_distance", "edit_distance_batched", "rnnt_loss",
     "ctc_greedy_decode", "ctc_prefix_beam_search", "ctc_beam_decode", "CTCHypothesis",

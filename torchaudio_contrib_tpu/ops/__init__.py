@@ -67,9 +67,10 @@ from .modfx import overdrive, contrast, phaser, flanger
 from .vad import vad, vad_onset, vad_trim
 from .convolve import convolve, fftconvolve
 from .rir import simulate_rir_ism
+from .raytrace import ray_tracing
 from .dsp import (oscillator_bank, adsr_envelope, extend_pitch,
                   sinc_impulse_response, frequency_impulse_response,
-                  filter_waveform)
+                  filter_waveform, exp_sigmoid)
 from .align import forced_align, merge_tokens, TokenSpan
 from .edit import edit_distance, edit_distance_batched
 from .rnnt import rnnt_loss
@@ -110,6 +111,7 @@ __all__ = [
     "oscillator_bank", "adsr_envelope", "extend_pitch",
     "sinc_impulse_response", "frequency_impulse_response",
     "filter_waveform",
+    "exp_sigmoid",
     "lfilter", "filtfilt", "biquad", "lowpass_biquad", "highpass_biquad",
     "bandpass_biquad", "bandreject_biquad", "allpass_biquad",
     "equalizer_biquad", "bass_biquad", "treble_biquad",
@@ -123,7 +125,7 @@ __all__ = [
     "add_noise", "speed", "apply_codec",
     "overdrive", "contrast", "phaser", "flanger",
     "vad", "vad_onset", "vad_trim",
-    "convolve", "fftconvolve", "simulate_rir_ism",
+    "convolve", "fftconvolve", "simulate_rir_ism", "ray_tracing",
     "forced_align", "merge_tokens", "TokenSpan",
     "edit_distance", "edit_distance_batched", "rnnt_loss",
     "ctc_greedy_decode", "ctc_prefix_beam_search", "ctc_beam_decode", "CTCHypothesis",

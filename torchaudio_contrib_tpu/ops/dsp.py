@@ -26,8 +26,21 @@ import numpy as np
 __all__ = [
     "oscillator_bank", "adsr_envelope", "extend_pitch",
     "sinc_impulse_response", "frequency_impulse_response",
-    "filter_waveform",
+    "filter_waveform", "exp_sigmoid",
 ]
+
+
+def exp_sigmoid(x: jnp.ndarray, exponent: float = 10.0,
+                max_value: float = 2.0,
+                threshold: float = 1e-7) -> jnp.ndarray:
+    """Exponentiated-sigmoid range mapping for synthesis controls
+    (the DDSP amplitude nonlinearity; torchaudio prototype
+    ``exp_sigmoid``): ``max_value · sigmoid(x)^log(exponent) +
+    threshold`` — smooth, positive, saturating at ``max_value``."""
+    x = jnp.asarray(x)
+    x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+    return max_value * jax.nn.sigmoid(x) ** math.log(exponent) \
+        + threshold
 
 
 def oscillator_bank(frequencies: jnp.ndarray,
