@@ -253,6 +253,18 @@ def test_cmudict(tmp_path):
     assert full[0][0] == "!EXCLAMATION-POINT"
 
 
+def test_cmudict_keeps_apostrophe_words(tmp_path):
+    """'BOUT/'CAUSE/'TIS are vocabulary, not punctuation — only the
+    quote-naming apostrophe entries are filtered."""
+    (tmp_path / "cmudict-0.7b").write_bytes(
+        b"'BOUT  B AW1 T\n"
+        b"'END-QUOTE  EH1 N D K W OW1 T\n"
+        b"\"CLOSE-QUOTE  K L OW1 Z K W OW1 T\n"
+        b"HELLO  HH AH0 L OW1\n")
+    ds = D.CMUDict(str(tmp_path))
+    assert [w for w, _ in ds] == ["'BOUT", "HELLO"]
+
+
 def test_librilight_limited(tmp_path):
     base = tmp_path / "librispeech_finetuning"
     for part, spk in (("1h/0", 19), ("1h/1", 26), ("9h", 39)):
@@ -378,6 +390,24 @@ def test_snips(tmp_path):
     only = D.Snips(str(tmp_path), subset="train",
                    speakers=["Brian"])
     assert len(only) == 1 and only[0][5] == "SetLightBrightness"
+
+
+def test_snips_positional_with_speaker_filter(tmp_path):
+    """Positional (unkeyed) transcript lines map onto the UNFILTERED
+    corpus order — a speaker filter must not shift the mapping."""
+    base = tmp_path / "SNIPS"
+    (base / "train").mkdir(parents=True)
+    for i, spk in enumerate(("Aditi", "Brian", "Clara")):
+        write_wav(str(base / "train" / f"{spk}-snips-train-{i}.wav"),
+                  _tone(600 + i), 16000)
+    (base / "all.iob.snips.txt").write_text(
+        "BOS zero EOS\tO IntentA\n"
+        "BOS one EOS\tO IntentB\n"
+        "BOS two EOS\tO IntentC\n")
+    only = D.Snips(str(tmp_path), subset="train", speakers=["Clara"])
+    assert len(only) == 1
+    # Clara is corpus item 2 -> transcript line 2, not line 0
+    assert only[0][3] == "two" and only[0][5] == "IntentC"
 
 
 def test_voxceleb1(tmp_path):

@@ -117,6 +117,45 @@ def test_pitch_range_respected():
     assert (out[:, 1] <= 300.0 + 1e-3).all()
 
 
+def test_viterbi_oracle():
+    """The scan Viterbi against a literal float64 DP (catches the
+    traceback off-by-one a tone test cannot: random costs make every
+    frame's state distinct)."""
+    from torchaudio_contrib_tpu.ops.kaldipitch import _viterbi
+    rng = np.random.default_rng(7)
+    B, T, S = 3, 11, 6
+    local = rng.normal(size=(B, T, S))
+    trans = np.abs(rng.normal(size=(S, S)))
+    got = np.asarray(_viterbi(jnp.asarray(local, jnp.float32),
+                              jnp.asarray(trans, jnp.float32)))
+    for b in range(B):
+        cost = local[b, 0].copy()
+        bps = np.zeros((T, S), np.int64)
+        for t in range(1, T):
+            total = cost[:, None] + trans
+            bps[t] = total.argmin(axis=0)
+            cost = total.min(axis=0) + local[b, t]
+        path = np.zeros(T, np.int64)
+        path[-1] = cost.argmin()
+        for t in range(T - 1, 0, -1):
+            path[t - 1] = bps[t][path[t]]
+        np.testing.assert_array_equal(got[b], path)
+
+
+def test_pitch_switch_frame_alignment():
+    """An abrupt 150→300 Hz switch lands at the right frame (a
+    one-frame traceback shift moves every boundary)."""
+    half = _tone(150.0, 0.5)
+    x = np.concatenate([half, _tone(300.0, 0.5)])
+    out = np.asarray(compute_kaldi_pitch(x, SR))
+    pitch = out[:, 1]
+    switch = int(np.argmax(pitch > 220.0))
+    # frame covering the 0.5 s boundary: (0.5·4000 − 100/2) / 40 ≈ 48.75
+    assert 46 <= switch <= 52, switch
+    assert abs(np.median(pitch[5:switch - 3]) - 150.0) < 5
+    assert abs(np.median(pitch[switch + 3:-5]) - 300.0) < 10
+
+
 def test_validation_raises():
     x = _tone(200.0)
     with pytest.raises(ValueError, match="min_f0"):

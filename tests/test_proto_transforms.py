@@ -52,6 +52,22 @@ def test_inverse_bark_scale_roundtrip():
     assert err < 0.5, err
 
 
+def test_hop_defaults_to_half_win_length():
+    """torchaudio semantics: hop_length defaults to win_length // 2
+    (win_length defaulting to n_fft) in the torchaudio-named
+    spectrogram transforms."""
+    x = _sig()
+    for cls, kw in ((tac.MelSpectrogram, dict(n_mels=8)),
+                    (tac.BarkSpectrogram, dict(n_barks=8)),
+                    (tac.ChromaSpectrogram, {})):
+        short = cls(n_fft=400, win_length=200, **kw)(x)
+        explicit = cls(n_fft=400, win_length=200, hop_length=100,
+                       **kw)(x)
+        assert short.shape == explicit.shape, cls.__name__
+        np.testing.assert_allclose(np.asarray(short),
+                                   np.asarray(explicit), rtol=1e-6)
+
+
 def test_transforms_are_hashable_config():
     a = tac.BarkSpectrogram(n_fft=400)
     b = tac.BarkSpectrogram(n_fft=400)

@@ -57,6 +57,19 @@ def test_reverberation_and_absorption_monotonicity():
                                dead[0, 0, :first - 2], rtol=1e-5)
 
 
+def test_identical_bands_match_single_band():
+    """Two IDENTICAL absorption bands must give two IDENTICAL
+    histograms, each equal to the single-band run (regression: a
+    layout-inconsistent scatter reshape scrambled band against bin
+    whenever num_bands > 1)."""
+    mic = np.array([4.0, 2.5, 2.0])
+    single = _hist(mic, absorption=0.3)
+    double = _hist(mic, absorption=np.stack([np.full(6, 0.3)] * 2))
+    assert double.shape == (1, 2, single.shape[-1])
+    np.testing.assert_allclose(double[0, 0], double[0, 1], atol=1e-7)
+    np.testing.assert_allclose(double[0, 0], single[0, 0], atol=1e-6)
+
+
 def test_banded_absorption_ordering():
     mic = np.array([4.0, 2.5, 2.0])
     absorb = np.stack([np.full(6, 0.1), np.full(6, 0.6)])

@@ -26,7 +26,8 @@ from .ops import (
     phase_vocoder, compute_phase_advance,
     fused_melspectrogram, fused_mel_supported, resolve_precision,
     griffin_lim,
-    create_inverse_mel_filter, mel_to_linear, mel_to_audio,
+    create_inverse_mel_filter, create_inverse_bark_filter,
+    mel_to_linear, mel_to_audio,
     resample,
     create_dct, mfcc, lfcc,
     mask_along_axis, mask_along_axis_iid, time_mask, freq_mask,
@@ -154,7 +155,8 @@ __all__ = [
     "fused_melspectrogram", "fused_mel_supported",
     "resolve_precision",
     "griffin_lim",
-    "create_inverse_mel_filter", "mel_to_linear", "mel_to_audio",
+    "create_inverse_mel_filter", "create_inverse_bark_filter",
+    "mel_to_linear", "mel_to_audio",
     "resample",
     "create_dct", "mfcc", "lfcc",
     "mask_along_axis", "mask_along_axis_iid", "time_mask", "freq_mask",

@@ -584,7 +584,15 @@ class CMUDict:
                 word, _, phones = line.partition("  ")
                 if not phones:
                     word, _, phones = line.partition(" ")
-                if exclude_punctuations and not word[:1].isalnum():
+                # punctuation entries name a punctuation mark
+                # (!EXCLAMATION-POINT, "CLOSE-QUOTE, 'END-QUOTE, …);
+                # apostrophe-initial WORDS ('BOUT, 'CAUSE, 'TIS) are
+                # real vocabulary and must survive the filter — the
+                # dictionary's apostrophe punctuation entries all
+                # name QUOTE
+                is_punct = (not word[:1].isalnum()
+                            and (word[:1] != "'" or "QUOTE" in word))
+                if exclude_punctuations and is_punct:
                     continue
                 if word.endswith(")") and "(" in word:
                     word = word[:word.rfind("(")]
@@ -943,6 +951,11 @@ class Snips(AudioFolder):
         base = os.path.join(root, "SNIPS")
         _require_dir(base, "SNIPS/{train,valid,test,all.iob.snips.txt}")
         super().__init__(os.path.join(base, subset), audio_format)
+        # positional transcript lines map onto the UNFILTERED sorted
+        # list — record each file's corpus position BEFORE any
+        # speaker filter, or filtered item n would silently receive
+        # unfiltered line n's transcript
+        self._corpus_pos = {p: i for i, p in enumerate(self._files)}
         if speakers is not None:
             speakers = set(speakers)
             self._files = [p for p in self._files
@@ -982,8 +995,10 @@ class Snips(AudioFolder):
         wav, sr = self._load(path)
         name = os.path.splitext(os.path.basename(path))[0]
         rec = self._keyed.get(name)
-        if rec is None and n < len(self._ordered):
-            rec = self._ordered[n]
+        if rec is None:
+            pos = self._corpus_pos[path]
+            if pos < len(self._ordered):
+                rec = self._ordered[pos]
         if rec is None:
             raise KeyError(f"no transcript for {name}")
         text, iob, intent = rec

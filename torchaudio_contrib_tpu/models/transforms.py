@@ -498,11 +498,15 @@ class MelSpectrogram(Transform):
             raise ValueError("MelSpectrogram requires onesided=True")
         self.pad = int(pad)
         self.window_fn = window_fn
+        if hop_length is None:
+            # torchaudio: hop defaults to win_length // 2 (win_length
+            # itself defaulting to n_fft), NOT n_fft // 2
+            hop_length = (n_fft if win_length is None
+                          else win_length) // 2
         self.kw = dict(
             num_mels=n_mels, sample_rate=sample_rate, f_min=f_min,
             f_max=f_max, mel_scale=mel_scale, norm=norm, power=power,
-            fft_length=n_fft,
-            hop_length=n_fft // 2 if hop_length is None else hop_length,
+            fft_length=n_fft, hop_length=hop_length,
             win_length=win_length, center=center, pad_mode=pad_mode,
             normalized=normalized)
         self._config = (self.pad, window_fn,
@@ -679,9 +683,10 @@ class BarkScale(Transform):
 class InverseBarkScale(Transform):
     """Bark spectrogram → linear spectrogram.  torchaudio's prototype
     solves this by SGD; here it is the same closed-form ridge
-    pseudo-inverse GEMM as :class:`InverseMelScale` (clamped at 0) —
-    a deliberate TPU-first divergence, one matmul instead of an
-    optimization loop."""
+    pseudo-inverse GEMM as :class:`InverseMelScale`
+    (``create_inverse_bark_filter`` — float64 solve cached at trace
+    time, clamped at 0) — a deliberate TPU-first divergence, one
+    matmul instead of an optimization loop."""
 
     def __init__(self, n_stft: int, n_barks: int = 128,
                  sample_rate: int = 16000, f_min: float = 0.0,
@@ -689,62 +694,12 @@ class InverseBarkScale(Transform):
                  bark_scale: str = "traunmuller", ridge: float = 1e-8):
         self.kw = dict(n_barks=n_barks, sample_rate=sample_rate,
                        f_min=f_min, f_max=f_max, num_bins=n_stft,
-                       bark_scale=bark_scale)
-        self.ridge = float(ridge)
-        self._config = (self.ridge, tuple(sorted(self.kw.items())))
+                       bark_scale=bark_scale, ridge=ridge)
+        self._config = tuple(sorted(self.kw.items()))
 
     def __call__(self, x, params=None):
-        import numpy as _np
-        import jax.numpy as _jnp
-        fb = _np.asarray(_ops.create_bark_filter(**self.kw),
-                         _np.float64)              # (F, B)
-        gram = fb.T @ fb + self.ridge * _np.eye(fb.shape[1])
-        inv = _np.linalg.solve(gram, fb.T)         # (B, F)
-        y = _jnp.einsum("...bt,bf->...ft", x,
-                        _jnp.asarray(inv, x.dtype),
-                        precision="highest")
-        return _jnp.maximum(y, 0.0)
-
-
-class BarkSpectrogram(Transform):
-    """torchaudio-prototype-named bark spectrogram (``n_fft``/
-    ``n_barks`` spelling; the house factory is ``Barkspectrogram()``)."""
-
-    def __init__(self, sample_rate: int = 16000, n_fft: int = 400,
-                 win_length: int | None = None,
-                 hop_length: int | None = None,
-                 f_min: float = 0.0, f_max: float | None = None,
-                 pad: int = 0, n_barks: int = 128, window_fn=None,
-                 power: float = 2.0, normalized: bool = False,
-                 center: bool = True, pad_mode: str = "reflect",
-                 bark_scale: str = "traunmuller"):
-        self.pad = int(pad)
-        self.window_fn = window_fn
-        self.spec_kw = dict(
-            fft_length=n_fft,
-            hop_length=n_fft // 2 if hop_length is None else hop_length,
-            win_length=win_length, center=center, pad_mode=pad_mode,
-            normalized=normalized, power=power)
-        self.fb_kw = dict(n_barks=n_barks, sample_rate=sample_rate,
-                          f_min=f_min, f_max=f_max,
-                          num_bins=n_fft // 2 + 1,
-                          bark_scale=bark_scale)
-        self._config = (self.pad, window_fn,
-                        tuple(sorted(self.spec_kw.items())),
-                        tuple(sorted(self.fb_kw.items())))
-
-    def __call__(self, x, params=None):
-        import jax.numpy as jnp
-        if self.pad:
-            cfg = [(0, 0)] * (x.ndim - 1) + [(self.pad, self.pad)]
-            x = jnp.pad(x, cfg)
-        kw = dict(self.spec_kw)
-        if self.window_fn is not None:
-            wl = kw["win_length"] or kw["fft_length"]
-            kw["window"] = jnp.asarray(self.window_fn(wl))
-        spec = _ops.spectrogram(x, **kw)
-        return _ops.apply_filterbank(
-            spec, _ops.create_bark_filter(**self.fb_kw))
+        inv = _ops.create_inverse_bark_filter(**self.kw)
+        return _ops.mel_to_linear(x, inv)
 
 
 class ChromaScale(Transform):
@@ -765,30 +720,31 @@ class ChromaScale(Transform):
         return _ops.apply_filterbank(x, fb)
 
 
-class ChromaSpectrogram(Transform):
-    """torchaudio-prototype-named chromagram: spectrogram +
-    chroma-filterbank GEMM (the house factory is ``Chromagram()``)."""
+class _SpectrogramFilterbank(Transform):
+    """Shared plumbing for the torchaudio-named waveform →
+    filterbank-spectrogram transforms (pad, ``window_fn``
+    materialization, torchaudio's ``hop = win_length // 2`` default,
+    spectrogram → one filterbank GEMM); subclasses supply the
+    filterbank factory + its kwargs."""
 
-    def __init__(self, sample_rate: int = 16000, n_fft: int = 400,
-                 win_length: int | None = None,
-                 hop_length: int | None = None, pad: int = 0,
-                 window_fn=None, power: float = 2.0,
-                 normalized: bool = False, center: bool = True,
-                 pad_mode: str = "reflect", n_chroma: int = 12,
-                 tuning: float = 0.0, ctroct: float = 5.0,
-                 octwidth: float | None = 2.0, norm: int | None = 2,
-                 base_c: bool = True):
+    _fb_factory = None                   # staticmethod in subclasses
+
+    def __init__(self, n_fft: int, win_length: int | None,
+                 hop_length: int | None, pad: int, window_fn,
+                 power: float, normalized: bool, center: bool,
+                 pad_mode: str, fb_kw: dict):
         self.pad = int(pad)
         self.window_fn = window_fn
+        if hop_length is None:
+            # torchaudio: hop defaults to win_length // 2 (win_length
+            # itself defaulting to n_fft), NOT n_fft // 2
+            hop_length = (n_fft if win_length is None
+                          else win_length) // 2
         self.spec_kw = dict(
-            fft_length=n_fft,
-            hop_length=n_fft // 2 if hop_length is None else hop_length,
+            fft_length=n_fft, hop_length=hop_length,
             win_length=win_length, center=center, pad_mode=pad_mode,
             normalized=normalized, power=power)
-        self.fb_kw = dict(n_chroma=n_chroma, sample_rate=sample_rate,
-                          num_bins=n_fft // 2 + 1, tuning=tuning,
-                          ctroct=ctroct, octwidth=octwidth,
-                          base_c=base_c, norm=norm)
+        self.fb_kw = dict(fb_kw, num_bins=n_fft // 2 + 1)
         self._config = (self.pad, window_fn,
                         tuple(sorted(self.spec_kw.items())),
                         tuple(sorted(self.fb_kw.items())))
@@ -804,4 +760,48 @@ class ChromaSpectrogram(Transform):
             kw["window"] = jnp.asarray(self.window_fn(wl))
         spec = _ops.spectrogram(x, **kw)
         return _ops.apply_filterbank(
-            spec, _ops.create_chroma_filter(**self.fb_kw))
+            spec, type(self)._fb_factory(**self.fb_kw))
+
+
+class BarkSpectrogram(_SpectrogramFilterbank):
+    """torchaudio-prototype-named bark spectrogram (``n_fft``/
+    ``n_barks`` spelling; the house factory is ``Barkspectrogram()``)."""
+
+    _fb_factory = staticmethod(_ops.create_bark_filter)
+
+    def __init__(self, sample_rate: int = 16000, n_fft: int = 400,
+                 win_length: int | None = None,
+                 hop_length: int | None = None,
+                 f_min: float = 0.0, f_max: float | None = None,
+                 pad: int = 0, n_barks: int = 128, window_fn=None,
+                 power: float = 2.0, normalized: bool = False,
+                 center: bool = True, pad_mode: str = "reflect",
+                 bark_scale: str = "traunmuller"):
+        super().__init__(
+            n_fft, win_length, hop_length, pad, window_fn, power,
+            normalized, center, pad_mode,
+            dict(n_barks=n_barks, sample_rate=sample_rate,
+                 f_min=f_min, f_max=f_max, bark_scale=bark_scale))
+
+
+class ChromaSpectrogram(_SpectrogramFilterbank):
+    """torchaudio-prototype-named chromagram: spectrogram +
+    chroma-filterbank GEMM (the house factory is ``Chromagram()``)."""
+
+    _fb_factory = staticmethod(_ops.create_chroma_filter)
+
+    def __init__(self, sample_rate: int = 16000, n_fft: int = 400,
+                 win_length: int | None = None,
+                 hop_length: int | None = None, pad: int = 0,
+                 window_fn=None, power: float = 2.0,
+                 normalized: bool = False, center: bool = True,
+                 pad_mode: str = "reflect", n_chroma: int = 12,
+                 tuning: float = 0.0, ctroct: float = 5.0,
+                 octwidth: float | None = 2.0, norm: int | None = 2,
+                 base_c: bool = True):
+        super().__init__(
+            n_fft, win_length, hop_length, pad, window_fn, power,
+            normalized, center, pad_mode,
+            dict(n_chroma=n_chroma, sample_rate=sample_rate,
+                 tuning=tuning, ctroct=ctroct, octwidth=octwidth,
+                 base_c=base_c, norm=norm))

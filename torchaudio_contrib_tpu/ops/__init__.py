@@ -41,7 +41,8 @@ from .fused import (fused_melspectrogram, fused_mel_supported,
                     resolve_precision)
 from .griffinlim import griffin_lim
 from .fused_griffinlim import fused_gl_supported
-from .melinv import (create_inverse_mel_filter, mel_to_linear,
+from .melinv import (create_inverse_mel_filter,
+                     create_inverse_bark_filter, mel_to_linear,
                      mel_to_audio)
 from .resample import resample
 from .mfcc import create_dct, mfcc, lfcc
@@ -99,7 +100,8 @@ __all__ = [
     "fused_melspectrogram", "fused_mel_supported",
     "resolve_precision",
     "griffin_lim", "fused_gl_supported",
-    "create_inverse_mel_filter", "mel_to_linear", "mel_to_audio",
+    "create_inverse_mel_filter", "create_inverse_bark_filter",
+    "mel_to_linear", "mel_to_audio",
     "resample",
     "create_dct", "mfcc", "lfcc",
     "mask_along_axis", "mask_along_axis_iid", "time_mask", "freq_mask",

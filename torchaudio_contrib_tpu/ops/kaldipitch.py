@@ -86,6 +86,40 @@ def _interp_matrix(grid: np.ndarray, min_lag: int, max_lag: int,
     return w
 
 
+def _viterbi(local: jnp.ndarray, trans: jnp.ndarray) -> jnp.ndarray:
+    """Min-cost path through ``local (B, T, S)`` with pairwise
+    ``trans (S_prev, S_next)`` costs → states ``(B, T)`` int32.
+    Forward pass = one ``lax.scan`` (costs + int32 backpointers),
+    traceback a second reversed scan (float64-oracle-pinned by
+    ``tests/test_kaldi_pitch.py::test_viterbi_oracle``)."""
+
+    def fwd(cost, local_t):
+        # cost (B, S); choose best predecessor per next-state
+        total = cost[:, :, None] + trans[None]     # (B, Sp, Sn)
+        bp = jnp.argmin(total, axis=1).astype(jnp.int32)
+        new = jnp.min(total, axis=1) + local_t
+        return new, bp
+
+    local_tb = jnp.swapaxes(local, 0, 1)           # (T, B, S)
+    cost0 = local_tb[0]
+    final_cost, bps = jax.lax.scan(fwd, cost0, local_tb[1:])
+
+    s_end = jnp.argmin(final_cost, axis=-1).astype(jnp.int32)  # (B,)
+
+    def back(state, bp_t):
+        # bp_t[j] = best frame-t state given frame-t+1 lands in j;
+        # emit the PREDECESSOR so ys[t] is frame t's state (emitting
+        # the carry instead shifts the whole track a frame early)
+        prev = jnp.take_along_axis(bp_t, state[:, None],
+                                   axis=1)[:, 0]
+        return prev, prev
+
+    _, states_rev = jax.lax.scan(back, s_end, bps, reverse=True)
+    states = jnp.concatenate(
+        [states_rev, s_end[None]], axis=0)          # (T, B)
+    return jnp.swapaxes(states, 0, 1)               # (B, T)
+
+
 def compute_kaldi_pitch(waveform: jnp.ndarray, sample_rate: float,
                         frame_length: float = 25.0,
                         frame_shift: float = 10.0,
@@ -202,33 +236,10 @@ def compute_kaldi_pitch(waveform: jnp.ndarray, sample_rate: float,
     soft = 1.0 - float(soft_min_f0) * lag_s / rf   # (S,)
     local = 1.0 - phi * soft                       # (B, T, S)
     log_lag = np.log(grid)
-    trans = np.asarray(
+    trans = jnp.asarray(
         float(penalty_factor)
-        * (log_lag[:, None] - log_lag[None, :]) ** 2, np.float32)
-    trans = jnp.asarray(trans)                     # (S_prev, S_next)
-
-    def fwd(cost, local_t):
-        # cost (B, S); choose best predecessor per next-state
-        total = cost[:, :, None] + trans[None]     # (B, Sp, Sn)
-        bp = jnp.argmin(total, axis=1).astype(jnp.int32)
-        new = jnp.min(total, axis=1) + local_t
-        return new, bp
-
-    local_tb = jnp.swapaxes(local, 0, 1)           # (T, B, S)
-    cost0 = local_tb[0]
-    final_cost, bps = jax.lax.scan(fwd, cost0, local_tb[1:])
-
-    s_end = jnp.argmin(final_cost, axis=-1).astype(jnp.int32)  # (B,)
-
-    def back(state, bp_t):
-        prev = jnp.take_along_axis(bp_t, state[:, None],
-                                   axis=1)[:, 0]
-        return prev, state
-
-    _, states_rev = jax.lax.scan(back, s_end, bps, reverse=True)
-    states = jnp.concatenate(
-        [states_rev, s_end[None]], axis=0)          # (T, B)
-    states = jnp.swapaxes(states, 0, 1)             # (B, T)
+        * (log_lag[:, None] - log_lag[None, :]) ** 2, jnp.float32)
+    states = _viterbi(local, trans)                 # (B, T)
 
     pitch = rf / jnp.take(lag_s, states)
     nccf = jnp.take_along_axis(pov, states[..., None],

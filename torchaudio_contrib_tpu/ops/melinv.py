@@ -22,8 +22,8 @@ import jax.numpy as jnp
 
 from .filters import _mel_filter_np
 
-__all__ = ["create_inverse_mel_filter", "mel_to_linear",
-           "mel_to_audio"]
+__all__ = ["create_inverse_mel_filter", "create_inverse_bark_filter",
+           "mel_to_linear", "mel_to_audio"]
 
 
 @functools.lru_cache(maxsize=16)
@@ -55,6 +55,38 @@ def create_inverse_mel_filter(num_mels: int = 128,
         f_max = sample_rate / 2.0
     g = _inverse_mel_np(int(num_mels), float(sample_rate), float(f_min),
                         float(f_max), int(num_bins), float(ridge))
+    return jnp.asarray(g, dtype=dtype)
+
+
+@functools.lru_cache(maxsize=16)
+def _inverse_bark_np(n_barks: int, sample_rate: float, f_min: float,
+                     f_max: float, num_bins: int, bark_scale: str,
+                     ridge: float) -> np.ndarray:
+    """(n_barks, num_bins) ridge pseudo-inverse of the bark matrix —
+    the same solve as :func:`_inverse_mel_np` on the bark bank."""
+    from .filters import _bark_filter_np
+    fb = _bark_filter_np(n_barks, sample_rate, f_min, f_max,
+                         num_bins, bark_scale)
+    a = fb.T @ fb + ridge * np.eye(n_barks)
+    return np.linalg.solve(a, fb.T)
+
+
+def create_inverse_bark_filter(n_barks: int = 128,
+                               sample_rate: float = 22050,
+                               f_min: float = 0.0,
+                               f_max: Optional[float] = None,
+                               num_bins: int = 1025,
+                               bark_scale: str = "traunmuller",
+                               ridge: float = 1e-8,
+                               dtype=jnp.float32) -> jnp.ndarray:
+    """Inverse-projection matrix ``(n_barks, num_bins)`` for
+    :func:`mel_to_linear` (the projection GEMM is scale-agnostic);
+    parameters mirror ``create_bark_filter``."""
+    if f_max is None:
+        f_max = sample_rate / 2.0
+    g = _inverse_bark_np(int(n_barks), float(sample_rate),
+                         float(f_min), float(f_max), int(num_bins),
+                         str(bark_scale), float(ridge))
     return jnp.asarray(g, dtype=dtype)
 
 

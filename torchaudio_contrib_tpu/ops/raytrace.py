@@ -129,7 +129,10 @@ def ray_tracing(room, source, mic_array, num_rays: int,
 
     def deposit(hist, dist, energy, valid):
         """Scatter ``energy (R, M, bands)`` at path length
-        ``dist (R, M)`` into ``hist (M, bands, num_bins + 1)``."""
+        ``dist (R, M)`` into ``hist (M, num_bins + 1, bands)`` —
+        bands INNERMOST so the flat view's row m·(bins+1)+bin is
+        exactly one (bin, all-bands) slot (a (M, bands, bins) layout
+        here would scramble band against bin whenever bands > 1)."""
         bins = jnp.floor(dist * inv_bin).astype(jnp.int32)
         bins = jnp.where(valid & (bins >= 0) & (bins < num_bins),
                          bins, num_bins)            # overflow slot
@@ -199,9 +202,10 @@ def ray_tracing(room, source, mic_array, num_rays: int,
         dist = jnp.where(alive, dist_wall, dist)
         return (pos, direc, energy, dist, hist), None
 
-    hist0 = jnp.zeros((n_mics, num_bands, num_bins + 1), jnp.float32)
+    hist0 = jnp.zeros((n_mics, num_bins + 1, num_bands), jnp.float32)
     dist0 = jnp.zeros((int(num_rays),), jnp.float32)
     (_, _, _, _, hist), _ = jax.lax.scan(
         bounce, (pos0, dirs, e0, dist0, hist0), None,
         length=int(max_bounces))
-    return hist[..., :num_bins]                     # drop overflow
+    # drop the overflow slot; present (channels, bands, bins)
+    return jnp.swapaxes(hist[:, :num_bins, :], 1, 2)
