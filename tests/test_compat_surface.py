@@ -26,16 +26,34 @@ def _wave(n=2048, seed=0):
 
 def test_amplitude_to_DB_formula_and_house_equivalence():
     rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.uniform(0, 2.0, (3, 8, 10)), jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 2.0, (8, 10)), jnp.float32)
     got = np.asarray(tac.amplitude_to_DB(x, 10.0, 1e-10, 0.0, 80.0))
     x64 = np.asarray(x, np.float64)
     ref = 10.0 * np.log10(np.maximum(x64, 1e-10))
-    ref = np.maximum(ref, ref.max(axis=(-2, -1), keepdims=True) - 80.0)
+    ref = np.maximum(ref, ref.max() - 80.0)
     np.testing.assert_allclose(got, ref, atol=1e-4)
     # house op with matching params (ref=1 -> db_multiplier 0)
     house = np.asarray(tac.amplitude_to_db(x, power=2.0, amin=1e-10,
                                            top_db=80.0))
     np.testing.assert_allclose(got, house, atol=1e-5)
+
+
+def test_amplitude_to_DB_multichannel_shares_peak():
+    """torchaudio's top_db peaks over (channel, freq, time) when a
+    channel axis exists: a quiet channel is clamped against the LOUD
+    channel's peak (regression: per-channel peaks deviated from
+    torchaudio on every multichannel port)."""
+    x = np.full((2, 3, 4), 1e-8, np.float32)
+    x[0, 0, 0] = 1.0                       # channel-0 peak: 0 dB
+    got = np.asarray(tac.amplitude_to_DB(
+        jnp.asarray(x), 10.0, 1e-10, 0.0, 30.0))
+    # channel 1 clamps at 0 - 30 = -30 dB, not at its own -80 + 30
+    np.testing.assert_allclose(got[1], -30.0, atol=1e-4)
+    # a batch of multichannel clips peaks per clip (last THREE axes)
+    xb = np.stack([x, x * 1e-2])
+    gb = np.asarray(tac.amplitude_to_DB(
+        jnp.asarray(xb), 10.0, 1e-10, 0.0, 30.0))
+    np.testing.assert_allclose(gb[1, 1], -50.0, atol=1e-4)
 
 
 def test_DB_to_amplitude_roundtrip():

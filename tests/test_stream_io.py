@@ -235,6 +235,72 @@ def test_stream_writer_loud_errors(tmp_path):
         w2.add_audio_stream(8000, 1, encoder_format="pcm_f32le")
 
 
+def test_stream_added_after_consumption_starts_at_position(tmp_path):
+    """A stream configured after chunks were consumed (or after seek)
+    starts at the reader's CURRENT position (regression: cursor 0
+    under a dropped buffer head sliced negative indices → silently
+    wrong frames)."""
+    x = _signal(1, 1000)
+    path = str(tmp_path / "a.wav")
+    write_wav(path, x, 8000)
+    r = StreamReader(path)
+    r.add_basic_audio_stream(200)
+    first = r.pop_chunks()[0]
+    second = r.pop_chunks()[0]
+    np.testing.assert_allclose(first[:, 0], x[0, :200], atol=2e-4)
+    r.add_basic_audio_stream(100)
+    late = r.pop_chunks()[1]
+    # the late stream's first chunk is frames 400..500, not 0..100
+    np.testing.assert_allclose(late[:, 0], x[0, 400:500], atol=2e-4)
+    assert second.shape == (200, 1)
+    r.close()
+
+
+def test_truncated_flac_raises_loudly(tmp_path, monkeypatch):
+    monkeypatch.setattr(_flac, "have_native_flac", lambda: False)
+    monkeypatch.setattr("torchaudio_contrib_tpu.io.stream."
+                        "_FlacSource._native", lambda self: None)
+    x = _signal(1, 4000)
+    path = tmp_path / "t.flac"
+    write_flac(str(path), x, 8000)
+    whole = path.read_bytes()
+    cut = whole[:len(whole) * 2 // 3]
+    r = StreamReader(cut, format="flac")
+    r.add_basic_audio_stream(1024)
+    # loud ValueError (bit-reader truncation or the generator-
+    # exhausted guard), never a PEP-479 RuntimeError from a bare
+    # StopIteration escaping the stream() generator
+    with pytest.raises(ValueError, match="FLAC"):
+        for _ in r.stream():
+            pass
+
+
+def test_stream_writer_flac_streaminfo_fixed_blocksize(tmp_path):
+    """STREAMINFO min == max == block size even when the final block
+    is short (FLAC spec: the last block is excluded; min != max marks
+    a variable-blocksize stream) — matching write_flac."""
+    x = _signal(1, 2000)
+    path = str(tmp_path / "s.flac")
+    w = StreamWriter(path)
+    w.add_audio_stream(8000, 1, block_size=512)
+    with w.open():
+        w.write_audio_chunk(0, x.T)
+    head = open(path, "rb").read(64)
+    # STREAMINFO payload starts at byte 8: min_bs u16, max_bs u16
+    min_bs = int.from_bytes(head[8:10], "big")
+    max_bs = int.from_bytes(head[10:12], "big")
+    assert min_bs == max_bs == 512
+    data, sr = read_flac(path)
+    np.testing.assert_allclose(data, np.asarray(
+        read_flac(_roundtrip_ref(x, tmp_path))[0]), atol=1e-4)
+
+
+def _roundtrip_ref(x, tmp_path):
+    ref = str(tmp_path / "ref.flac")
+    write_flac(ref, x, 8000)
+    return ref
+
+
 def test_module_surface():
     assert taio.StreamReader is StreamReader
     assert taio.StreamWriter is StreamWriter

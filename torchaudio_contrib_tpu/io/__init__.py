@@ -252,24 +252,31 @@ def _py_info(buf: bytes) -> dict:
     raise ValueError("no data chunk")
 
 
+def _pcm_flat(raw: bytes, bits: int, is_float: bool) -> np.ndarray:
+    """Interleaved PCM bytes -> flat float32 in [-1, 1] (the ONE
+    conversion table — used by the whole-buffer decoder below and the
+    incremental ``io.stream`` reader)."""
+    if is_float:
+        return np.frombuffer(raw, "<f4").astype(np.float32)
+    if bits == 16:
+        return (np.frombuffer(raw, "<i2") / 32768.0).astype(np.float32)
+    if bits == 32:
+        return (np.frombuffer(raw, "<i4")
+                / 2147483648.0).astype(np.float32)
+    # 24-bit
+    b3 = np.frombuffer(raw, np.uint8).reshape(-1, 3).astype(np.uint32)
+    v = (b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)).astype(np.int32)
+    v[v >= 1 << 23] -= 1 << 24
+    return (v / 8388608.0).astype(np.float32)
+
+
 def _py_decode(buf: bytes, info: dict) -> np.ndarray:
     if "_off" not in info:
         info = _py_info(buf)
     off, ch, nf = info["_off"], info["channels"], info["num_frames"]
-    bits = info["bits"]
-    if info["float"]:
-        x = np.frombuffer(buf, "<f4", nf * ch, off)
-    elif bits == 16:
-        x = np.frombuffer(buf, "<i2", nf * ch, off) / 32768.0
-    elif bits == 32:
-        x = np.frombuffer(buf, "<i4", nf * ch, off) / 2147483648.0
-    else:  # 24-bit
-        raw = np.frombuffer(buf, np.uint8, nf * ch * 3, off)
-        raw = raw.reshape(-1, 3).astype(np.uint32)
-        v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
-        v = v.astype(np.int32)
-        v[v >= 1 << 23] -= 1 << 24
-        x = v / 8388608.0
+    stride = ch * info["bits"] // 8
+    x = _pcm_flat(buf[off:off + nf * stride], info["bits"],
+                  info["float"])
     return np.ascontiguousarray(
         x.reshape(nf, ch).T.astype(np.float32))
 

@@ -62,21 +62,11 @@ class SourceAudioStream:
 # ------------------------------------------------------------------ #
 
 def _pcm_block_to_float(raw: bytes, info: dict) -> np.ndarray:
-    """Interleaved PCM bytes → float32 ``(frames, channels)`` (same
-    conversions as ``io._py_decode``)."""
-    ch, bits = info["channels"], info["bits"]
-    if info["float"]:
-        x = np.frombuffer(raw, "<f4").astype(np.float32)
-    elif bits == 16:
-        x = (np.frombuffer(raw, "<i2") / 32768.0).astype(np.float32)
-    elif bits == 32:
-        x = (np.frombuffer(raw, "<i4") / 2147483648.0).astype(np.float32)
-    else:  # 24-bit
-        b = np.frombuffer(raw, np.uint8).reshape(-1, 3).astype(np.uint32)
-        v = (b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)).astype(np.int32)
-        v[v >= 1 << 23] -= 1 << 24
-        x = (v / 8388608.0).astype(np.float32)
-    return x.reshape(-1, ch)
+    """Interleaved PCM bytes → float32 ``(frames, channels)`` — the
+    shared ``io._pcm_flat`` conversion table."""
+    from . import _pcm_flat
+    return _pcm_flat(raw, info["bits"], info["float"]) \
+        .reshape(-1, info["channels"])
 
 
 class _WavSource:
@@ -96,36 +86,26 @@ class _WavSource:
         self._frame = 0  # next frame to read
 
     def _parse_header(self) -> dict:
+        """One source of truth for the RIFF walk: ``io._py_info`` on
+        the header bytes (grown past 64 KiB only for exotic chunk
+        layouts), with its ``_off`` rebased as this reader's data
+        offset."""
+        from . import _py_info
         f = self._f
         f.seek(0)
-        riff = f.read(12)
-        if riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
-            raise ValueError("not a RIFF/WAVE file")
-        fmt = None
+        head = f.read(65536)
         while True:
-            hdr = f.read(8)
-            if len(hdr) < 8:
-                raise ValueError("no data chunk")
-            cid, sz = hdr[:4], struct.unpack("<I", hdr[4:])[0]
-            if cid == b"fmt ":
-                body = f.read(sz + (sz & 1))
-                tag, ch, sr = struct.unpack("<HHI", body[:8])
-                bits = struct.unpack("<H", body[14:16])[0]
-                if tag == 0xFFFE and sz >= 40:
-                    tag = struct.unpack("<H", body[24:26])[0]
-                fmt = (tag, ch, sr, bits)
-            elif cid == b"data":
-                if fmt is None:
-                    raise ValueError("data before fmt")
-                tag, ch, sr, bits = fmt
-                if tag not in (1, 3) or bits not in (16, 24, 32) \
-                        or (tag == 3 and bits != 32):
-                    raise ValueError("unsupported WAV format")
-                return {"sample_rate": sr, "channels": ch, "bits": bits,
-                        "num_frames": sz // (ch * bits // 8),
-                        "float": tag == 3, "_data_off": f.tell()}
-            else:
-                f.seek(sz + (sz & 1), _io.SEEK_CUR)
+            try:
+                info = dict(_py_info(head))
+                break
+            except ValueError as e:
+                more = f.read(1 << 20) \
+                    if "no data chunk" in str(e) else b""
+                if not more:
+                    raise
+                head += more
+        info["_data_off"] = info.pop("_off")
+        return info
 
     @property
     def codec(self) -> str:
@@ -206,7 +186,13 @@ class _FlacSource:
                 blk = self._pending
                 self._pending = None
             else:
-                blk = next(self._gen).T    # (bs, ch)
+                try:
+                    blk = next(self._gen).T    # (bs, ch)
+                except StopIteration:
+                    raise ValueError(
+                        "truncated FLAC stream: STREAMINFO promises "
+                        f"{total} frames but the byte stream ends at "
+                        f"{self._gen_frame}") from None
             lo = self._gen_frame
             hi = lo + blk.shape[0]
             if hi <= self._frame:
@@ -242,9 +228,9 @@ def len_cat(parts: Sequence[np.ndarray]) -> int:
 # ------------------------------------------------------------------ #
 
 class _OutStream:
-    def __init__(self, frames_per_chunk: int):
+    def __init__(self, frames_per_chunk: int, cursor: int = 0):
         self.fpc = frames_per_chunk
-        self.cursor = 0          # absolute next frame to emit
+        self.cursor = cursor     # absolute next frame to emit
         self.done = False
 
 
@@ -317,7 +303,15 @@ class StreamReader:
                 "not supported — compose ops.resample on the chunks")
         if frames_per_chunk <= 0:
             raise ValueError("frames_per_chunk must be positive")
-        self._streams.append(_OutStream(int(frames_per_chunk)))
+        # a stream added after consumption/seek starts at the
+        # reader's CURRENT position (the existing streams' minimum
+        # cursor) — cursor 0 would index below the dropped buffer
+        # head and silently slice wrong frames
+        cursor = max(self._buf_start,
+                     min((s.cursor for s in self._streams),
+                         default=self._buf_start))
+        self._streams.append(_OutStream(int(frames_per_chunk),
+                                        cursor=cursor))
 
     @property
     def num_out_streams(self) -> int:
@@ -467,7 +461,6 @@ class StreamWriter:
         self._frames = 0
         self._flac_buf: Optional[np.ndarray] = None  # (ch, pending)
         self._flac_no = 0
-        self._flac_min_bs: Optional[int] = None
 
     def add_audio_stream(self, sample_rate: int, num_channels: int,
                          format: str = "flt",
@@ -573,8 +566,6 @@ class StreamWriter:
             self._f.write(_encode_frame(
                 blk, self._flac_no, cfg["bits"], ss_code, None, "auto"))
             self._flac_no += 1
-            self._flac_min_bs = blk.shape[1] if self._flac_min_bs is None \
-                else min(self._flac_min_bs, blk.shape[1])
 
     def close(self) -> None:
         if self._f is None:
@@ -588,10 +579,14 @@ class StreamWriter:
             self._f.write(struct.pack("<I", payload))
         else:
             self._drain_flac(final=True)
-            min_bs = self._flac_min_bs or cfg["block"]
+            # fixed-blocksize stream: STREAMINFO min == max == the
+            # block size (the FLAC spec excludes the short final
+            # block; min != max would mark the stream variable-size
+            # and reinterpret the coded frame numbers) — matches
+            # write_flac
             self._f.seek(4)
             self._f.write(_streaminfo_block(
-                min_bs, cfg["block"], cfg["sr"], cfg["ch"],
+                cfg["block"], cfg["block"], cfg["sr"], cfg["ch"],
                 cfg["bits"], self._frames))
         self._f.flush()
         if not hasattr(self._dst, "write"):

@@ -57,11 +57,12 @@ def amplitude_to_DB(x: jnp.ndarray, multiplier: float, amin: float,
     """torchaudio-signature dB conversion:
     ``multiplier·log10(clamp(x, amin)) − multiplier·db_multiplier``
     (``multiplier`` = 10 for power, 20 for amplitude inputs;
-    ``db_multiplier = log10(max(amin, ref))``), ``top_db`` clamped to
-    each spectrogram's own peak over its trailing (freq, time) plane.
-    The house :func:`amplitude_to_db` derives all of this from
-    ``ref``/``power`` — this adapter exists so torchaudio call sites
-    port verbatim."""
+    ``db_multiplier = log10(max(amin, ref))``).  torchaudio's
+    ``top_db`` clamp peaks over the trailing (channel, freq, time)
+    volume when the input has one (ndim > 2) — channels of one clip
+    share a peak — and over (freq, time) for 2-D inputs.  The house
+    :func:`amplitude_to_db` derives all of this from ``ref``/``power``
+    — this adapter exists so torchaudio call sites port verbatim."""
     if amin <= 0:
         raise ValueError("amin must be > 0")
     x_db = multiplier * jnp.log10(jnp.maximum(x, amin)) \
@@ -69,7 +70,8 @@ def amplitude_to_DB(x: jnp.ndarray, multiplier: float, amin: float,
     if top_db is not None:
         if top_db < 0:
             raise ValueError("top_db must be >= 0")
-        axes = tuple(range(max(x_db.ndim - 2, 0), x_db.ndim))
+        n_peak_axes = 3 if x_db.ndim > 2 else 2
+        axes = tuple(range(x_db.ndim - n_peak_axes, x_db.ndim))
         peak = jnp.max(x_db, axis=axes, keepdims=True)
         x_db = jnp.maximum(x_db, peak - top_db)
     return x_db
