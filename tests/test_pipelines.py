@@ -168,3 +168,84 @@ def test_named_model_factories():
     assert len(hyp) == 1
     base = M.emformer_rnnt_base()
     assert base.v == 4097
+
+
+def test_new_bundle_names_and_geometries():
+    import jax
+    from torchaudio_contrib_tpu import pipelines as P
+    # provenance variants pin the same architecture
+    assert P.WAV2VEC2_ASR_BASE_10M._factory \
+        is P.WAV2VEC2_ASR_BASE_960H._factory
+    assert P.WAVLM_BASE_PLUS._factory is P.WAVLM_BASE._factory
+    assert P.HDEMUCS_HIGH_MUSDB_PLUS._factory \
+        is P.HDEMUCS_HIGH_MUSDB._factory
+    # torchaudio's LARGE keeps group_norm/post-LN; LV60K is pre-LN
+    large = P.WAV2VEC2_ASR_LARGE_960H._factory()
+    lv60k = P.WAV2VEC2_ASR_LARGE_LV60K_960H._factory()
+    assert large.extractor_mode == "group_norm"
+    assert not large.layer_norm_first
+    assert lv60k.extractor_mode == "layer_norm"
+    assert lv60k.layer_norm_first
+    xl = P.HUBERT_ASR_XLARGE._factory(aux_out=29)
+    assert xl.d_model == 1280 and xl.num_layers == 48
+
+
+def test_griffinlim_tts_bundle(tmp_path):
+    import numpy as np
+    from torchaudio_contrib_tpu import pipelines as P
+    b = P.TACOTRON2_GRIFFINLIM_CHAR_LJSPEECH
+    voc = b.get_vocoder()
+    rng = np.random.default_rng(0)
+    mel = np.log(np.abs(rng.normal(size=(2, 80, 16))) * 0.01
+                 + 1e-5).astype(np.float32)
+    wave, lengths = voc(mel, lengths=np.asarray([16, 12]))
+    assert wave.shape[0] == 2 and wave.shape[1] >= 15 * 256
+    assert lengths.tolist() == [16 * 256, 12 * 256]
+    with pytest.raises(ValueError, match="no weights"):
+        b.get_vocoder(key=0)
+
+
+def test_phone_bundle_text_processor(tmp_path):
+    import jax
+    from torchaudio_contrib_tpu import pipelines as P
+    (tmp_path / "cmudict-0.7b").write_bytes(
+        b"HELLO  HH AH0 L OW1\nWORLD  W ER1 L D\n")
+    b = P.TACOTRON2_WAVERNN_PHONE_LJSPEECH
+    with pytest.raises(ValueError, match="cmudict"):
+        b.get_text_processor()
+    proc = b.get_text_processor(root=str(tmp_path))
+    ids, lengths = proc(["hello world!", "world"])
+    assert ids.shape[0] == 2 and lengths[0] > lengths[1]
+    syms = proc.symbols
+    assert len(syms) == 96
+    # "hello" -> HH AH0 L OW1
+    assert [syms[i] for i in ids[0, :4]] == ["HH", "AH0", "L", "OW1"]
+    with pytest.raises(KeyError, match="not in CMUDict"):
+        proc("zyzzyva")
+    skip = b.get_text_processor(root=str(tmp_path), oov="skip")
+    ids2, _ = skip("zyzzyva hello")
+    assert syms[ids2[0, -1]] == "OW1"
+    # the tacotron2 built for phones is sized for the 96-symbol table
+    t2 = b.get_tacotron2(key=jax.random.PRNGKey(0))
+    assert t2[1]["embedding"].shape[0] == 96
+
+
+def test_mms_fa_bundle_aligns():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from torchaudio_contrib_tpu import pipelines as P
+    b = P.MMS_FA
+    labels = b.get_labels()
+    assert labels[0] == "-" and labels[-1] == "*" and len(labels) == 29
+    assert b.get_dict()["a"] == 1
+    aligner = b.get_aligner()
+    # synthetic peaked emission: tokens [1, 3] over 6 frames
+    T, V = 6, len(labels)
+    em = np.full((T, V), -10.0, np.float32)
+    for t, tok in enumerate([1, 1, 0, 3, 3, 0]):
+        em[t, tok] = 0.0
+    spans = aligner(jnp.asarray(em), [1, 3])
+    assert [s.token for s in spans] == [1, 3]
+    assert spans[0].start == 0 and spans[0].end == 2
+    assert spans[1].start == 3 and spans[1].end == 5

@@ -87,7 +87,7 @@ from .models import (
     MelFrontendClassifier, Conformer, Wav2Letter, DeepSpeech,
     ConvTasNet, WaveRNN, Tacotron2, Wav2Vec2, Wav2Vec2Model, Emformer, ConvEmformer,
     RNNT, RNNTPredictor, RNNTBeamSearch,
-    wav2vec2_base, wav2vec2_large,
+    wav2vec2_base, wav2vec2_large, wav2vec2_large_lv60k,
     hubert_base, hubert_large, hubert_xlarge,
     WavLM, wavlm_base, wavlm_large,
     wav2vec2_xlsr_300m, wav2vec2_xlsr_1b, wav2vec2_xlsr_2b,
@@ -203,7 +203,7 @@ __all__ = [
     "ConvTasNet", "WaveRNN", "Tacotron2", "Wav2Vec2", "Emformer",
     "ConvEmformer",
     "RNNT", "RNNTPredictor", "RNNTBeamSearch",
-    "wav2vec2_base", "wav2vec2_large",
+    "wav2vec2_base", "wav2vec2_large", "wav2vec2_large_lv60k",
     "hubert_base", "hubert_large", "hubert_xlarge",
     "WavLM", "wavlm_base", "wavlm_large",
     "wav2vec2_xlsr_300m", "wav2vec2_xlsr_1b", "wav2vec2_xlsr_2b",

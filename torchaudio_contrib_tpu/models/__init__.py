@@ -16,7 +16,7 @@ from .tasnet import ConvTasNet
 from .wavernn import WaveRNN
 from .tacotron2 import Tacotron2
 from .wav2vec2 import (
-    Wav2Vec2, wav2vec2_base, wav2vec2_large,
+    Wav2Vec2, wav2vec2_base, wav2vec2_large, wav2vec2_large_lv60k,
     hubert_base, hubert_large, hubert_xlarge,
     WavLM, wavlm_base, wavlm_large,
     wav2vec2_xlsr_300m, wav2vec2_xlsr_1b, wav2vec2_xlsr_2b,
@@ -80,7 +80,7 @@ __all__ = [
     "MelFrontendClassifier", "Conformer", "Wav2Letter", "DeepSpeech", "ConvTasNet", "WaveRNN", "Tacotron2", "Wav2Vec2", "Emformer",
     "ConvEmformer",
     "RNNT", "RNNTPredictor", "RNNTBeamSearch",
-    "wav2vec2_base", "wav2vec2_large",
+    "wav2vec2_base", "wav2vec2_large", "wav2vec2_large_lv60k",
     "hubert_base", "hubert_large", "hubert_xlarge",
     "WavLM", "wavlm_base", "wavlm_large",
     "wav2vec2_xlsr_300m", "wav2vec2_xlsr_1b", "wav2vec2_xlsr_2b",

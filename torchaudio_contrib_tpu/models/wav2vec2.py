@@ -43,7 +43,7 @@ __all__ = ["Wav2Vec2", "wav2vec2_base", "wav2vec2_large",
            "hubert_base", "hubert_large", "hubert_xlarge",
            "WavLM", "wavlm_base", "wavlm_large",
            "wav2vec2_xlsr_300m", "wav2vec2_xlsr_1b",
-           "wav2vec2_xlsr_2b"]
+           "wav2vec2_xlsr_2b", "wav2vec2_large_lv60k"]
 
 
 class Wav2Vec2:
@@ -372,7 +372,19 @@ def wav2vec2_base(aux_out: Optional[int] = None) -> Wav2Vec2:
 
 
 def wav2vec2_large(aux_out: Optional[int] = None) -> Wav2Vec2:
-    """LARGE: 24 layers, d 1024, 16 heads, FFN 4096 (317 M params)."""
+    """LARGE (LibriSpeech-960): 24 layers, d 1024, 16 heads, FFN 4096
+    (317 M params).  fairseq/torchaudio's LARGE keeps the BASE
+    normalization scheme — group_norm extractor + post-LN encoder;
+    the layer_norm/pre-LN variant is :func:`wav2vec2_large_lv60k`."""
+    return Wav2Vec2(d_model=1024, num_layers=24, num_heads=16,
+                    ff_dim=4096, aux_out=aux_out,
+                    extractor_mode="group_norm",
+                    layer_norm_first=False)
+
+
+def wav2vec2_large_lv60k(aux_out: Optional[int] = None) -> Wav2Vec2:
+    """LARGE (LibriVox-60k): LARGE geometry with the layer_norm
+    extractor (conv bias) + pre-LN "stable" encoder."""
     return Wav2Vec2(d_model=1024, num_layers=24, num_heads=16,
                     ff_dim=4096, aux_out=aux_out)
 
