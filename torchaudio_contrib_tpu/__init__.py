@@ -57,7 +57,7 @@ from .ops import (
     forced_align, merge_tokens, TokenSpan,
     edit_distance, edit_distance_batched, rnnt_loss,
     ctc_greedy_decode, ctc_prefix_beam_search, ctc_beam_decode, CTCHypothesis,
-    ctc_loss, snr, si_snr,
+    ctc_loss, snr, si_snr, frechet_distance,
     psd, mvdr_weights_souden, mvdr_weights_rtf,
     rtf_evd, rtf_power, apply_beamforming,
     hann_window, hamming_window, blackman_window, get_window,
@@ -186,7 +186,7 @@ __all__ = [
     "forced_align", "merge_tokens", "TokenSpan",
     "edit_distance", "edit_distance_batched", "rnnt_loss",
     "ctc_greedy_decode", "ctc_prefix_beam_search", "ctc_beam_decode", "CTCHypothesis",
-    "ctc_loss", "snr", "si_snr",
+    "ctc_loss", "snr", "si_snr", "frechet_distance",
     "psd", "mvdr_weights_souden", "mvdr_weights_rtf",
     "rtf_evd", "rtf_power", "apply_beamforming",
     "hann_window", "hamming_window", "blackman_window", "get_window",

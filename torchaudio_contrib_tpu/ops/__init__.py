@@ -76,7 +76,7 @@ from .align import forced_align, merge_tokens, TokenSpan
 from .edit import edit_distance, edit_distance_batched
 from .rnnt import rnnt_loss
 from .ctcloss import ctc_loss
-from .metrics import snr, si_snr
+from .metrics import snr, si_snr, frechet_distance
 from .ctcdecode import (ctc_greedy_decode, ctc_prefix_beam_search, ctc_beam_decode,
                         CTCHypothesis)
 from .beamform import (psd, mvdr_weights_souden, mvdr_weights_rtf,
@@ -131,7 +131,7 @@ __all__ = [
     "forced_align", "merge_tokens", "TokenSpan",
     "edit_distance", "edit_distance_batched", "rnnt_loss",
     "ctc_greedy_decode", "ctc_prefix_beam_search", "ctc_beam_decode", "CTCHypothesis",
-    "ctc_loss", "snr", "si_snr",
+    "ctc_loss", "snr", "si_snr", "frechet_distance",
     "psd", "mvdr_weights_souden", "mvdr_weights_rtf",
     "rtf_evd", "rtf_power", "apply_beamforming",
 ]

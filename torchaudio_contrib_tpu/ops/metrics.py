@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["snr", "si_snr"]
+__all__ = ["snr", "si_snr", "frechet_distance"]
 
 
 def snr(estimate, reference, eps: float = 1e-8):
@@ -41,3 +41,40 @@ def si_snr(estimate, reference, zero_mean: bool = True,
     return 10.0 * jnp.log10(
         (jnp.sum(target * target, -1) + eps)
         / (jnp.sum(noise * noise, -1) + eps))
+
+
+def _sqrtm_psd(mat):
+    """Symmetric-PSD matrix square root via eigendecomposition
+    (clamping tiny negative eigenvalues from roundoff)."""
+    w, v = jnp.linalg.eigh(mat)
+    w = jnp.clip(w, 0.0, None)
+    return (v * jnp.sqrt(w)[..., None, :]) @ jnp.swapaxes(v, -1, -2)
+
+
+def frechet_distance(mu_x, sigma_x, mu_y, sigma_y):
+    """Squared Fréchet (2-Wasserstein) distance between Gaussians
+    ``N(mu_x, sigma_x)`` and ``N(mu_y, sigma_y)`` — the FAD metric
+    [ref-recon: torchaudio.prototype.functional.frechet_distance —
+    UNVERIFIED, mount empty].
+
+    ``||mu_x-mu_y||² + tr(Σx + Σy − 2·(Σx Σy)^½)``, with the cross
+    term computed as ``tr(sqrtm(√Σx · Σy · √Σx))`` — a symmetric-PSD
+    similarity transform of the non-symmetric product, so both square
+    roots are plain ``eigh`` (batched jittable device solves; no
+    Schur/iterative sqrtm).  Leading batch dims broadcast.
+    """
+    mu_x, mu_y = jnp.asarray(mu_x), jnp.asarray(mu_y)
+    sigma_x, sigma_y = jnp.asarray(sigma_x), jnp.asarray(sigma_y)
+    if mu_x.shape[-1] != sigma_x.shape[-1] or \
+            sigma_x.shape[-1] != sigma_x.shape[-2]:
+        raise ValueError(
+            f"mu {mu_x.shape} / sigma {sigma_x.shape} mismatch")
+    dtype = jnp.promote_types(mu_x.dtype, jnp.float32)
+    mu_x, mu_y = mu_x.astype(dtype), mu_y.astype(dtype)
+    sigma_x, sigma_y = sigma_x.astype(dtype), sigma_y.astype(dtype)
+    a = _sqrtm_psd(sigma_x)
+    cross = _sqrtm_psd(a @ sigma_y @ a)
+    diff = mu_x - mu_y
+    tr = lambda m: jnp.trace(m, axis1=-2, axis2=-1)
+    return (jnp.sum(diff * diff, -1) + tr(sigma_x) + tr(sigma_y)
+            - 2.0 * tr(cross))
