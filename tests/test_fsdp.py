@@ -1,0 +1,114 @@
+"""FSDP layouts (`parallel/fsdp.py`): largest-divisible-dim rule,
+min-size replication, sharded-vs-replicated train-step equality on the
+8-virtual-device mesh, FSDP+TP composition, and ZeRO optimizer-state
+inheritance."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import torchaudio_contrib_tpu as tac
+from torchaudio_contrib_tpu.parallel import (
+    make_mesh, fsdp_specs, fsdp_shard, tensor_parallel_specs)
+
+
+def tiny_w2v():
+    return tac.Wav2Vec2(extractor_conv_layers=((8, 10, 5), (8, 3, 2)),
+                        d_model=16, num_layers=2, num_heads=2,
+                        ff_dim=32, pos_conv_kernel=8,
+                        pos_conv_groups=2)
+
+
+def test_specs_shard_largest_divisible_dim():
+    mesh = make_mesh(n_data=8, n_model=1)
+    params = tiny_w2v().init(jax.random.PRNGKey(0))
+    specs = fsdp_specs(params, mesh, min_size=0)
+    s0 = specs["layers"][0]
+    # wqkv (16, 48): 48 is the largest dim and divides 8
+    assert s0["wqkv"].spec == P(None, "data")
+    # wo (16, 16): tie -> last dim
+    assert s0["wo"].spec == P(None, "data")
+    # bias (48,) divides -> sharded too (ZeRO shards everything)
+    assert s0["bqkv"].spec == P("data")
+    # LayerNorm scale (16,): 16 % 8 == 0 -> sharded at min_size=0
+    assert s0["ln1"]["g"].spec == P("data")
+
+
+def test_min_size_replicates_small_leaves():
+    mesh = make_mesh(n_data=8, n_model=1)
+    params = tiny_w2v().init(jax.random.PRNGKey(0))
+    specs = fsdp_specs(params, mesh)  # default fsdp_min_size=1024
+    # every leaf in this tiny model is < 1024 elements except none
+    big = [l for l in jax.tree_util.tree_leaves(params)
+           if l.size >= 1024]
+    if not big:
+        for s in jax.tree_util.tree_leaves(
+                specs, is_leaf=lambda x: isinstance(x, NamedSharding)):
+            assert s.spec == P()
+
+
+def test_fsdp_train_step_equals_replicated():
+    mesh = make_mesh(n_data=8, n_model=1)
+    model = tiny_w2v()
+    params = model.init(jax.random.PRNGKey(1))
+    wav = jnp.asarray(np.random.default_rng(0)
+                      .standard_normal((8, 400)), jnp.float32)
+
+    def loss_fn(p, x):
+        out, _ = model.apply(p, x)
+        return jnp.mean(out * out)
+
+    ref_l, ref_g = jax.value_and_grad(loss_fn)(params, wav)
+    from torchaudio_contrib_tpu.parallel import fsdp_specs as _specs
+    specs = _specs(params, mesh, min_size=0)
+    sp = fsdp_shard(params, mesh, min_size=0)
+    # the weights are REALLY sharded (1/8 of the leaf per device)
+    wqkv = sp["layers"][0]["wqkv"]
+    assert wqkv.addressable_shards[0].data.shape == (16, 48 // 8)
+    wav_s = jax.device_put(wav, NamedSharding(mesh, P("data", None)))
+    # pin the grads to the ZeRO layout (reduce-scatter, not gather)
+    rep = NamedSharding(mesh, P())
+    l, g = jax.jit(jax.value_and_grad(loss_fn),
+                   out_shardings=(rep, specs))(sp, wav_s)
+    np.testing.assert_allclose(float(l), float(ref_l), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_g),
+                    jax.tree_util.tree_leaves(g)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-5)
+    assert g["layers"][0]["wqkv"].sharding.spec == P(None, "data")
+
+
+def test_fsdp_composes_with_tp():
+    mesh = make_mesh(n_data=4, n_model=2)
+    model = tiny_w2v()
+    params = model.init(jax.random.PRNGKey(2))
+    tp = tensor_parallel_specs(params, mesh)
+    specs = fsdp_specs(params, mesh, base_specs=tp, min_size=0)
+    s0 = specs["layers"][0]
+    # TP put 'model' on wqkv's out dim; FSDP adds 'data' on dim 0
+    assert s0["wqkv"].spec == P("data", "model")
+    assert s0["wo"].spec == P("model", "data")
+    sp = jax.tree_util.tree_map(jax.device_put, params, specs)
+    wav = jnp.asarray(np.random.default_rng(3)
+                      .standard_normal((4, 400)), jnp.float32)
+    ref, _ = model.apply(params, wav)
+    wav_s = jax.device_put(wav, NamedSharding(mesh, P("data", None)))
+    out, _ = jax.jit(model.apply)(sp, wav_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
+
+
+def test_optimizer_state_gets_zero_layout():
+    import optax
+    from torchaudio_contrib_tpu.parallel import fsdp_init
+    mesh = make_mesh(n_data=8, n_model=1)
+    params = tiny_w2v().init(jax.random.PRNGKey(3))
+    sp = fsdp_shard(params, mesh, min_size=0)
+    opt = optax.adam(1e-3)
+    state = fsdp_init(opt.init, sp, mesh, min_size=0)
+    mu = state[0].mu["layers"][0]["wqkv"]
+    assert mu.sharding.spec == P(None, "data")
+    assert mu.addressable_shards[0].data.shape == (16, 48 // 8)
+    # scalar step count replicates
+    assert state[0].count.sharding.spec == P()
