@@ -41,6 +41,12 @@ def test_streaming_asr_example():
     assert "greedy==full OK" in stdout
 
 
+def test_fsdp_tp_train_example():
+    stdout = _run(["fsdp_tp_train.py", "--steps", "40"])
+    assert "FSDP+TP OK" in stdout
+    assert "ZeRO-3:" in stdout
+
+
 def test_vocoder_example(tmp_path):
     stdout = _run(["vocoder_roundtrip.py"])
     assert "mel spectral convergence" in stdout
