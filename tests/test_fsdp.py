@@ -99,6 +99,29 @@ def test_fsdp_composes_with_tp():
                                atol=2e-5)
 
 
+def test_indivisible_leaves_replicate_and_override_forces():
+    mesh = make_mesh(n_data=8, n_model=1)
+    params = {"odd": jnp.zeros((7, 9)), "big": jnp.zeros((8, 24))}
+    specs = fsdp_specs(params, mesh, min_size=0)
+    assert specs["odd"].spec == P()          # nothing divides 8
+    assert specs["big"].spec == P(None, "data")
+
+    def force(path, leaf):
+        if any(getattr(e, "key", None) == "big" for e in path):
+            return P("data", None)
+        return None
+
+    specs = fsdp_specs(params, mesh, min_size=0, override=force)
+    assert specs["big"].spec == P("data", None)
+
+
+def test_base_specs_treedef_mismatch_raises():
+    mesh = make_mesh(n_data=8, n_model=1)
+    params = {"a": jnp.zeros((8, 8)), "b": jnp.zeros((8, 8))}
+    with pytest.raises(ValueError, match="base_specs"):
+        fsdp_specs(params, mesh, base_specs={"a": P(None, "model")})
+
+
 def test_optimizer_state_gets_zero_layout():
     import optax
     from torchaudio_contrib_tpu.parallel import fsdp_init

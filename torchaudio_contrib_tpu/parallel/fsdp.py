@@ -62,6 +62,11 @@ def fsdp_specs(params, mesh: Mesh, axis: str = "data",
         if len(base_flat) != len(flat):
             raise ValueError("base_specs treedef mismatch")
 
+    def trimmed(spec):
+        while spec and spec[-1] is None:
+            spec = spec[:-1]
+        return P(*spec)
+
     def spec_for(path, leaf, base):
         if leaf is None or not hasattr(leaf, "ndim"):
             return P()
@@ -73,7 +78,7 @@ def fsdp_specs(params, mesh: Mesh, axis: str = "data",
                     else (base or ()))
         spec += [None] * (leaf.ndim - len(spec))
         if leaf.size < min_size or size == 1:
-            return P(*spec)
+            return trimmed(spec)
         # largest unsharded dim divisible by the axis; ties → last
         best = None
         for d in range(leaf.ndim):
@@ -82,7 +87,7 @@ def fsdp_specs(params, mesh: Mesh, axis: str = "data",
                     best = d
         if best is not None:
             spec[best] = axis
-        return P(*spec)
+        return trimmed(spec)
 
     return jax.tree_util.tree_unflatten(
         treedef, [NamedSharding(mesh, spec_for(p, l, b))
