@@ -38,7 +38,8 @@ import optax  # noqa: E402
 
 import torchaudio_contrib_tpu as tac  # noqa: E402
 from torchaudio_contrib_tpu.parallel import (  # noqa: E402
-    make_mesh, tensor_parallel_specs, fsdp_specs, fsdp_shard, fsdp_init)
+    make_mesh, tensor_parallel_specs, fsdp_specs, fsdp_shard,
+    fsdp_init, fsdp_state_specs)
 
 NUM_CLASSES = 4
 
@@ -83,7 +84,10 @@ def main():
     specs = fsdp_specs(params, mesh, base_specs=tp, min_size=64)
 
     opt = optax.adam(3e-3)
-    opt_state = fsdp_init(opt.init, params, mesh, min_size=64)
+    # same base_specs as the params: the Adam moments inherit the TP
+    # axes too, so optimizer memory really is P/(n_data*n_model)
+    opt_state = fsdp_init(opt.init, params, mesh, base_specs=tp,
+                          min_size=64)
 
     total = sum(l.nbytes for l in jax.tree_util.tree_leaves(params))
     per_dev = shard_bytes(params) + shard_bytes(opt_state)
@@ -102,8 +106,8 @@ def main():
         acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
         return optax.apply_updates(p, upd), s, l, acc
 
-    ospecs = fsdp_specs(jax.eval_shape(opt.init, params), mesh,
-                        min_size=64)
+    ospecs = fsdp_state_specs(opt.init, params, mesh, base_specs=tp,
+                              min_size=64)
     rep = NamedSharding(mesh, P())
     step = jax.jit(train_step,
                    out_shardings=(specs, ospecs, rep, rep))

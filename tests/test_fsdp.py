@@ -39,13 +39,15 @@ def test_min_size_replicates_small_leaves():
     mesh = make_mesh(n_data=8, n_model=1)
     params = tiny_w2v().init(jax.random.PRNGKey(0))
     specs = fsdp_specs(params, mesh)  # default fsdp_min_size=1024
-    # every leaf in this tiny model is < 1024 elements except none
-    big = [l for l in jax.tree_util.tree_leaves(params)
-           if l.size >= 1024]
-    if not big:
-        for s in jax.tree_util.tree_leaves(
-                specs, is_leaf=lambda x: isinstance(x, NamedSharding)):
-            assert s.spec == P()
+    pl = jax.tree_util.tree_leaves(params)
+    sl = jax.tree_util.tree_leaves(
+        specs, is_leaf=lambda x: isinstance(x, NamedSharding))
+    checked = 0
+    for leaf, s in zip(pl, sl):
+        if leaf.size < 1024:
+            assert s.spec == P(), (leaf.shape, s.spec)
+            checked += 1
+    assert checked > 0
 
 
 def test_fsdp_train_step_equals_replicated():
@@ -60,8 +62,7 @@ def test_fsdp_train_step_equals_replicated():
         return jnp.mean(out * out)
 
     ref_l, ref_g = jax.value_and_grad(loss_fn)(params, wav)
-    from torchaudio_contrib_tpu.parallel import fsdp_specs as _specs
-    specs = _specs(params, mesh, min_size=0)
+    specs = fsdp_specs(params, mesh, min_size=0)
     sp = fsdp_shard(params, mesh, min_size=0)
     # the weights are REALLY sharded (1/8 of the leaf per device)
     wqkv = sp["layers"][0]["wqkv"]
@@ -120,6 +121,38 @@ def test_base_specs_treedef_mismatch_raises():
     params = {"a": jnp.zeros((8, 8)), "b": jnp.zeros((8, 8))}
     with pytest.raises(ValueError, match="base_specs"):
         fsdp_specs(params, mesh, base_specs={"a": P(None, "model")})
+    # same leaf COUNT but different keys must raise too (a silent
+    # mis-association would apply specs to the wrong params)
+    with pytest.raises(ValueError, match="base_specs"):
+        fsdp_specs(params, mesh,
+                   base_specs={"a": P(None, "model"), "x": P()})
+
+
+def test_base_already_using_axis_is_left_alone():
+    mesh = make_mesh(n_data=8, n_model=1)
+    params = {"w": jnp.zeros((8, 16))}
+    base = {"w": P("data", None)}
+    specs = fsdp_specs(params, mesh, base_specs=base, min_size=0)
+    assert specs["w"].spec == P("data")      # untouched (idempotent)
+    once = fsdp_specs(params, mesh, min_size=0)
+    twice = fsdp_specs(params, mesh, base_specs=once, min_size=0)
+    assert twice["w"].spec == once["w"].spec
+
+
+def test_state_specs_inherit_tp_axes():
+    import optax
+    from torchaudio_contrib_tpu.parallel import fsdp_state_specs
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = tiny_w2v().init(jax.random.PRNGKey(5))
+    tp = tensor_parallel_specs(params, mesh)
+    ss = fsdp_state_specs(optax.adam(1e-3).init, params, mesh,
+                          base_specs=tp, min_size=0)
+    pspec = fsdp_specs(params, mesh, base_specs=tp,
+                       min_size=0)["layers"][0]["wqkv"].spec
+    assert pspec == P("data", "model")
+    assert ss[0].mu["layers"][0]["wqkv"].spec == pspec
+    assert ss[0].nu["layers"][0]["wqkv"].spec == pspec
+    assert ss[0].count.spec == P()
 
 
 def test_optimizer_state_gets_zero_layout():

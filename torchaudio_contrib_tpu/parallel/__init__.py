@@ -7,7 +7,8 @@ from .corpus import (
 from .multihost import initialize_multihost, make_pod_mesh
 from .timeshard import time_sharded_stft, time_sharded_melspectrogram
 from .tp import tensor_parallel_specs, shard_params
-from .fsdp import fsdp_specs, fsdp_shard, fsdp_init
+from .fsdp import (
+    fsdp_specs, fsdp_shard, fsdp_init, fsdp_state_specs)
 
 __all__ = [
     "make_mesh", "shard_batch", "replicate", "sharded_apply",
@@ -17,5 +18,5 @@ __all__ = [
     "initialize_multihost", "make_pod_mesh",
     "time_sharded_stft", "time_sharded_melspectrogram",
     "tensor_parallel_specs", "shard_params",
-    "fsdp_specs", "fsdp_shard", "fsdp_init",
+    "fsdp_specs", "fsdp_shard", "fsdp_init", "fsdp_state_specs",
 ]

@@ -12,9 +12,10 @@ ICI and overlap with compute under XLA's latency-hiding scheduler.
 
 Unlike :mod:`.tp` (Megatron name rules — which dim shards decides the
 collective pattern), FSDP layout is pattern-free: ANY dim that divides
-the axis works, because the weight is gathered whole before compute.
-We shard the largest divisible dim (ties → last) so shards stay
-contiguous-ish and 1-D/indivisible leaves replicate.
+the axis works (1-D biases and LayerNorm vectors included), because
+the weight is gathered whole before use.  We shard the largest
+divisible dim (ties → last) so shards stay contiguous-ish; leaves with
+no divisible dim — and leaves under ``min_size`` elements — replicate.
 
 Compose with TP by passing a ``(data, model)`` mesh: weights shard
 over ``data`` *in addition to* any ``model``-axis TP spec via
@@ -27,11 +28,16 @@ from typing import Callable, Optional
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["fsdp_specs", "fsdp_shard", "fsdp_init", "fsdp_min_size"]
+__all__ = ["fsdp_specs", "fsdp_shard", "fsdp_init",
+           "fsdp_state_specs", "fsdp_min_size"]
 
 # leaves smaller than this replicate: sharding a 128-float LayerNorm
 # scale saves nothing and costs a gather
 fsdp_min_size = 1024
+
+
+def _is_spec(x):
+    return isinstance(x, (NamedSharding, P))
 
 
 def fsdp_specs(params, mesh: Mesh, axis: str = "data",
@@ -44,10 +50,11 @@ def fsdp_specs(params, mesh: Mesh, axis: str = "data",
     ``base_specs`` (optional, same treedef — e.g. from
     :func:`.tp.tensor_parallel_specs`) contributes each leaf's
     starting ``PartitionSpec``; the FSDP dim is added on a dim that
-    base left unsharded.  ``override(path, leaf)`` may return a full
-    ``PartitionSpec`` to force a leaf (``None`` defers).
-    ``min_size`` (default :data:`fsdp_min_size`) replicates leaves
-    below that element count.
+    base left unsharded (a base that already uses ``axis`` leaves the
+    leaf untouched, so the call is idempotent).  ``override(path,
+    leaf)`` may return a full ``PartitionSpec`` to force a leaf
+    (``None`` defers).  ``min_size`` (default :data:`fsdp_min_size`)
+    replicates leaves below that element count.
     """
     if min_size is None:
         min_size = fsdp_min_size
@@ -56,16 +63,21 @@ def fsdp_specs(params, mesh: Mesh, axis: str = "data",
     if base_specs is None:
         base_flat = [None] * len(flat)
     else:
-        base_flat = jax.tree_util.tree_leaves(
-            base_specs,
-            is_leaf=lambda x: isinstance(x, (NamedSharding, P)))
-        if len(base_flat) != len(flat):
-            raise ValueError("base_specs treedef mismatch")
+        base_flat, base_treedef = jax.tree_util.tree_flatten(
+            base_specs, is_leaf=_is_spec)
+        if base_treedef != treedef:
+            raise ValueError(
+                "base_specs treedef mismatch: "
+                f"params {treedef} vs base {base_treedef}")
 
     def trimmed(spec):
         while spec and spec[-1] is None:
             spec = spec[:-1]
         return P(*spec)
+
+    def uses_axis(entry):
+        return entry == axis or (isinstance(entry, tuple)
+                                 and axis in entry)
 
     def spec_for(path, leaf, base):
         if leaf is None or not hasattr(leaf, "ndim"):
@@ -77,7 +89,8 @@ def fsdp_specs(params, mesh: Mesh, axis: str = "data",
         spec = list(base.spec if isinstance(base, NamedSharding)
                     else (base or ()))
         spec += [None] * (leaf.ndim - len(spec))
-        if leaf.size < min_size or size == 1:
+        if (leaf.size < min_size or size == 1
+                or any(uses_axis(e) for e in spec)):
             return trimmed(spec)
         # largest unsharded dim divisible by the axis; ties → last
         best = None
@@ -108,18 +121,61 @@ def fsdp_shard(params, mesh: Mesh, axis: str = "data",
         lambda leaf, s: jax.device_put(leaf, s), params, specs)
 
 
+def fsdp_state_specs(init_fn, params, mesh: Mesh, axis: str = "data",
+                     base_specs=None,
+                     override: Optional[Callable] = None,
+                     min_size: Optional[int] = None):
+    """Sharding specs for ``init_fn(params)``'s state pytree (use as
+    the train step's ``out_shardings`` for the optimizer state).
+
+    Param-shaped state leaves (optax moments — their key path ends
+    with the param's own path) inherit the param's EXACT spec,
+    including any TP axes from ``base_specs``/``override``; everything
+    else (scalars, schedule counters, odd-shaped accumulators) gets
+    the plain largest-divisible-dim rule.
+    """
+    pspecs = fsdp_specs(params, mesh, axis, base_specs, override,
+                        min_size)
+    pflat, _ = jax.tree_util.tree_flatten_with_path(params)
+    sflat = jax.tree_util.tree_leaves(pspecs, is_leaf=_is_spec)
+    by_path = {tuple(path): (getattr(leaf, "shape", None), spec)
+               for (path, leaf), spec in zip(pflat, sflat)}
+
+    abstract = jax.eval_shape(init_fn, params)
+    fallback = fsdp_specs(abstract, mesh, axis=axis,
+                          min_size=min_size)
+    aflat, atreedef = jax.tree_util.tree_flatten_with_path(abstract)
+    fflat = jax.tree_util.tree_leaves(fallback, is_leaf=_is_spec)
+
+    def spec_for(path, leaf, fb):
+        t = tuple(path)
+        for i in range(len(t)):
+            hit = by_path.get(t[i:])
+            if hit is not None and hit[0] is not None \
+                    and tuple(getattr(leaf, "shape", ())) == \
+                    tuple(hit[0]):
+                return hit[1]
+        return fb
+
+    return jax.tree_util.tree_unflatten(
+        atreedef, [spec_for(p, l, f)
+                   for (p, l), f in zip(aflat, fflat)])
+
+
 def fsdp_init(init_fn, params, mesh: Mesh, axis: str = "data",
+              base_specs=None, override: Optional[Callable] = None,
               min_size: Optional[int] = None):
     """Initialize optimizer (or any derived) state with the ZeRO
     layout: ``fsdp_init(optax.adam(1e-3).init, sharded_params, mesh)``.
 
-    ``init_fn``'s output is laid out by re-applying the
-    largest-divisible-dim rule to every state leaf — param-shaped
-    moments land on exactly the param's shards, scalars replicate.
-    (Explicit ``out_shardings`` are required because the zero moments
-    do not data-depend on the params, so XLA would otherwise emit
-    them as single-device constants.)
+    Output layout = :func:`fsdp_state_specs` — param-shaped moments
+    land on exactly the param's shards (pass the SAME
+    ``base_specs``/``override`` as the param layout so TP axes carry
+    over), scalars replicate.  (Explicit ``out_shardings`` are
+    required because the zero moments do not data-depend on the
+    params, so XLA would otherwise emit them as single-device
+    constants.)
     """
-    abstract = jax.eval_shape(init_fn, params)
-    specs = fsdp_specs(abstract, mesh, axis=axis, min_size=min_size)
+    specs = fsdp_state_specs(init_fn, params, mesh, axis, base_specs,
+                             override, min_size)
     return jax.jit(init_fn, out_shardings=specs)(params)
