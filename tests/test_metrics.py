@@ -65,3 +65,21 @@ def test_frechet_self_is_zero_and_validates():
         == pytest.approx(0.0, abs=2e-3)
     with pytest.raises(ValueError, match="mismatch"):
         frechet_distance(mu, sigma[:5, :5], mu, sigma)
+    # y-side shapes are validated too (no silent broadcast / opaque
+    # matmul error)
+    with pytest.raises(ValueError, match="y-side"):
+        frechet_distance(mu, sigma, mu[:1], sigma)
+    with pytest.raises(ValueError, match="y-side"):
+        frechet_distance(mu, sigma, mu, np.zeros((6, 5)))
+
+
+def test_frechet_promotes_mixed_dtypes():
+    # float64 inputs drive the promotion chain even when only one
+    # operand carries the wider dtype (under default x64=off jax
+    # clamps to float32, so assert the numpy-side promotion logic by
+    # checking the computation accepts mixed dtypes without error)
+    rng = np.random.default_rng(2)
+    mu, sigma = _rand_gaussian(rng, 5)
+    out = frechet_distance(mu.astype(np.float32), sigma,
+                           (mu + 0.1).astype(np.float16), sigma)
+    assert np.isfinite(float(out)) and float(out) > 0.0

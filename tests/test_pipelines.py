@@ -200,7 +200,8 @@ def test_griffinlim_tts_bundle(tmp_path):
                  + 1e-5).astype(np.float32)
     wave, lengths = voc(mel, lengths=np.asarray([16, 12]))
     assert wave.shape[0] == 2 and wave.shape[1] >= 15 * 256
-    assert lengths.tolist() == [16 * 256, 12 * 256]
+    # frames*hop, clamped to the buffer (center ISTFT → (frames-1)*hop)
+    assert lengths.tolist() == [min(16 * 256, wave.shape[-1]), 12 * 256]
     with pytest.raises(ValueError, match="no weights"):
         b.get_vocoder(key=0)
 
@@ -228,6 +229,71 @@ def test_phone_bundle_text_processor(tmp_path):
     # the tacotron2 built for phones is sized for the 96-symbol table
     t2 = b.get_tacotron2(key=jax.random.PRNGKey(0))
     assert t2[1]["embedding"].shape[0] == 96
+
+
+def test_phone_processor_apostrophes_separators_empty(tmp_path):
+    from torchaudio_contrib_tpu import pipelines as P
+    (tmp_path / "cmudict-0.7b").write_bytes(
+        b"'TIS  T IH1 Z\nHELLO  HH AH0 L OW1\nWORLD  W ER1 L D\n")
+    b = P.TACOTRON2_WAVERNN_PHONE_LJSPEECH
+    proc = b.get_text_processor(root=str(tmp_path))
+    syms = proc.symbols
+    # apostrophe-initial CMUDict vocabulary is looked up as-is
+    ids, lengths = proc("'tis hello")
+    got = [syms[i] for i in ids[0, :int(lengths[0])]]
+    assert got[:3] == ["T", "IH1", "Z"]
+    # quoted word falls back to the apostrophe-stripped form
+    ids, lengths = proc("'hello'")
+    got = [syms[i] for i in ids[0, :int(lengths[0])]]
+    assert got[:4] == ["HH", "AH0", "L", "OW1"]
+    # oov='skip' drops the word WITHOUT a stray separator
+    skip = b.get_text_processor(root=str(tmp_path), oov="skip")
+    ids, lengths = skip("hello zyzzyva world")
+    got = [syms[i] for i in ids[0, :int(lengths[0])]]
+    assert got.count(" ") == 1
+    # empty batch is a shape-(0, 1) no-op, not a crash
+    out, lens = proc([])
+    assert out.shape == (0, 1) and lens.shape == (0,)
+
+
+def test_mms_fa_model_emits_log_probs_with_star(monkeypatch):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from torchaudio_contrib_tpu import pipelines as P
+
+    def tiny(aux_out=None):
+        return P.M.Wav2Vec2(
+            extractor_conv_layers=((8, 10, 5), (8, 3, 2)),
+            d_model=16, num_layers=1, num_heads=2, ff_dim=32,
+            pos_conv_kernel=8, pos_conv_groups=2, aux_out=aux_out)
+
+    monkeypatch.setattr(P.M, "wav2vec2_large_lv60k", tiny)
+    model, params = P.MMS_FA.get_model(key=jax.random.PRNGKey(0))
+    wav = jnp.asarray(np.random.default_rng(0)
+                      .standard_normal((2, 400)), jnp.float32)
+    em, _ = model.apply(params, wav)
+    # star = appended log-prob-0 wildcard, NOT a trained 29th class
+    assert em.shape[-1] == 29
+    np.testing.assert_allclose(np.asarray(em[..., -1]), 0.0)
+    # the trained columns are normalized log-probabilities
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.logsumexp(em[..., :28], axis=-1)),
+        0.0, atol=1e-5)
+    m2, p2 = P.MMS_FA.get_model(with_star=False,
+                                key=jax.random.PRNGKey(0))
+    em2, _ = m2.apply(p2, wav)
+    assert em2.shape[-1] == 28
+
+
+def test_griffinlim_vocoder_lengths_within_buffer():
+    import numpy as np
+    from torchaudio_contrib_tpu.pipelines import _GriffinLimVocoder
+    voc = _GriffinLimVocoder(n_iter=2)
+    wave, lengths = voc(np.zeros((1, 80, 16), np.float32),
+                        lengths=[16])
+    assert wave.shape[-1] == 15 * 256      # (frames-1)*hop, center
+    assert int(lengths[0]) <= wave.shape[-1]
 
 
 def test_mms_fa_bundle_aligns():

@@ -69,7 +69,16 @@ def frechet_distance(mu_x, sigma_x, mu_y, sigma_y):
             sigma_x.shape[-1] != sigma_x.shape[-2]:
         raise ValueError(
             f"mu {mu_x.shape} / sigma {sigma_x.shape} mismatch")
-    dtype = jnp.promote_types(mu_x.dtype, jnp.float32)
+    if mu_y.shape[-1] != mu_x.shape[-1] or \
+            sigma_y.shape[-2:] != sigma_x.shape[-2:]:
+        raise ValueError(
+            f"y-side shapes mu {mu_y.shape} / sigma {sigma_y.shape} "
+            f"do not match x-side mu {mu_x.shape} / "
+            f"sigma {sigma_x.shape}")
+    dtype = jnp.promote_types(
+        jnp.promote_types(mu_x.dtype, mu_y.dtype),
+        jnp.promote_types(sigma_x.dtype, sigma_y.dtype))
+    dtype = jnp.promote_types(dtype, jnp.float32)
     mu_x, mu_y = mu_x.astype(dtype), mu_y.astype(dtype)
     sigma_x, sigma_y = sigma_x.astype(dtype), sigma_y.astype(dtype)
     a = _sqrtm_psd(sigma_x)

@@ -440,26 +440,33 @@ class _PhoneTextProcessor:
         for text in texts:
             seq = []
             for word in text.upper().split():
-                core = word.strip("!'(),.:;?")
+                # keep apostrophes in the lookup key: CMUDict
+                # vocabulary includes apostrophe-initial words
+                # ('TIS, 'CAUSE) and possessives; fall back to the
+                # apostrophe-stripped form for quoted words ('YES')
+                core = word.strip("!(),.:;?")
                 phones = self._dict.get(core)
-                if phones is None and core:
+                if phones is None and core.strip("'") != core:
+                    phones = self._dict.get(core.strip("'"))
+                if phones is None and core.strip("'"):
                     if self._oov == "raise":
                         raise KeyError(
                             f"word {core!r} not in CMUDict — add a "
                             "pronunciation or use oov='skip'")
                     phones = []
-                elif phones is None:
-                    phones = []
+                wseq = [self._index[p] for p in phones or []
+                        if p in self._index]
+                wseq += [self._index[ch] for ch in word
+                         if ch in "!'(),.:;?" and ch in self._index]
+                if not wseq:
+                    continue        # OOV-skipped: no stray separator
                 if seq:
                     seq.append(self._index[" "])
-                seq.extend(self._index[p] for p in phones
-                           if p in self._index)
-                for ch in word:
-                    if ch in "!'(),.:;?" and ch in self._index:
-                        seq.append(self._index[ch])
+                seq.extend(wseq)
             ids.append(seq or [0])
         lengths = np.asarray([len(i) for i in ids], np.int32)
-        out = np.zeros((len(ids), int(lengths.max())), np.int32)
+        T = max(1, int(lengths.max()) if len(lengths) else 1)
+        out = np.zeros((len(ids), T), np.int32)
         for r, seq in enumerate(ids):
             out[r, :len(seq)] = seq
         return out, lengths
@@ -487,7 +494,12 @@ class _GriffinLimVocoder:
         wave = ops.mel_to_audio(jnp.exp(jnp.asarray(mel)), key=key,
                                 **self.kw)
         if lengths is not None:
-            lengths = np.asarray(lengths) * self.hop_length
+            # frames*hop (torchaudio's convention), clamped to the
+            # actual buffer — the center=True ISTFT yields
+            # (frames-1)*hop samples, so the last frame's hop would
+            # otherwise index past the waveform
+            lengths = np.minimum(
+                np.asarray(lengths) * self.hop_length, wave.shape[-1])
         return wave, lengths
 
 
@@ -574,15 +586,47 @@ class Wav2Vec2FABundle:
 
     def get_model(self, with_star: bool = True, key=None,
                   checkpoint=None, torch_checkpoint=None):
-        """wav2vec2 LARGE-lv60k geometry + a ``len(labels)``(+star)
-        output head."""
+        """wav2vec2 LARGE-lv60k geometry + the 28-label output head,
+        wrapped to emit LOG-PROBABILITIES (log_softmax over the
+        trained labels); ``with_star=True`` appends the star wildcard
+        as an extra log-prob-0 (probability-1) column — NOT a trained
+        class, so published 28-dim checkpoints import unchanged and
+        '*' matches any frame for free [ref-recon: torchaudio
+        Wav2Vec2FABundle post-processing — UNVERIFIED, mount empty]."""
         from ..utils.import_torch import import_wav2vec2
-        n_out = len(self._labels) + (1 if with_star else 0)
-        return _resolve(M.wav2vec2_large_lv60k(aux_out=n_out), key,
-                        checkpoint, torch_checkpoint, import_wav2vec2)
+        model, params = _resolve(
+            M.wav2vec2_large_lv60k(aux_out=len(self._labels)), key,
+            checkpoint, torch_checkpoint, import_wav2vec2)
+        return _FAEmissionModel(model, with_star), params
 
     def get_aligner(self):
         return _CTCAligner()
+
+
+class _FAEmissionModel:
+    """Forced-alignment emission head: base wav2vec2 logits →
+    ``log_softmax`` (so downstream ``TokenSpan`` scores really are
+    log-probabilities), star wildcard appended as a zero column in
+    the log domain when requested."""
+
+    def __init__(self, base, with_star: bool):
+        self._base = base
+        self.with_star = with_star
+
+    def init(self, key):
+        return self._base.init(key)
+
+    def apply(self, params, waveforms, lengths=None, **kwargs):
+        import jax
+        import jax.numpy as jnp
+        out, out_lengths = self._base.apply(params, waveforms,
+                                            lengths, **kwargs)
+        emission = jax.nn.log_softmax(out, axis=-1)
+        if self.with_star:
+            star = jnp.zeros(emission.shape[:-1] + (1,),
+                             emission.dtype)
+            emission = jnp.concatenate([emission, star], axis=-1)
+        return emission, out_lengths
 
 
 class _CTCAligner:
