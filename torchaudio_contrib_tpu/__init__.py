@@ -25,7 +25,7 @@ from .ops import (
     mu_law_encoding, mu_law_decoding,
     phase_vocoder, compute_phase_advance,
     fused_melspectrogram, fused_mel_supported, resolve_precision,
-    griffin_lim,
+    griffin_lim, griffinlim,
     create_inverse_mel_filter, create_inverse_bark_filter,
     mel_to_linear, mel_to_audio,
     resample,
@@ -95,6 +95,7 @@ from .models import (
     ConformerWav2Vec2, conformer_wav2vec2_model,
     conformer_wav2vec2_base,
     SquimObjective, SquimSubjective,
+    VGGish, VGGishInputProcessor,
     HiFiGANVocoder,
     hifigan_vocoder_v1, hifigan_vocoder_v2, hifigan_vocoder_v3,
     CTCDecoderLM, ZeroLM, ARPALM,
@@ -154,7 +155,7 @@ __all__ = [
     "phase_vocoder", "compute_phase_advance",
     "fused_melspectrogram", "fused_mel_supported",
     "resolve_precision",
-    "griffin_lim",
+    "griffin_lim", "griffinlim",
     "create_inverse_mel_filter", "create_inverse_bark_filter",
     "mel_to_linear", "mel_to_audio",
     "resample",

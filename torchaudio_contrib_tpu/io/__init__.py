@@ -218,6 +218,12 @@ def __getattr__(name):
     raise AttributeError(name)
 
 
+def __dir__():
+    return sorted(list(globals()) + ["StreamReader", "StreamWriter",
+                                     "SourceAudioStream",
+                                     "AudioEffector"])
+
+
 # ---------------------------------------------------------------- fallback
 
 def _py_info(buf: bytes) -> dict:

@@ -28,6 +28,7 @@ from .conformer_w2v2 import (
 )
 from .hdemucs import HDemucs
 from .squim import SquimObjective, SquimSubjective
+from .vggish import VGGish, VGGishInputProcessor
 from .factories import (
     conv_tasnet_base, hdemucs_low, hdemucs_medium, hdemucs_high,
     emformer_rnnt_model, emformer_rnnt_base,
@@ -95,6 +96,7 @@ __all__ = [
     "conv_tasnet_base", "hdemucs_low", "hdemucs_medium",
     "hdemucs_high", "emformer_rnnt_model", "emformer_rnnt_base",
     "squim_objective_base", "squim_subjective_base",
+    "VGGish", "VGGishInputProcessor",
     "wav2vec2_model", "hifigan_vocoder",
     "hubert_pretrain_base", "hubert_pretrain_large",
     "hubert_pretrain_xlarge",

@@ -40,6 +40,8 @@ from .phase_vocoder import phase_vocoder, compute_phase_advance
 from .fused import (fused_melspectrogram, fused_mel_supported,
                     resolve_precision)
 from .griffinlim import griffin_lim
+# torchaudio.functional spells it without the underscore
+griffinlim = griffin_lim
 from .fused_griffinlim import fused_gl_supported
 from .melinv import (create_inverse_mel_filter,
                      create_inverse_bark_filter, mel_to_linear,
@@ -99,7 +101,7 @@ __all__ = [
     "phase_vocoder", "compute_phase_advance",
     "fused_melspectrogram", "fused_mel_supported",
     "resolve_precision",
-    "griffin_lim", "fused_gl_supported",
+    "griffin_lim", "griffinlim", "fused_gl_supported",
     "create_inverse_mel_filter", "create_inverse_bark_filter",
     "mel_to_linear", "mel_to_audio",
     "resample",

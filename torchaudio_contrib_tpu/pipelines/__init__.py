@@ -48,6 +48,7 @@ __all__ = [
     "TACOTRON2_GRIFFINLIM_PHONE_LJSPEECH",
     "TACOTRON2_WAVERNN_PHONE_LJSPEECH",
     "Wav2Vec2FABundle", "MMS_FA",
+    "VGGishBundle", "VGGISH",
 ]
 
 # torchaudio's wav2vec2 CTC character vocabulary
@@ -355,8 +356,30 @@ def _import_conv_tasnet(sd, model):
 CONVTASNET_BASE_LIBRI2MIX = SourceSeparationBundle(
     M.ConvTasNet, sample_rate=8000, sources=("speech1", "speech2"),
     _torch_importer=_import_conv_tasnet)
+@dataclass(frozen=True)
+class VGGishBundle:
+    """AudioSet VGGish embedding bundle (torchaudio's
+    ``prototype.pipelines.VGGISH`` capability): ``get_model()`` maps
+    96x64 log-mel patches to 128-dim embeddings,
+    ``get_input_processor()`` builds the exact published
+    ``mel_features`` front end.  ``torch_checkpoint`` accepts a
+    ``torchvggish`` state_dict (``utils.import_torch.import_vggish``).
+    """
+    sample_rate: int = 16000
+
+    def get_model(self, key=None, checkpoint=None,
+                  torch_checkpoint=None):
+        from ..utils.import_torch import import_vggish
+        return _resolve(M.VGGish(), key, checkpoint,
+                        torch_checkpoint, import_vggish)
+
+    def get_input_processor(self):
+        return M.VGGishInputProcessor()
+
+
 SQUIM_OBJECTIVE = SquimBundle(M.SquimObjective)
 SQUIM_SUBJECTIVE = SquimBundle(M.SquimSubjective)
+VGGISH = VGGishBundle()
 
 
 # ---------------------------------------------------------------- #

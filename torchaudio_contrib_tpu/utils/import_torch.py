@@ -48,6 +48,7 @@ __all__ = [
     "import_conv_tasnet", "import_wavernn", "import_gru",
     "import_tacotron2", "import_conformer",
     "import_wav2letter", "import_deepspeech",
+    "import_vggish",
 ]
 
 
@@ -794,3 +795,26 @@ def import_deepspeech(state_dict: Mapping[str, object], model):
         "out": _linear(sd, "out"),
     }
     return _check_tree(p, model, "import_deepspeech")
+
+
+def import_vggish(state_dict: Mapping[str, object], model):
+    """``torchvggish`` ``state_dict`` (the layout torchaudio's
+    prototype VGGISH bundle ships) → the ``models/vggish.py::VGGish``
+    param pytree.
+
+    Name map: ``features.{0,3,6,8,11,13}`` Conv2d ``(out, in, 3, 3)``
+    → HWIO ``(3, 3, in, out)``; ``embeddings.{0,2,4}`` Linear
+    transposed.  The model flattens NHWC, which equals the torch
+    port's ``(H, W, C)`` view ordering, so no index permutation of
+    the first FC is needed.  Forward parity pinned against a torch
+    ``nn.Sequential`` replica in ``tests/test_vggish.py``.
+    """
+    sd = _SD(dict(state_dict))
+    convs = [{"w": jnp.asarray(np.transpose(
+                  sd.get(f"features.{i}.weight"), (2, 3, 1, 0))),
+              "b": jnp.asarray(sd.get(f"features.{i}.bias"))}
+             for i in (0, 3, 6, 8, 11, 13)]
+    fcs = [_linear(sd, f"embeddings.{i}") for i in (0, 2, 4)]
+    fcs = [{"w": p["w"], "b": p["b"]} for p in fcs]
+    return _check_tree({"convs": convs, "fcs": fcs}, model,
+                       "import_vggish")
