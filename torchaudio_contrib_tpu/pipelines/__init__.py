@@ -64,10 +64,10 @@ def _resolve(model, key, checkpoint, torch_checkpoint=None,
             raise NotImplementedError(
                 "torch_checkpoint import is wired for the "
                 "wav2vec2/HuBERT/WavLM, HiFi-GAN, ConvTasNet, "
-                "WaveRNN and Tacotron2 bundles (utils.import_torch "
-                "has verified converters for those families); for "
-                "this bundle save the weights with "
-                "utils.checkpoint.save_params instead")
+                "WaveRNN, Tacotron2 and VGGish bundles "
+                "(utils.import_torch has verified converters for "
+                "those families); for this bundle save the weights "
+                "with utils.checkpoint.save_params instead")
         from ..utils.import_torch import load_torch_state_dict
         sd = (torch_checkpoint if isinstance(torch_checkpoint, dict)
               else load_torch_state_dict(torch_checkpoint))
