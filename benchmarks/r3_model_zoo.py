@@ -102,8 +102,25 @@ def bench_convtasnet(rng, smoke):
     emit("convtasnet-fwd", sec, BS * TS, "samples")
 
 
+def bench_vggish(rng, smoke):
+    # AudioSet embedder: batch of 0.96 s patches; params ride as a jit
+    # argument (time_device_loop_p) — the 72 M-param FC stack would
+    # otherwise bake a ~300 MB constant into the HLO
+    from torchaudio_contrib_tpu.models import VGGish
+    net = VGGish()
+    with jax.default_device(jax.local_devices(backend="cpu")[0] if
+                            jax.default_backend() != "cpu" else None):
+        pv = net.init(jax.random.PRNGKey(4))
+    B = 2 if smoke else 32                 # 32 patches ~ 30.7 s audio
+    x = jnp.asarray(rng.standard_normal((B, 96, 64)), jnp.float32)
+    sec = time_device_loop_p(lambda pp, v: net.apply(pp, v), pv, x,
+                             k=2 if smoke else 4)
+    emit("vggish-fwd", sec, B * 96 * 160 + B * 240, "samples")
+
+
 _SECTIONS = {"hifigan": bench_hifigan, "conformer": bench_conformer,
-             "w2v2": bench_w2v2, "convtasnet": bench_convtasnet}
+             "w2v2": bench_w2v2, "convtasnet": bench_convtasnet,
+             "vggish": bench_vggish}
 
 
 def main(smoke: bool = False, only: str = ""):

@@ -218,3 +218,19 @@ def test_hubert_pretrain_step_on_device():
     cpu_loss, _ = _on_cpu(step, p)
     np.testing.assert_allclose(float(loss), float(cpu_loss),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_vggish_on_device():
+    # VGGish has a fixed geometry (96x64 patches, 12288->4096 FCs,
+    # ~72 M params) — init on the in-process CPU backend and ship the
+    # tree over once, rather than compiling a 300 MB random init on
+    # the chip
+    from torchaudio_contrib_tpu.models import VGGish
+    m = VGGish()
+    p = _on_cpu(lambda: m.init(jax.random.PRNGKey(10)))
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.standard_normal((2, 96, 64)) * 0.5, jnp.float32)
+    y = jax.jit(m.apply)(p, x)
+    cpu = _on_cpu(m.apply, p, x)
+    assert y.shape == (2, 128)
+    _close(y, cpu, what="vggish")
