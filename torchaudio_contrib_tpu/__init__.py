@@ -94,6 +94,11 @@ from .models import (
     HuBERTPretrainModel, span_mask, HDemucs,
     ConformerWav2Vec2, conformer_wav2vec2_model,
     conformer_wav2vec2_base,
+    ConformerWav2Vec2PretrainModel,
+    conformer_wav2vec2_pretrain_model,
+    conformer_wav2vec2_pretrain_base,
+    conformer_wav2vec2_pretrain_large,
+    EmformerHuBERT, emformer_hubert_model, emformer_hubert_base,
     SquimObjective, SquimSubjective,
     VGGish, VGGishInputProcessor,
     HiFiGANVocoder,
@@ -211,6 +216,11 @@ __all__ = [
     "HuBERTPretrainModel", "span_mask", "HDemucs",
     "ConformerWav2Vec2", "conformer_wav2vec2_model",
     "conformer_wav2vec2_base",
+    "ConformerWav2Vec2PretrainModel",
+    "conformer_wav2vec2_pretrain_model",
+    "conformer_wav2vec2_pretrain_base",
+    "conformer_wav2vec2_pretrain_large",
+    "EmformerHuBERT", "emformer_hubert_model", "emformer_hubert_base",
     "SquimObjective", "SquimSubjective",
     "HiFiGANVocoder",
     "hifigan_vocoder_v1", "hifigan_vocoder_v2", "hifigan_vocoder_v3",

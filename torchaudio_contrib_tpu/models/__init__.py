@@ -25,6 +25,13 @@ from .hubert import HuBERTPretrainModel, span_mask
 from .conformer_w2v2 import (
     ConformerWav2Vec2, conformer_wav2vec2_model,
     conformer_wav2vec2_base,
+    ConformerWav2Vec2PretrainModel,
+    conformer_wav2vec2_pretrain_model,
+    conformer_wav2vec2_pretrain_base,
+    conformer_wav2vec2_pretrain_large,
+)
+from .emformer_hubert import (
+    EmformerHuBERT, emformer_hubert_model, emformer_hubert_base,
 )
 from .hdemucs import HDemucs
 from .squim import SquimObjective, SquimSubjective
@@ -88,6 +95,11 @@ __all__ = [
     "HuBERTPretrainModel", "span_mask", "HDemucs",
     "ConformerWav2Vec2", "conformer_wav2vec2_model",
     "conformer_wav2vec2_base",
+    "ConformerWav2Vec2PretrainModel",
+    "conformer_wav2vec2_pretrain_model",
+    "conformer_wav2vec2_pretrain_base",
+    "conformer_wav2vec2_pretrain_large",
+    "EmformerHuBERT", "emformer_hubert_model", "emformer_hubert_base",
     "SquimObjective", "SquimSubjective",
     "HiFiGANVocoder",
     "hifigan_vocoder_v1", "hifigan_vocoder_v2", "hifigan_vocoder_v3",
