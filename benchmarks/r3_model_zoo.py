@@ -111,6 +111,10 @@ def bench_vggish(rng, smoke):
     with jax.default_device(jax.local_devices(backend="cpu")[0] if
                             jax.default_backend() != "cpu" else None):
         pv = net.init(jax.random.PRNGKey(4))
+    # ship the tree to the accelerator ONCE — leaving it CPU-committed
+    # makes every timed rep re-transfer ~290 MB over the tunnel
+    # (measured: 1 899 ms "forward" = pure wire time)
+    pv = jax.device_put(pv, jax.devices()[0])
     B = 2 if smoke else 32                 # 32 patches ~ 30.7 s audio
     x = jnp.asarray(rng.standard_normal((B, 96, 64)), jnp.float32)
     sec = time_device_loop_p(lambda pp, v: net.apply(pp, v), pv, x,

@@ -234,3 +234,51 @@ def test_vggish_on_device():
     cpu = _on_cpu(m.apply, p, x)
     assert y.shape == (2, 128)
     _close(y, cpu, what="vggish")
+
+
+def test_emformer_hubert_streaming_on_device():
+    """Prototype streaming-SSL encoder: chunkwise infer ≡ full apply
+    on the chip, and device ≡ CPU."""
+    from torchaudio_contrib_tpu.models import EmformerHuBERT
+    m = EmformerHuBERT(feature_dim=8, stride=2, d_model=16,
+                       num_heads=2, ffn_dim=32, num_layers=2,
+                       segment_length=4, left_context_length=3,
+                       right_context_length=2, max_memory_size=2)
+    p = m.init(jax.random.PRNGKey(11))
+    S, R, stride = 4, 2, 2
+    nseg = 3
+    x = jnp.asarray(np.random.default_rng(11).standard_normal(
+        (2, (nseg * S + R) * stride, 8)), jnp.float32)
+    full, _ = jax.jit(m.apply)(p, x)
+    state = m.init_state(2)
+    step = jax.jit(m.infer)
+    outs = []
+    for i in range(nseg):
+        chunk = x[:, i * S * stride:(i * S + S + R) * stride]
+        y, _, state = step(p, chunk, state)
+        outs.append(y)
+    _close(jnp.concatenate(outs, 1), full, what="emformer-hubert-stream")
+    cpu_full, _ = _on_cpu(lambda pp, v: m.apply(pp, v), p, x)
+    _close(full, cpu_full, what="emformer-hubert-cpu-parity")
+
+
+def test_conformer_w2v2_pretrain_on_device():
+    """Masked pretraining forward: device ≡ CPU with the same
+    explicit frame mask."""
+    from torchaudio_contrib_tpu.models import (
+        conformer_wav2vec2_pretrain_model)
+    m = conformer_wav2vec2_pretrain_model(
+        feature_dim=8, stride=2, d_model=16, num_layers=2,
+        num_heads=2, ff_ratio=2, conv_kernel=7)
+    p = m.init(jax.random.PRNGKey(12))
+    x = jnp.asarray(np.random.default_rng(12).standard_normal(
+        (2, 24, 8)), jnp.float32)
+    t_out = m.encoder.output_length(24)
+    fm = jnp.asarray(np.arange(t_out)[None] % 3 == 0).repeat(2, 0)
+    enc, _, _, _ = jax.jit(
+        lambda pp, v, mask: m.apply(pp, None, v, frame_mask=mask)
+    )(p, x, fm)
+    cpu_enc, _, _, _ = _on_cpu(
+        lambda pp, v, mask: m.apply(pp, None, v, frame_mask=mask),
+        p, x, fm)
+    _close(enc, cpu_enc, what="conformer-w2v2-pretrain")

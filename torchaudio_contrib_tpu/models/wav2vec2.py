@@ -198,6 +198,26 @@ class Wav2Vec2:
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
         return out @ p["wo"] + p["bo"]
 
+    def encoder_layer(self, p, x, pad_mask=None, pos_bias=None):
+        """ONE transformer encoder layer (public so
+        ``parallel.pp.pipeline_apply`` can stream the stack across a
+        stage-sharded mesh; ``_encode`` loops this same function)."""
+        def _ffn(q, y):
+            return (jax.nn.gelu(y @ q["w1"] + q["b1"], approximate=False)
+                    @ q["w2"] + q["b2"])
+
+        if self.layer_norm_first:
+            x = x + self._attention(p, _ln(x, p["ln1"]), pad_mask,
+                                    pos_bias)
+            x = x + _ffn(p, _ln(x, p["ln2"]))
+        else:
+            x = _ln(x + self._attention(p, x, pad_mask, pos_bias),
+                    p["ln1"])
+            x = _ln(x + _ffn(p, x), p["ln2"])
+        if pad_mask is not None:
+            x = jnp.where(pad_mask[..., None], x, 0.0)
+        return x
+
     def _encode(self, params, x, pad_mask, pos_bias=None):
         """Transformer layer stack (WavLM passes the gated relative
         position bias through ``pos_bias``).
@@ -208,21 +228,8 @@ class Wav2Vec2:
         attention residual, ``ln2`` after the FFN residual (``enc_ln``
         was already applied after the positional conv in ``apply``).
         """
-        def _ffn(p, y):
-            return (jax.nn.gelu(y @ p["w1"] + p["b1"], approximate=False)
-                    @ p["w2"] + p["b2"])
-
         for p in params["layers"]:
-            if self.layer_norm_first:
-                x = x + self._attention(p, _ln(x, p["ln1"]), pad_mask,
-                                        pos_bias)
-                x = x + _ffn(p, _ln(x, p["ln2"]))
-            else:
-                x = _ln(x + self._attention(p, x, pad_mask, pos_bias),
-                        p["ln1"])
-                x = _ln(x + _ffn(p, x), p["ln2"])
-            if pad_mask is not None:
-                x = jnp.where(pad_mask[..., None], x, 0.0)
+            x = self.encoder_layer(p, x, pad_mask, pos_bias)
         if self.layer_norm_first:
             x = _ln(x, params["enc_ln"])
             if pad_mask is not None:

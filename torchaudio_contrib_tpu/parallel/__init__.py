@@ -9,6 +9,9 @@ from .timeshard import time_sharded_stft, time_sharded_melspectrogram
 from .tp import tensor_parallel_specs, shard_params
 from .fsdp import (
     fsdp_specs, fsdp_shard, fsdp_init, fsdp_state_specs)
+from .pp import (
+    stack_pipeline, unstack_pipeline, pipeline_shard,
+    microbatch, unmicrobatch, build_pipeline, pipeline_apply)
 
 __all__ = [
     "make_mesh", "shard_batch", "replicate", "sharded_apply",
@@ -19,4 +22,6 @@ __all__ = [
     "time_sharded_stft", "time_sharded_melspectrogram",
     "tensor_parallel_specs", "shard_params",
     "fsdp_specs", "fsdp_shard", "fsdp_init", "fsdp_state_specs",
+    "stack_pipeline", "unstack_pipeline", "pipeline_shard",
+    "microbatch", "unmicrobatch", "build_pipeline", "pipeline_apply",
 ]
