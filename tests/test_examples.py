@@ -47,6 +47,12 @@ def test_fsdp_tp_train_example():
     assert "ZeRO-3:" in stdout
 
 
+def test_pp_train_example():
+    stdout = _run(["pp_train.py", "--steps", "60"])
+    assert "PP(GPipe)+DP OK" in stdout
+    assert "stack stayed stage-sharded" in stdout
+
+
 def test_vocoder_example(tmp_path):
     stdout = _run(["vocoder_roundtrip.py"])
     assert "mel spectral convergence" in stdout

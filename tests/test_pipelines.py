@@ -315,3 +315,16 @@ def test_mms_fa_bundle_aligns():
     assert [s.token for s in spans] == [1, 3]
     assert spans[0].start == 0 and spans[0].end == 2
     assert spans[1].start == 3 and spans[1].end == 5
+
+
+def test_prototype_rnnt_bundle_variants():
+    """MuST-C / TED-LIUM3 prototype bundle names: same streaming
+    architecture family, 501-symbol target vocabulary reaching the
+    model."""
+    import jax
+    from torchaudio_contrib_tpu import pipelines as P
+    for b in (P.EMFORMER_RNNT_BASE_MUSTC,
+              P.EMFORMER_RNNT_BASE_TEDLIUM3):
+        assert b.num_symbols == 501
+        model = b.get_model(key=jax.random.PRNGKey(0))
+        assert model.v == 501

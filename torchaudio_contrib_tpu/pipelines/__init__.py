@@ -32,6 +32,7 @@ __all__ = [
     "WAVLM_BASE", "WAVLM_LARGE", "WAV2VEC2_XLSR_300M",
     "WAV2VEC2_ASR_BASE_960H", "HUBERT_ASR_LARGE",
     "EMFORMER_RNNT_BASE_LIBRISPEECH",
+    "EMFORMER_RNNT_BASE_MUSTC", "EMFORMER_RNNT_BASE_TEDLIUM3",
     "TACOTRON2_WAVERNN_CHAR_LJSPEECH",
     "HiFiGANVocoderBundle", "HIFIGAN_VOCODER_V3_LJSPEECH",
     "HDEMUCS_HIGH_MUSDB", "CONVTASNET_BASE_LIBRI2MIX",
@@ -415,6 +416,13 @@ WAV2VEC2_ASR_LARGE_LV60K_960H = Wav2Vec2ASRBundle(
 HUBERT_ASR_XLARGE = Wav2Vec2ASRBundle(M.hubert_xlarge)
 
 HDEMUCS_HIGH_MUSDB_PLUS = SourceSeparationBundle(M.HDemucs)
+
+# prototype streaming-ASR bundle names: the same emformer_rnnt_base
+# architecture family over corpus-specific sentencepiece targets
+# (500 pieces + blank; vocab SIZES are family-pinned but UNVERIFIED —
+# mount empty, the spm models are checkpoint data we cannot download)
+EMFORMER_RNNT_BASE_MUSTC = RNNTBundle(num_symbols=501)
+EMFORMER_RNNT_BASE_TEDLIUM3 = RNNTBundle(num_symbols=501)
 
 
 # ------------------------------------------------------- phone TTS
