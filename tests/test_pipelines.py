@@ -75,15 +75,22 @@ def test_rnnt_bundle_composes():
     # torchaudio's emformer_rnnt_base scale is pinned
     assert b.num_symbols == 4097 and b.time_reduction_stride == 4
     model, params = b.get_model(jax.random.PRNGKey(3))
+    # the weight-compatible build: 1024-dim encodings, layer-norm-LSTM
+    # predictor, stride-4 time reduction inside the transcriber
+    assert model.enc_dim == 1024
+    assert type(model.predictor).__name__ == "LayerNormLSTMPredictor"
     fe = b.get_feature_extractor()
     wav = jnp.asarray(np.random.default_rng(2)
                       .standard_normal((1, 16000)), jnp.float32)
-    x = fe(wav)                 # encoder-ready (1, T', mels*stride)
-    assert x.shape[-1] == b.n_mels * b.time_reduction_stride
+    x = fe(wav)                 # (1, T', n_mels) — model reduces
+    assert x.shape[-1] == b.n_mels
+    assert bool(jnp.all(jnp.isfinite(x)))
     R = b.right_context_length
+    s = b.time_reduction_stride
+    T = (x.shape[1] - R) // s * s     # utterance must be a stride mult
+    x = x[:, :T + R]
     hyp = model.greedy_decode(
-        params, x, lengths=jnp.asarray([x.shape[1] - R]),
-        max_symbols=1)
+        params, x, lengths=jnp.asarray([T]), max_symbols=1)
     assert isinstance(hyp, list) and len(hyp) == 1
     dec = b.get_decoder(model, beam_width=2)
     out = dec(params, x[:, :b.segment_length + R])
@@ -326,5 +333,7 @@ def test_prototype_rnnt_bundle_variants():
     for b in (P.EMFORMER_RNNT_BASE_MUSTC,
               P.EMFORMER_RNNT_BASE_TEDLIUM3):
         assert b.num_symbols == 501
-        model = b.get_model(key=jax.random.PRNGKey(0))
+        model, params = b.get_model(key=jax.random.PRNGKey(0))
         assert model.v == 501
+        # vocabulary size reaches the joiner head
+        assert params["joiner"]["b"].shape == (501,)

@@ -52,8 +52,8 @@ from .hifigan import (
     HiFiGANVocoder,
     hifigan_vocoder_v1, hifigan_vocoder_v2, hifigan_vocoder_v3,
 )
-from .emformer import Emformer, ConvEmformer
-from .rnnt import RNNT, RNNTPredictor, RNNTBeamSearch
+from .emformer import Emformer, ConvEmformer, EmformerTranscriber
+from .rnnt import RNNT, RNNTPredictor, LayerNormLSTMPredictor, RNNTBeamSearch
 from .transforms import (
     MFCC, Loudness, PitchShift, Speed, AddNoise,
     Fade, Vol, FrequencyMasking, TimeMasking,
@@ -86,8 +86,8 @@ __all__ = [
     "StretchSpecTime", "Resample", "GriffinLim",
     "Spectrogram", "Melspectrogram", "FusedMelspectrogram",
     "MelFrontendClassifier", "Conformer", "Wav2Letter", "DeepSpeech", "ConvTasNet", "WaveRNN", "Tacotron2", "Wav2Vec2", "Emformer",
-    "ConvEmformer",
-    "RNNT", "RNNTPredictor", "RNNTBeamSearch",
+    "ConvEmformer", "EmformerTranscriber",
+    "RNNT", "RNNTPredictor", "LayerNormLSTMPredictor", "RNNTBeamSearch",
     "wav2vec2_base", "wav2vec2_large", "wav2vec2_large_lv60k",
     "hubert_base", "hubert_large", "hubert_xlarge",
     "WavLM", "wavlm_base", "wavlm_large",

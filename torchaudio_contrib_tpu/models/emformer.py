@@ -39,6 +39,18 @@ incoming memories); ``infer`` consumes one ``segment_length + R``
 chunk per call (utterance slots zero-padded, lookahead slots carrying
 the next ``R`` frames) and returns ``segment_length`` outputs plus the
 new state.
+
+``compat="torchaudio"`` selects the weight-compatible layer layout of
+torchaudio's ``models.Emformer`` so published ``emformer_rnnt_base``
+checkpoints import exactly ([ref-recon: torchaudio
+models/emformer.py ``_EmformerLayer`` — UNVERIFIED, mount empty]):
+a per-layer ``layer_norm_output`` applied after the FFN residual (to
+both utterance and right context) replaces this build's single final
+``ln_out``; memory-bank keys enter attention raw (torchaudio norms
+only ``[right_context, utterance]``); the memory output is the
+summary row's attention context *before* ``out_proj``, clamped to
+``[-10, 10]`` when ``tanh_on_mem=False``.  Both layouts keep the
+streaming ≡ full invariant (pinned by test).
 """
 from __future__ import annotations
 
@@ -50,7 +62,7 @@ import jax.numpy as jnp
 
 from ._common import _dense, _ln, _ln_p
 
-__all__ = ["Emformer", "ConvEmformer"]
+__all__ = ["Emformer", "ConvEmformer", "EmformerTranscriber"]
 
 _NEG = -1e9
 
@@ -70,11 +82,17 @@ class Emformer:
                  left_context_length: int = 0,
                  right_context_length: int = 0,
                  max_memory_size: int = 0,
-                 tanh_on_mem: bool = False):
+                 tanh_on_mem: bool = False,
+                 activation: str = "relu",
+                 compat: Optional[str] = None):
         if input_dim % num_heads:
             raise ValueError("input_dim must be divisible by num_heads")
         if segment_length < 1:
             raise ValueError("segment_length must be >= 1")
+        if activation not in ("relu", "gelu", "silu"):
+            raise ValueError("activation must be relu/gelu/silu")
+        if compat not in (None, "torchaudio"):
+            raise ValueError("compat must be None or 'torchaudio'")
         self.d = input_dim
         self.h = num_heads
         self.ffn = ffn_dim
@@ -84,17 +102,24 @@ class Emformer:
         self.R = right_context_length
         self.M = max_memory_size
         self.tanh_on_mem = tanh_on_mem
+        self.activation = activation
+        # exact-erf gelu: torch.nn.GELU's default (jax's default is
+        # the tanh approximation — a real parity gap at 1e-4)
+        self.act = {"relu": jax.nn.relu,
+                    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+                    "silu": jax.nn.silu}[activation]
+        self.compat = compat
         self._config = (input_dim, num_heads, ffn_dim, num_layers,
                         segment_length, left_context_length,
                         right_context_length, max_memory_size,
-                        tanh_on_mem)
+                        tanh_on_mem, activation, compat)
 
     # -- params ----------------------------------------------------
     def init(self, key):
         d, keys = self.d, iter(jax.random.split(key, 6 * self.n_layers))
         layers = []
         for _ in range(self.n_layers):
-            layers.append({
+            lp = {
                 "ln1": _ln_p(d),
                 "wq": _dense(next(keys), d, d), "bq": jnp.zeros((d,)),
                 "wk": _dense(next(keys), d, d), "bk": jnp.zeros((d,)),
@@ -105,11 +130,18 @@ class Emformer:
                 "b1": jnp.zeros((self.ffn,)),
                 "w2": _dense(next(keys), self.ffn, d),
                 "b2": jnp.zeros((d,)),
-            })
+            }
+            if self.compat:
+                lp["ln3"] = _ln_p(d)     # torchaudio layer_norm_output
+            layers.append(lp)
+        if self.compat:
+            return {"layers": layers}
         return {"layers": layers, "ln_out": _ln_p(d)}
 
     # -- attention over one segment (leading dims arbitrary) -------
     def _attend(self, p, q, kv, kmask):
+        """Returns ``(projected output, pre-``out_proj`` context)`` —
+        the latter feeds the compat-mode memory chain."""
         h, dh = self.h, self.d // self.h
         lead = q.shape[:-2]
         Q, K = q.shape[-2], kv.shape[-2]
@@ -120,11 +152,12 @@ class Emformer:
         logits = jnp.where(kmask[..., None, None, :], logits, _NEG)
         w = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("...hqk,...khd->...qhd", w, vh)
-        return out.reshape(*lead, Q, self.d) @ p["wo"] + p["bo"]
+        ctx = out.reshape(*lead, Q, self.d)
+        return ctx @ p["wo"] + p["bo"], ctx
 
     def _ffn(self, p, x):
         y = _ln(x, p["ln2"])
-        return x + jax.nn.relu(y @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
+        return x + self.act(y @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
 
     def _post_attention(self, p, utt_a, rc_a, masks, conv_cache):
         """Hook between the attention residual and the FFN —
@@ -144,22 +177,32 @@ class Emformer:
         n_utt = _ln(utt, p["ln1"])
         n_lc = _ln(lc, p["ln1"]) if L else lc
         n_rc = _ln(rc, p["ln1"]) if R else rc
-        n_bank = _ln(bank, p["ln1"]) if M else bank
+        # torchaudio norms only [right_context, utterance]; memory
+        # keys enter attention raw
+        n_bank = bank if (self.compat or not M) \
+            else _ln(bank, p["ln1"])
         summary = jnp.mean(jnp.where(seg_m[..., None], n_utt, 0.0),
                            axis=-2, keepdims=True)
         q = jnp.concatenate([n_utt, n_rc, summary], axis=-2)
         kv = jnp.concatenate([n_bank, n_lc, n_utt, n_rc], axis=-2)
         kmask = jnp.concatenate([mem_m, lc_m, seg_m, rc_m], axis=-1)
-        o = self._attend(p, q, kv, kmask)
+        o, ctx = self._attend(p, q, kv, kmask)
         utt_a = utt + o[..., :S, :]
         rc_a = rc + o[..., S:S + R, :] if R else rc
         utt_a, rc_a, new_cache = self._post_attention(
             p, utt_a, rc_a, masks, conv_cache)
         utt2 = self._ffn(p, utt_a)
         rc2 = self._ffn(p, rc_a) if R else rc_a
-        m_out = o[..., -1, :]
-        if self.tanh_on_mem:
-            m_out = jnp.tanh(m_out)
+        if self.compat:
+            utt2 = _ln(utt2, p["ln3"])
+            rc2 = _ln(rc2, p["ln3"]) if R else rc2
+            m_out = ctx[..., -1, :]     # pre-out_proj (torchaudio)
+            m_out = jnp.tanh(m_out) if self.tanh_on_mem \
+                else jnp.clip(m_out, -10.0, 10.0)
+        else:
+            m_out = o[..., -1, :]
+            if self.tanh_on_mem:
+                m_out = jnp.tanh(m_out)
         return utt2, rc2, m_out, new_cache
 
     # -- full-utterance forward ------------------------------------
@@ -223,7 +266,8 @@ class Emformer:
                 if L else jnp.zeros((B, nseg, 0, D))
             utt, rc, mems, _ = self._layer_body(p, utt, lc, rc, bank,
                                                 masks)
-        out = _ln(utt, params["ln_out"]).reshape(B, Tp, D)[:, :T]
+        out = utt if self.compat else _ln(utt, params["ln_out"])
+        out = out.reshape(B, Tp, D)[:, :T]
         out = jnp.where(jnp.arange(T)[None, :, None] < lengths[:, None, None],
                         out, 0.0)
         return out, lengths
@@ -292,9 +336,124 @@ class Emformer:
             if new_cache is not None:
                 new_st["conv"] = new_cache
             new_layers.append(new_st)
-        out = jnp.where(seg_m[..., None], _ln(utt, params["ln_out"]), 0.0)
+        out = utt if self.compat else _ln(utt, params["ln_out"])
+        out = jnp.where(seg_m[..., None], out, 0.0)
         return out, utt_len, {"layers": new_layers, "seg": i + 1,
                               "seen": seen + utt_len}
+
+
+class EmformerTranscriber:
+    """torchaudio's ``_EmformerEncoder`` layout around the compat
+    Emformer, so published ``emformer_rnnt_base`` transcriber weights
+    import exactly ([ref-recon: torchaudio models/rnnt.py
+    ``_EmformerEncoder`` — UNVERIFIED, mount empty]):
+
+    ``input_linear`` (bias-free) → time reduction (stride-``s`` frame
+    stacking, ``(B, T, D) → (B, T/s, D·s)``) → Emformer
+    (``compat="torchaudio"``) → ``output_linear`` → LayerNorm.
+
+    Lengths are in *input* (mel-frame) units everywhere; outputs come
+    back in reduced units (``lengths // stride``).  ``segment_length``
+    and ``right_context_length`` are in input units and must be
+    divisible by ``time_reduction_stride`` (torchaudio asserts the
+    same).  ``apply(params, x (B, T+R, input_dim), lengths)`` expects
+    the utterance length ``T`` to be a stride multiple so the
+    utterance/lookahead boundary survives the reduction exactly.
+
+    Streaming: ``init_state(B)`` + ``infer(params, chunk
+    (B, segment_length + right_context_length, input_dim), state,
+    utt_lengths, rc_lengths)`` — chunkwise ≡ full pinned by test.
+    """
+
+    def __init__(self, *, input_dim: int, output_dim: int,
+                 segment_length: int, right_context_length: int,
+                 time_reduction_input_dim: int,
+                 time_reduction_stride: int,
+                 num_heads: int = 8, ffn_dim: int = 2048,
+                 num_layers: int = 20,
+                 left_context_length: int = 30,
+                 max_memory_size: int = 0,
+                 activation: str = "gelu",
+                 tanh_on_mem: bool = True):
+        s = time_reduction_stride
+        if segment_length % s or right_context_length % s:
+            raise ValueError(
+                "segment_length and right_context_length must be "
+                f"divisible by time_reduction_stride={s}")
+        self.input_dim = input_dim
+        self.output_dim = output_dim
+        self.red_dim = time_reduction_input_dim
+        self.stride = s
+        self.S_in = segment_length            # input units
+        self.R_in = right_context_length
+        self.d = time_reduction_input_dim * s
+        self.emformer = Emformer(
+            self.d, num_heads, ffn_dim, num_layers,
+            segment_length // s,
+            left_context_length=left_context_length,
+            right_context_length=right_context_length // s,
+            max_memory_size=max_memory_size,
+            tanh_on_mem=tanh_on_mem, activation=activation,
+            compat="torchaudio")
+
+    def init(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            "in_lin": {"w": _dense(k1, self.input_dim, self.red_dim)},
+            "emformer": self.emformer.init(k2),
+            "out_lin": {"w": _dense(k3, self.d, self.output_dim),
+                        "b": jnp.zeros((self.output_dim,))},
+            "out_ln": _ln_p(self.output_dim),
+        }
+
+    def _reduce(self, y):
+        """(B, T, red_dim) → (B, T//stride, red_dim*stride); T must be
+        a stride multiple (callers guarantee it)."""
+        B, T, D = y.shape
+        s = self.stride
+        return y.reshape(B, T // s, D * s)
+
+    def _head(self, params, feats):
+        return _ln(feats @ params["out_lin"]["w"]
+                   + params["out_lin"]["b"], params["out_ln"])
+
+    def apply(self, params, x, lengths=None):
+        B, TR, D = x.shape
+        s = self.stride
+        T = TR - self.R_in
+        if T < 1 or T % s:
+            raise ValueError(
+                f"utterance length {T} (input frames {TR} minus "
+                f"right context {self.R_in}) must be a positive "
+                f"multiple of the time-reduction stride {s}")
+        if lengths is None:
+            lengths = jnp.full((B,), T, jnp.int32)
+        y = self._reduce(x @ params["in_lin"]["w"])
+        out, out_lengths = self.emformer.apply(
+            params["emformer"], y, lengths.astype(jnp.int32) // s)
+        return self._head(params, out), out_lengths
+
+    # -- streaming ---------------------------------------------------
+    def init_state(self, batch_size: int):
+        return self.emformer.init_state(batch_size)
+
+    def infer(self, params, chunk, state, utt_lengths=None,
+              rc_lengths=None):
+        """One segment step; ``chunk (B, S_in + R_in, input_dim)``,
+        lengths in input units."""
+        B, n, D = chunk.shape
+        if n != self.S_in + self.R_in:
+            raise ValueError(
+                f"chunk must have {self.S_in + self.R_in} frames")
+        s = self.stride
+        y = self._reduce(chunk @ params["in_lin"]["w"])
+        out, out_lengths, state = self.emformer.infer(
+            params["emformer"], y, state,
+            None if utt_lengths is None
+            else utt_lengths.astype(jnp.int32) // s,
+            None if rc_lengths is None
+            else rc_lengths.astype(jnp.int32) // s)
+        return self._head(params, out), out_lengths, state
 
 
 class ConvEmformer(Emformer):

@@ -14,8 +14,8 @@ from typing import Optional, Sequence
 
 from .tasnet import ConvTasNet
 from .hdemucs import HDemucs
-from .emformer import Emformer
-from .rnnt import RNNT
+from .emformer import Emformer, EmformerTranscriber
+from .rnnt import RNNT, LayerNormLSTMPredictor
 from .squim import SquimObjective, SquimSubjective
 from .wav2vec2 import Wav2Vec2, wav2vec2_base, wav2vec2_large, \
     hubert_base, hubert_large, hubert_xlarge
@@ -68,16 +68,63 @@ def emformer_rnnt_model(*, input_dim: int, encoding_dim: int = 0,
                         predictor_embed_dim: int = 512,
                         predictor_hidden_dim: int = 512,
                         predictor_layers: int = 2,
-                        joiner_dim: int = 1024) -> RNNT:
-    """Emformer-transcriber RNN-T.  The transcriber's output width is
-    its ``input_dim`` (this build has no post-encoder projection), so
-    ``encoding_dim`` defaults to ``input_dim``; a different value
-    raises rather than silently mismatching."""
+                        joiner_dim: int = 1024,
+                        # torchaudio-layout (weight-compatible) build:
+                        time_reduction_input_dim: int = 0,
+                        time_reduction_stride: int = 1,
+                        transformer_activation: str = "gelu",
+                        lstm_layer_norm: bool = False,
+                        lstm_layer_norm_epsilon: float = 1e-5
+                        ) -> RNNT:
+    """Emformer-transcriber RNN-T.
+
+    Two builds:
+
+    * default (``time_reduction_stride == 1``): this package's
+      original stack — the Emformer consumes ``input_dim`` features
+      directly and emits ``input_dim``-wide encodings (no
+      post-encoder projection; ``encoding_dim`` must equal it).
+    * torchaudio-compatible (``time_reduction_stride > 1``): the
+      published ``emformer_rnnt_base`` layout [ref-recon: torchaudio
+      models/rnnt.py ``emformer_rnnt_model`` — UNVERIFIED, mount
+      empty] — bias-free input linear → stride-``s`` time reduction →
+      compat Emformer → output linear + LayerNorm emitting
+      ``encoding_dim``-wide encodings, a layer-norm-LSTM predictor
+      and a bias-free-identity ``enc_proj`` (imported as identity);
+      ``segment_length``/``right_context_length`` are in input
+      (pre-reduction) frames.  Published checkpoints load via
+      ``utils.import_torch.import_emformer_rnnt``.
+    """
+    if time_reduction_stride > 1:
+        if not (encoding_dim and time_reduction_input_dim):
+            raise ValueError(
+                "the torchaudio-compatible build needs encoding_dim "
+                "and time_reduction_input_dim")
+        enc = EmformerTranscriber(
+            input_dim=input_dim, output_dim=encoding_dim,
+            segment_length=segment_length,
+            right_context_length=right_context_length,
+            time_reduction_input_dim=time_reduction_input_dim,
+            time_reduction_stride=time_reduction_stride,
+            num_heads=num_heads, ffn_dim=ffn_dim,
+            num_layers=num_layers,
+            left_context_length=left_context_length,
+            max_memory_size=max_memory_size,
+            activation=transformer_activation, tanh_on_mem=True)
+        predictor = LayerNormLSTMPredictor(
+            num_symbols, predictor_embed_dim, predictor_hidden_dim,
+            encoding_dim, num_layers=predictor_layers,
+            layer_norm=lstm_layer_norm,
+            layer_norm_eps=lstm_layer_norm_epsilon)
+        return RNNT(enc, num_symbols=num_symbols,
+                    encoding_dim=encoding_dim,
+                    joiner_dim=encoding_dim,
+                    joiner_activation="relu", predictor=predictor)
     if encoding_dim and encoding_dim != input_dim:
         raise ValueError(
             "this Emformer emits input_dim-wide encodings; pass "
             "encoding_dim=input_dim (or 0) — a projection layer is "
-            "not part of this build")
+            "only part of the time_reduction_stride>1 build")
     enc = Emformer(input_dim=input_dim, num_heads=num_heads,
                    ffn_dim=ffn_dim, num_layers=num_layers,
                    segment_length=segment_length,
@@ -91,9 +138,26 @@ def emformer_rnnt_model(*, input_dim: int, encoding_dim: int = 0,
                 predictor_layers=predictor_layers)
 
 
-def emformer_rnnt_base(num_symbols: int = 4097) -> RNNT:
+def emformer_rnnt_base(num_symbols: int = 4097,
+                       compat: Optional[str] = None) -> RNNT:
     """The LibriSpeech-scale streaming configuration (80-dim log-mel,
-    segment 16, right context 4, 20 Emformer layers)."""
+    segment 16, right context 4, 20 Emformer layers).
+
+    ``compat="torchaudio"`` returns the published weight-compatible
+    layout (input linear 80→128, stride-4 time reduction, 512-dim
+    compat Emformer, 1024-dim encodings, 3-layer layer-norm-LSTM
+    predictor with eps 1e-3) so ``EMFORMER_RNNT_BASE_*`` torch
+    checkpoints import exactly."""
+    if compat == "torchaudio":
+        return emformer_rnnt_model(
+            input_dim=80, encoding_dim=1024, num_symbols=num_symbols,
+            segment_length=16, right_context_length=4,
+            left_context_length=30, num_heads=8, ffn_dim=2048,
+            num_layers=20, max_memory_size=0,
+            predictor_embed_dim=512, predictor_hidden_dim=512,
+            predictor_layers=3, time_reduction_input_dim=128,
+            time_reduction_stride=4, transformer_activation="gelu",
+            lstm_layer_norm=True, lstm_layer_norm_epsilon=1e-3)
     return emformer_rnnt_model(
         input_dim=80, num_symbols=num_symbols, segment_length=16,
         right_context_length=4)

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from ._common import _dense, _ln
 import numpy as np
 
-__all__ = ["RNNTPredictor", "RNNT", "RNNTBeamSearch"]
+__all__ = ["RNNTPredictor", "LayerNormLSTMPredictor", "RNNT",
+           "RNNTBeamSearch"]
 
 
 class RNNTPredictor:
@@ -109,6 +110,108 @@ class RNNTPredictor:
         return jnp.swapaxes(outs, 0, 1)                  # (B, U+1, O)
 
 
+def _ln_eps(x, p, eps):
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.var(x, -1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+
+
+class LayerNormLSTMPredictor:
+    """torchaudio's ``_Predictor`` layout (weight-compatible with
+    published ``emformer_rnnt_base`` checkpoints; [ref-recon:
+    torchaudio models/rnnt.py ``_Predictor``/``_CustomLSTM`` —
+    UNVERIFIED, mount empty]): embedding → input LayerNorm → a stack
+    of layer-norm LSTMs (``x2g`` input GEMM, bias only when
+    ``layer_norm=False``; ``p2g`` bias-free recurrent GEMM; one
+    LayerNorm over the summed 4H gates, one over the updated cell —
+    the *normed* cell is both the carry and the tanh input) → output
+    linear → output LayerNorm.
+
+    Drop-in for :class:`RNNTPredictor` (same ``init``/``init_state``/
+    ``step``/``apply`` interface incl. the SOS-prefix convention), so
+    every RNNT decode path works unchanged."""
+
+    def __init__(self, num_symbols: int, embed_dim: int,
+                 hidden_dim: int, output_dim: int, num_layers: int = 3,
+                 blank: int = 0, layer_norm: bool = True,
+                 layer_norm_eps: float = 1e-5):
+        self.v = num_symbols
+        self.e = embed_dim
+        self.h = hidden_dim
+        self.o = output_dim
+        self.n_layers = num_layers
+        self.blank = blank
+        self.layer_norm = layer_norm
+        self.eps = layer_norm_eps
+
+    def init(self, key):
+        keys = iter(jax.random.split(key, 2 + 2 * self.n_layers))
+        ln = lambda d: {"g": jnp.ones((d,)), "b": jnp.zeros((d,))}
+        layers = []
+        cin = self.e
+        for _ in range(self.n_layers):
+            lp = {"wx": _dense(next(keys), cin, 4 * self.h),
+                  "wh": _dense(next(keys), self.h, 4 * self.h)}
+            if self.layer_norm:
+                lp["g_ln"] = ln(4 * self.h)
+                lp["c_ln"] = ln(self.h)
+            else:
+                lp["bx"] = jnp.zeros((4 * self.h,))
+            layers.append(lp)
+            cin = self.h
+        return {"emb": 0.1 * jax.random.normal(next(keys),
+                                               (self.v, self.e)),
+                "in_ln": ln(self.e),
+                "layers": layers,
+                "out": {"w": _dense(next(keys), self.h, self.o),
+                        "b": jnp.zeros((self.o,))},
+                "out_ln": ln(self.o)}
+
+    def init_state(self, batch_size: int):
+        return [(jnp.zeros((batch_size, self.h)),
+                 jnp.zeros((batch_size, self.h)))
+                for _ in range(self.n_layers)]
+
+    def step(self, params, tokens, state):
+        # layer_norm_eps applies only to the LSTM-internal gate/cell
+        # norms (torchaudio's lstm_layer_norm_epsilon); the input and
+        # output LayerNorms keep torch's default 1e-5
+        x = _ln(params["emb"][tokens], params["in_ln"])
+        new_state = []
+        for p, (h, c) in zip(params["layers"], state):
+            gates = x @ p["wx"] + h @ p["wh"]
+            if self.layer_norm:
+                gates = _ln_eps(gates, p["g_ln"], self.eps)
+            else:
+                gates = gates + p["bx"]
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            if self.layer_norm:
+                c = _ln_eps(c, p["c_ln"], self.eps)
+            h = jax.nn.sigmoid(o) * jnp.tanh(c)
+            new_state.append((h, c))
+            x = h
+        out = _ln(x @ params["out"]["w"] + params["out"]["b"],
+                  params["out_ln"])
+        return out, new_state
+
+    def apply(self, params, targets, target_lengths=None):
+        """SOS-prefixed label-context encodings, ``(B, U+1, O)`` —
+        the contract :class:`RNNTPredictor.apply` pins."""
+        B, U = targets.shape
+        sos = jnp.full((B,), self.blank, jnp.int32)
+        seq = jnp.concatenate([sos[:, None],
+                               targets.astype(jnp.int32)], axis=1)
+
+        def step(state, tok):
+            out, state = self.step(params, tok, state)
+            return state, out
+
+        _, outs = jax.lax.scan(step, self.init_state(B),
+                               jnp.swapaxes(seq, 0, 1))
+        return jnp.swapaxes(outs, 0, 1)
+
+
 class RNNT:
     """Transducer = transcriber ∘ predictor ∘ joiner.
 
@@ -121,7 +224,8 @@ class RNNT:
                  predictor_embed_dim: int = 64,
                  predictor_hidden_dim: int = 128,
                  predictor_layers: int = 1, blank: int = 0,
-                 joiner_activation: str = "tanh"):
+                 joiner_activation: str = "tanh",
+                 predictor=None):
         if joiner_activation not in ("tanh", "relu"):
             raise ValueError("joiner_activation must be tanh or relu")
         self.transcriber = transcriber
@@ -131,9 +235,14 @@ class RNNT:
         self.enc_dim = encoding_dim
         self.act = jnp.tanh if joiner_activation == "tanh" \
             else jax.nn.relu
-        self.predictor = RNNTPredictor(
-            num_symbols, predictor_embed_dim, predictor_hidden_dim,
-            self.joiner_dim, predictor_layers, blank)
+        # a custom predictor (e.g. LayerNormLSTMPredictor) must expose
+        # init/init_state/step/apply and output joiner_dim-wide
+        # encodings; the predictor_* size kwargs are ignored then
+        self.predictor = predictor if predictor is not None \
+            else RNNTPredictor(
+                num_symbols, predictor_embed_dim,
+                predictor_hidden_dim, self.joiner_dim,
+                predictor_layers, blank)
 
     def init(self, key):
         k1, k2, k3, k4 = jax.random.split(key, 4)

@@ -145,20 +145,21 @@ class Wav2Vec2ASRBundle:
 
 @dataclass(frozen=True)
 class RNNTBundle:
-    """Streaming Emformer-RNNT ASR bundle at torchaudio's
-    ``emformer_rnnt_base`` scale: 80 log-mels at 10 ms hop, stride-4
-    time reduction (stacked in the feature extractor rather than
-    inside the transcriber — functionally the same placement), then
-    20 Emformer layers (8 heads, ffn 2048) over 320-dim inputs at
-    25 Hz, a 2-layer 512-wide LSTM predictor and a 1024-dim joiner
-    over 4097 sentencepiece targets.
+    """Streaming Emformer-RNNT ASR bundle, weight-compatible with
+    torchaudio's ``emformer_rnnt_base`` checkpoints: 80 log-mels at
+    10 ms hop → bias-free input linear (80→128) → stride-4 time
+    reduction → 20 compat Emformer layers (512-dim, 8 heads, ffn
+    2048, gelu, left context 30, segment 4/right context 1 in reduced
+    units) → 1024-dim encodings; 3-layer 512-wide layer-norm-LSTM
+    predictor (eps 1e-3); ReLU joiner over 4097 sentencepiece
+    targets.  ``get_model(torch_checkpoint=)`` ingests the published
+    ``state_dict`` via ``utils.import_torch.import_emformer_rnnt``.
 
-    Honest differences from the released torchaudio bundle (beyond
-    the no-downloads rule): this Emformer build has no post-encoder
-    projection (encodings are 320-dim, not 1024), and the released
-    bundle's global mean/inv-stddev feature normalization ships as a
-    stats file we cannot download — apply your own normalizer to the
-    extractor output if your checkpoint expects one.
+    Honest difference from the released torchaudio bundle (beyond the
+    no-downloads rule): the released global mean/inv-stddev feature
+    normalization ships as a stats file we cannot download — apply
+    your own normalizer to the extractor output (the released decoder
+    wraps it as ``global_stats.json``) if your checkpoint expects one.
     """
     n_mels: int = 80
     num_symbols: int = 4097
@@ -170,31 +171,44 @@ class RNNTBundle:
 
     def get_model(self, key=None, checkpoint=None,
                   torch_checkpoint=None):
+        from ..utils.import_torch import import_emformer_rnnt
         model = M.emformer_rnnt_model(
-            input_dim=self.n_mels * self.time_reduction_stride,
+            input_dim=self.n_mels, encoding_dim=1024,
             num_symbols=self.num_symbols,
             segment_length=self.segment_length,
-            right_context_length=self.right_context_length)
-        return _resolve(model, key, checkpoint, torch_checkpoint)
+            right_context_length=self.right_context_length,
+            left_context_length=30, num_heads=8, ffn_dim=2048,
+            num_layers=20, max_memory_size=0,
+            predictor_embed_dim=512, predictor_hidden_dim=512,
+            predictor_layers=3, time_reduction_input_dim=128,
+            time_reduction_stride=self.time_reduction_stride,
+            transformer_activation="gelu", lstm_layer_norm=True,
+            lstm_layer_norm_epsilon=1e-3)
+        return _resolve(model, key, checkpoint, torch_checkpoint,
+                        import_emformer_rnnt)
 
     def get_feature_extractor(self):
-        """``waveform (B, T)`` → encoder-ready features
-        ``(B, T', n_mels·stride)``: log-mels (natural log, clamped at
-        1e-10, torchaudio's ``_FunctionalModule`` recipe) stacked by
-        the time-reduction stride — feed the result straight to
-        ``model.transcribe``/``greedy_decode``, no transpose needed."""
+        """``waveform (B, T)`` → ``(B, T', n_mels)`` features:
+        mel spectrogram (fft 400, hop 160) scaled by the int16 gain
+        and passed through torchaudio's piecewise-linear log
+        (``log(x)`` above ``e``, ``x/e`` below — keeps silence finite
+        without a clamp) [ref-recon: torchaudio RNNT pipeline
+        ``_piecewise_linear_log`` — UNVERIFIED, mount empty].  Feed
+        straight to ``model.transcribe``/``greedy_decode`` (the
+        transcriber performs the stride-4 time reduction itself);
+        the utterance length must be a stride multiple."""
+        import math
+
         mel = _layers.Pipeline(*_layers.Melspectrogram(
             num_mels=self.n_mels, sample_rate=self.sample_rate,
             fft_length=400, hop_length=self.hop_length))
-        stride = self.time_reduction_stride
+        gain = float(32767 ** 2)         # 10^(0.05 · 2·20·log10(2^15−1))
+        e = math.e
 
         def extract(waveform):
             import jax.numpy as jnp
-            m = jnp.swapaxes(mel(waveform), -1, -2)  # (B, T, mels)
-            m = jnp.log(jnp.maximum(m, 1e-10))
-            t = m.shape[-2] - m.shape[-2] % stride
-            return m[..., :t, :].reshape(
-                *m.shape[:-2], t // stride, stride * m.shape[-1])
+            m = jnp.swapaxes(mel(waveform), -1, -2) * gain  # (B,T,mel)
+            return jnp.where(m > e, jnp.log(jnp.maximum(m, e)), m / e)
 
         return extract
 

@@ -48,7 +48,7 @@ __all__ = [
     "import_conv_tasnet", "import_wavernn", "import_gru",
     "import_tacotron2", "import_conformer",
     "import_wav2letter", "import_deepspeech",
-    "import_vggish",
+    "import_vggish", "import_emformer_rnnt",
 ]
 
 
@@ -618,6 +618,127 @@ def import_lstm(state_dict: Mapping[str, object], prefix: str,
                        "wh": jnp.asarray(wh.T),
                        "b": jnp.asarray(b)})
     return layers
+
+
+# ----------------------------------------------------------------- #
+# Emformer RNN-T                                                    #
+# ----------------------------------------------------------------- #
+
+def import_emformer_rnnt(state_dict: Mapping[str, object], model):
+    """torchaudio-layout ``models.RNNT`` (``emformer_rnnt_base``
+    family) ``state_dict`` → this package's compat RNNT param pytree.
+
+    The model must come from ``emformer_rnnt_model(...,
+    time_reduction_stride>1)`` / ``emformer_rnnt_base(
+    compat="torchaudio")`` — an :class:`~..models.EmformerTranscriber`
+    transcriber and a :class:`~..models.LayerNormLSTMPredictor`.
+
+    Name map ([ref-recon: torchaudio models/rnnt.py +
+    models/emformer.py — UNVERIFIED, mount empty; conversion math
+    pinned against a torch replica in
+    ``tests/test_import_torch_extra.py``]):
+
+    ======================================================  =========
+    ``transcriber.input_linear.weight`` (bias-free)         ``transcriber.in_lin``
+    ``…transformer.emformer_layers.{i}.layer_norm_input``   ``ln1``
+    ``….attention.emb_to_query``                            ``wq/bq``
+    ``….attention.emb_to_key_value`` (K ‖ V rows)           ``wk/bk, wv/bv``
+    ``….attention.out_proj``                                ``wo/bo``
+    ``….pos_ff.{0,1,4}`` (LN, two GEMMs)                    ``ln2, w1/b1, w2/b2``
+    ``….layer_norm_output``                                 ``ln3``
+    ``transcriber.output_linear`` / ``.layer_norm``         ``out_lin`` / ``out_ln``
+    ``predictor.embedding`` / ``.input_layer_norm``         ``emb`` / ``in_ln``
+    ``predictor.lstm_layers.{i}.x2g`` (bias iff no LN)      ``wx (+bx)``
+    ``predictor.lstm_layers.{i}.p2g`` (bias-free)           ``wh``
+    ``predictor.lstm_layers.{i}.{g_norm,c_norm}``           ``g_ln, c_ln``
+    ``predictor.linear`` / ``.output_layer_norm``           ``out`` / ``out_ln``
+    ``joiner.linear``                                       ``joiner``
+    (no torch counterpart — transcriber already 1024-wide)  ``enc_proj`` = identity
+    ======================================================  =========
+    """
+    from ..models.emformer import EmformerTranscriber
+    from ..models.rnnt import LayerNormLSTMPredictor
+    trans = getattr(model, "transcriber", None)
+    pred = getattr(model, "predictor", None)
+    if not isinstance(trans, EmformerTranscriber) or \
+            not isinstance(pred, LayerNormLSTMPredictor):
+        raise ValueError(
+            "import_emformer_rnnt needs the torchaudio-compatible "
+            "build — emformer_rnnt_model(..., time_reduction_stride"
+            ">1) or emformer_rnnt_base(compat='torchaudio'); got "
+            f"transcriber={type(trans).__name__}, "
+            f"predictor={type(pred).__name__}")
+    sd = _SD(_strip_prefix(dict(state_dict), "transcriber."))
+
+    em = trans.emformer
+    layers = []
+    for i in range(em.n_layers):
+        pre = f"transcriber.transformer.emformer_layers.{i}"
+        kv_w = sd.get(f"{pre}.attention.emb_to_key_value.weight")
+        kv_b = sd.get(f"{pre}.attention.emb_to_key_value.bias")
+        d = em.d
+        if kv_w.shape != (2 * d, d):
+            raise ValueError(
+                f"{pre}.attention.emb_to_key_value.weight has shape "
+                f"{kv_w.shape}, expected {(2 * d, d)}")
+        lp = {
+            "ln1": _lnp(sd, f"{pre}.layer_norm_input"),
+            "wq": jnp.asarray(
+                sd.get(f"{pre}.attention.emb_to_query.weight").T),
+            "bq": jnp.asarray(
+                sd.get(f"{pre}.attention.emb_to_query.bias")),
+            "wk": jnp.asarray(kv_w[:d].T),
+            "bk": jnp.asarray(kv_b[:d]),
+            "wv": jnp.asarray(kv_w[d:].T),
+            "bv": jnp.asarray(kv_b[d:]),
+            "wo": jnp.asarray(
+                sd.get(f"{pre}.attention.out_proj.weight").T),
+            "bo": jnp.asarray(
+                sd.get(f"{pre}.attention.out_proj.bias")),
+            "ln2": _lnp(sd, f"{pre}.pos_ff.0"),
+            "ln3": _lnp(sd, f"{pre}.layer_norm_output"),
+        }
+        ff1 = _linear(sd, f"{pre}.pos_ff.1")
+        ff2 = _linear(sd, f"{pre}.pos_ff.4")
+        lp["w1"], lp["b1"] = ff1["w"], ff1["b"]
+        lp["w2"], lp["b2"] = ff2["w"], ff2["b"]
+        layers.append(lp)
+
+    p_trans = {
+        "in_lin": {"w": jnp.asarray(
+            sd.get("transcriber.input_linear.weight").T)},
+        "emformer": {"layers": layers},
+        "out_lin": _linear(sd, "transcriber.output_linear"),
+        "out_ln": _lnp(sd, "transcriber.layer_norm"),
+    }
+
+    p_layers = []
+    for i in range(pred.n_layers):
+        pre = f"predictor.lstm_layers.{i}"
+        lp = {"wx": jnp.asarray(sd.get(f"{pre}.x2g.weight").T),
+              "wh": jnp.asarray(sd.get(f"{pre}.p2g.weight").T)}
+        if pred.layer_norm:
+            lp["g_ln"] = _lnp(sd, f"{pre}.g_norm")
+            lp["c_ln"] = _lnp(sd, f"{pre}.c_norm")
+        else:
+            lp["bx"] = jnp.asarray(sd.get(f"{pre}.x2g.bias"))
+        p_layers.append(lp)
+    p_pred = {
+        "emb": jnp.asarray(sd.get("predictor.embedding.weight")),
+        "in_ln": _lnp(sd, "predictor.input_layer_norm"),
+        "layers": p_layers,
+        "out": _linear(sd, "predictor.linear"),
+        "out_ln": _lnp(sd, "predictor.output_layer_norm"),
+    }
+
+    p = {
+        "transcriber": p_trans,
+        "predictor": p_pred,
+        "enc_proj": {"w": jnp.eye(model.enc_dim, dtype=jnp.float32),
+                     "b": jnp.zeros((model.enc_dim,), jnp.float32)},
+        "joiner": _linear(sd, "joiner.linear"),
+    }
+    return _check_tree(p, model, "import_emformer_rnnt")
 
 
 # ----------------------------------------------------------------- #
