@@ -169,7 +169,11 @@ def test_bundle_torch_checkpoint_wiring():
         ref = tm(torch.from_numpy(x)).last_hidden_state.numpy()
     np.testing.assert_allclose(np.asarray(model.apply(params, x)[0]),
                                ref, atol=1e-4)
+    # SUBJECTIVE has no verified converter (documented negative);
+    # OBJECTIVE now has one, so an empty dict fails loudly instead
     with pytest.raises(NotImplementedError):
+        pl.SQUIM_SUBJECTIVE.get_model(torch_checkpoint={})
+    with pytest.raises(KeyError):
         pl.SQUIM_OBJECTIVE.get_model(torch_checkpoint={})
 
 

@@ -34,7 +34,7 @@ from .emformer_hubert import (
     EmformerHuBERT, emformer_hubert_model, emformer_hubert_base,
 )
 from .hdemucs import HDemucs
-from .squim import SquimObjective, SquimSubjective
+from .squim import SquimObjective, SquimObjectiveTA, SquimSubjective
 from .vggish import VGGish, VGGishInputProcessor
 from .factories import (
     conv_tasnet_base, hdemucs_low, hdemucs_medium, hdemucs_high,
@@ -100,7 +100,7 @@ __all__ = [
     "conformer_wav2vec2_pretrain_base",
     "conformer_wav2vec2_pretrain_large",
     "EmformerHuBERT", "emformer_hubert_model", "emformer_hubert_base",
-    "SquimObjective", "SquimSubjective",
+    "SquimObjective", "SquimObjectiveTA", "SquimSubjective",
     "HiFiGANVocoder",
     "hifigan_vocoder_v1", "hifigan_vocoder_v2", "hifigan_vocoder_v3",
     "CTCDecoderLM", "ZeroLM", "ARPALM",

@@ -16,7 +16,7 @@ from .tasnet import ConvTasNet
 from .hdemucs import HDemucs
 from .emformer import Emformer, EmformerTranscriber
 from .rnnt import RNNT, LayerNormLSTMPredictor
-from .squim import SquimObjective, SquimSubjective
+from .squim import SquimObjective, SquimObjectiveTA, SquimSubjective
 from .wav2vec2 import Wav2Vec2, wav2vec2_base, wav2vec2_large, \
     hubert_base, hubert_large, hubert_xlarge
 from .hubert import HuBERTPretrainModel
@@ -163,7 +163,13 @@ def emformer_rnnt_base(num_symbols: int = 4097,
         right_context_length=4)
 
 
-def squim_objective_base() -> SquimObjective:
+def squim_objective_base(compat: Optional[str] = None):
+    """``compat="torchaudio"`` returns the published weight-compatible
+    layout (:class:`SquimObjectiveTA`: relu-conv encoder, canonical
+    overlapped DPRNN, transformer+AutoPool branches) so
+    ``SQUIM_OBJECTIVE`` torch checkpoints import exactly."""
+    if compat == "torchaudio":
+        return SquimObjectiveTA()
     return SquimObjective()
 
 

@@ -343,11 +343,12 @@ class SourceSeparationBundle:
 class SquimBundle:
     _factory: Callable
     sample_rate: int = 16000
+    _torch_importer: Optional[Callable] = None
 
     def get_model(self, key=None, checkpoint=None,
                   torch_checkpoint=None):
         return _resolve(self._factory(), key, checkpoint,
-                        torch_checkpoint)
+                        torch_checkpoint, self._torch_importer)
 
 
 WAV2VEC2_BASE = Wav2Vec2Bundle(M.wav2vec2_base)
@@ -392,7 +393,19 @@ class VGGishBundle:
         return M.VGGishInputProcessor()
 
 
-SQUIM_OBJECTIVE = SquimBundle(M.SquimObjective)
+def _import_squim_objective(sd, model):
+    from ..utils.import_torch import import_squim_objective
+    return import_squim_objective(sd, model)
+
+
+# the OBJECTIVE bundle pins the published (torchaudio) architecture
+# so its released checkpoint imports; SUBJECTIVE keeps this package's
+# NORESQA-MOS-style build (the published subjective layout could not
+# be reconstructed with enough confidence for a meaningful importer —
+# docs/MIGRATION.md)
+SQUIM_OBJECTIVE = SquimBundle(
+    lambda: M.squim_objective_base(compat="torchaudio"),
+    _torch_importer=_import_squim_objective)
 SQUIM_SUBJECTIVE = SquimBundle(M.SquimSubjective)
 VGGISH = VGGishBundle()
 

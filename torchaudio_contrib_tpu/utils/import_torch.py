@@ -49,6 +49,7 @@ __all__ = [
     "import_tacotron2", "import_conformer",
     "import_wav2letter", "import_deepspeech",
     "import_vggish", "import_emformer_rnnt",
+    "import_squim_objective",
 ]
 
 
@@ -739,6 +740,102 @@ def import_emformer_rnnt(state_dict: Mapping[str, object], model):
         "joiner": _linear(sd, "joiner.linear"),
     }
     return _check_tree(p, model, "import_emformer_rnnt")
+
+
+# ----------------------------------------------------------------- #
+# Squim (objective)                                                 #
+# ----------------------------------------------------------------- #
+
+def import_squim_objective(state_dict: Mapping[str, object], model):
+    """torchaudio-layout ``models.SquimObjective`` ``state_dict`` →
+    :class:`~..models.SquimObjectiveTA` param pytree.
+
+    Name map ([ref-recon: torchaudio models/squim/objective.py —
+    UNVERIFIED, mount empty; conversion math pinned against a torch
+    replica in ``tests/test_import_squim.py``]):
+    ``encoder.conv1d`` (bias-free Conv1d) → ``enc``;
+    ``dprnn.{row,col}_rnn.{i}.rnn`` (bidirectional ``nn.LSTM``, the
+    two torch biases summed, ``_reverse`` → ``bwd``) + ``.proj`` →
+    ``blocks[i].{row,col}``; ``dprnn.{row,col}_norm.{i}``
+    (GroupNorm(1)) → ``{row,col}_n``; ``dprnn.conv.{0,1}`` (1×1
+    Conv2d + PReLU) → ``out_conv``; ``branches.{i}.0``
+    (``nn.TransformerEncoderLayer``: fused ``in_proj``, ``out_proj``,
+    ``linear1/2``, ``norm1/2``) + ``.1.alpha`` (AutoPool) +
+    ``.2.{0,1,2}`` (Linear, PReLU, Linear; the RangeSigmoid is
+    parameter-free) → ``branches[metric]`` in (stoi, pesq, si_sdr)
+    order.
+    """
+    from ..models.squim import SquimObjectiveTA
+    if not isinstance(model, SquimObjectiveTA):
+        raise ValueError(
+            "import_squim_objective needs the torchaudio-compatible "
+            "build — squim_objective_base(compat='torchaudio'); got "
+            f"{type(model).__name__}")
+    sd = _SD(dict(state_dict))
+
+    def lstm_dir(prefix, suffix):
+        return {"wi": jnp.asarray(
+                    sd.get(f"{prefix}.weight_ih_l0{suffix}").T),
+                "wh": jnp.asarray(
+                    sd.get(f"{prefix}.weight_hh_l0{suffix}").T),
+                "b": jnp.asarray(
+                    sd.get(f"{prefix}.bias_ih_l0{suffix}")
+                    + sd.get(f"{prefix}.bias_hh_l0{suffix}"))}
+
+    def rnn(prefix):
+        return {"fwd": lstm_dir(f"{prefix}.rnn", ""),
+                "bwd": lstm_dir(f"{prefix}.rnn", "_reverse"),
+                "proj": _linear(sd, f"{prefix}.proj")}
+
+    blocks = []
+    for i in range(model.n):
+        blocks.append({
+            "row": rnn(f"dprnn.row_rnn.{i}"),
+            "row_n": _lnp(sd, f"dprnn.row_norm.{i}"),
+            "col": rnn(f"dprnn.col_rnn.{i}"),
+            "col_n": _lnp(sd, f"dprnn.col_norm.{i}"),
+        })
+    conv_w = sd.get("dprnn.conv.0.weight")        # (d, F, 1, 1)
+    p = {
+        "enc": {"w": _conv_tio(sd.get("encoder.conv1d.weight"))},
+        "blocks": blocks,
+        "out_conv": {"w": jnp.asarray(conv_w[:, :, 0, 0].T),
+                     "b": jnp.asarray(sd.get("dprnn.conv.0.bias")),
+                     "p": jnp.asarray(
+                         sd.get("dprnn.conv.1.weight").reshape(-1))},
+        "branches": {},
+    }
+    for bi, metric in enumerate(model.METRICS):
+        pre = f"branches.{bi}"
+        p["branches"][metric] = {
+            "attn": {
+                "in_w": jnp.asarray(
+                    sd.get(f"{pre}.0.self_attn.in_proj_weight").T),
+                "in_b": jnp.asarray(
+                    sd.get(f"{pre}.0.self_attn.in_proj_bias")),
+                "out_w": jnp.asarray(
+                    sd.get(f"{pre}.0.self_attn.out_proj.weight").T),
+                "out_b": jnp.asarray(
+                    sd.get(f"{pre}.0.self_attn.out_proj.bias")),
+            },
+            "ln1": _lnp(sd, f"{pre}.0.norm1"),
+            "ff": {"w1": jnp.asarray(
+                       sd.get(f"{pre}.0.linear1.weight").T),
+                   "b1": jnp.asarray(sd.get(f"{pre}.0.linear1.bias")),
+                   "w2": jnp.asarray(
+                       sd.get(f"{pre}.0.linear2.weight").T),
+                   "b2": jnp.asarray(sd.get(f"{pre}.0.linear2.bias"))},
+            "ln2": _lnp(sd, f"{pre}.0.norm2"),
+            "alpha": jnp.asarray(sd.get(f"{pre}.1.alpha").reshape(-1)),
+            "head": {"w1": jnp.asarray(
+                         sd.get(f"{pre}.2.0.weight").T),
+                     "b1": jnp.asarray(sd.get(f"{pre}.2.0.bias")),
+                     "p": jnp.asarray(
+                         sd.get(f"{pre}.2.1.weight").reshape(-1)),
+                     "w2": jnp.asarray(sd.get(f"{pre}.2.2.weight").T),
+                     "b2": jnp.asarray(sd.get(f"{pre}.2.2.bias"))},
+        }
+    return _check_tree(p, model, "import_squim_objective")
 
 
 # ----------------------------------------------------------------- #
