@@ -12,6 +12,8 @@ from .fsdp import (
 from .pp import (
     stack_pipeline, unstack_pipeline, pipeline_shard,
     microbatch, unmicrobatch, build_pipeline, pipeline_apply)
+from .spattn import ring_attention, sp_conformer_apply, \
+    sp_wav2vec2_apply
 
 __all__ = [
     "make_mesh", "shard_batch", "replicate", "sharded_apply",
@@ -24,4 +26,5 @@ __all__ = [
     "fsdp_specs", "fsdp_shard", "fsdp_init", "fsdp_state_specs",
     "stack_pipeline", "unstack_pipeline", "pipeline_shard",
     "microbatch", "unmicrobatch", "build_pipeline", "pipeline_apply",
+    "ring_attention", "sp_conformer_apply", "sp_wav2vec2_apply",
 ]
