@@ -72,6 +72,8 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--baseline-iters", type=int, default=2)
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--skip-decode", action="store_true",
+                    help="skip the beam-decoder regression metrics")
     ap.add_argument("--profile", default=None,
                     help="write a jax.profiler trace to this directory")
     ap.add_argument("--force-cpu", action="store_true",
@@ -234,6 +236,62 @@ def main():
     except Exception as e:
         log(f"parity probe failed: {e}")
 
+    # decode regression guard (VERDICT r4 ask 6): the two batched jitted
+    # beam decoders, reported as extra keys on the same headline JSON
+    # line so the driver records them every round.  Failures degrade to
+    # null, never kill the headline.
+    decode_ms = {"ctc_beam_ms": None, "rnnt_beam_ms": None}
+    if not args.skip_decode:
+        try:
+            from torchaudio_contrib_tpu.ops import ctc_beam_decode
+            Bc, Tc, Vc = 8, 1000, 1024          # 8 x 10 s at 10 ms hop
+            lp = jax.nn.log_softmax(jnp.asarray(
+                rng.standard_normal((Bc, Tc, Vc)), jnp.float32), -1)
+
+            def ctc_f(v):
+                toks, lens, scores = ctc_beam_decode(v, beam_width=16)
+                return jnp.where(jnp.isfinite(scores), scores, 0.0)
+
+            dt = time_device_loop(ctc_f, lp, k=4, reps=3)
+            decode_ms["ctc_beam_ms"] = round(dt * 1e3, 2)
+            log(f"ctc_beam_decode (B=8x10s, V=1024, beam 16): "
+                f"{dt * 1e3:.2f} ms = {Bc * 10.0 / dt:,.0f}x realtime")
+        except Exception as e:
+            log(f"ctc beam bench failed: {e}")
+        try:
+            from torchaudio_contrib_tpu.models import RNNT, \
+                RNNTBeamSearch
+
+            class _Feats:                 # features-in transcriber
+                def init(self, key):
+                    return {}
+
+                def apply(self, params, v, lengths=None):
+                    return v
+
+            J, Vr, Tr, Br = 1024, 4097, 250, 8   # emformer_rnnt scale
+            rmodel = RNNT(_Feats(), num_symbols=Vr, encoding_dim=J,
+                          joiner_dim=J, predictor_embed_dim=512,
+                          predictor_hidden_dim=512, predictor_layers=3)
+            rp = rmodel.init(jax.random.PRNGKey(7))
+            search = RNNTBeamSearch(rmodel, beam_width=8)
+            feats = jnp.asarray(
+                rng.standard_normal((Br, Tr, J)) * 0.1, jnp.float32)
+            lens = jnp.full((Br,), Tr, jnp.int32)
+            carry = search.init_batched_state(rp, Br, max_tokens=200)
+
+            def rnnt_f(v):
+                c = search._run_batched(rp, v, lens, carry)
+                return jnp.where(jnp.isfinite(c["scores"]),
+                                 c["scores"], 0.0)
+
+            dt = time_device_loop(rnnt_f, feats, k=2, reps=3)
+            decode_ms["rnnt_beam_ms"] = round(dt * 1e3, 2)
+            log(f"rnnt decode_batched (B=8x10s enc, V=4097, beam 8): "
+                f"{dt * 1e3:.2f} ms = {Br * 10.0 / dt:,.0f}x realtime")
+        except Exception as e:
+            log(f"rnnt beam bench failed: {e}")
+
     if args.profile:
         with jax.profiler.trace(args.profile):
             fwd(x).block_until_ready()
@@ -254,6 +312,7 @@ def main():
         "value": round(fps_fwd, 1),
         "unit": "frames/s/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        **decode_ms,
     }), flush=True)
 
 

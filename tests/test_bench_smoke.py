@@ -9,7 +9,8 @@ def test_bench_runs_and_emits_json():
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     out = subprocess.run(
         [sys.executable, "bench.py", "--batch", "2", "--seconds", "2",
-         "--iters", "2", "--skip-baseline", "--force-cpu"],
+         "--iters", "2", "--skip-baseline", "--skip-decode",
+         "--force-cpu"],
         capture_output=True, text=True, timeout=240,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         env=env)
