@@ -91,7 +91,7 @@ from .models import (
     hubert_base, hubert_large, hubert_xlarge,
     WavLM, wavlm_base, wavlm_large,
     wav2vec2_xlsr_300m, wav2vec2_xlsr_1b, wav2vec2_xlsr_2b,
-    HuBERTPretrainModel, span_mask, HDemucs,
+    HuBERTPretrainModel, span_mask, HDemucs, HDemucsTA,
     ConformerWav2Vec2, conformer_wav2vec2_model,
     conformer_wav2vec2_base,
     ConformerWav2Vec2PretrainModel,
@@ -213,7 +213,7 @@ __all__ = [
     "hubert_base", "hubert_large", "hubert_xlarge",
     "WavLM", "wavlm_base", "wavlm_large",
     "wav2vec2_xlsr_300m", "wav2vec2_xlsr_1b", "wav2vec2_xlsr_2b",
-    "HuBERTPretrainModel", "span_mask", "HDemucs",
+    "HuBERTPretrainModel", "span_mask", "HDemucs", "HDemucsTA",
     "ConformerWav2Vec2", "conformer_wav2vec2_model",
     "conformer_wav2vec2_base",
     "ConformerWav2Vec2PretrainModel",

@@ -34,6 +34,7 @@ from .emformer_hubert import (
     EmformerHuBERT, emformer_hubert_model, emformer_hubert_base,
 )
 from .hdemucs import HDemucs
+from .hdemucs_ta import HDemucsTA
 from .squim import SquimObjective, SquimObjectiveTA, SquimSubjective
 from .vggish import VGGish, VGGishInputProcessor
 from .factories import (
@@ -92,7 +93,7 @@ __all__ = [
     "hubert_base", "hubert_large", "hubert_xlarge",
     "WavLM", "wavlm_base", "wavlm_large",
     "wav2vec2_xlsr_300m", "wav2vec2_xlsr_1b", "wav2vec2_xlsr_2b",
-    "HuBERTPretrainModel", "span_mask", "HDemucs",
+    "HuBERTPretrainModel", "span_mask", "HDemucs", "HDemucsTA",
     "ConformerWav2Vec2", "conformer_wav2vec2_model",
     "conformer_wav2vec2_base",
     "ConformerWav2Vec2PretrainModel",

@@ -14,6 +14,7 @@ from typing import Optional, Sequence
 
 from .tasnet import ConvTasNet
 from .hdemucs import HDemucs
+from .hdemucs_ta import HDemucsTA
 from .emformer import Emformer, EmformerTranscriber
 from .rnnt import RNNT, LayerNormLSTMPredictor
 from .squim import SquimObjective, SquimObjectiveTA, SquimSubjective
@@ -40,20 +41,31 @@ def conv_tasnet_base(num_sources: int = 2) -> ConvTasNet:
 
 
 def hdemucs_low(sources: Sequence[str] = ("drums", "bass", "other",
-                                          "vocals")) -> HDemucs:
-    """HDemucs sized for ~8 kHz material (nfft 1024)."""
+                                          "vocals"), compat=None):
+    """HDemucs sized for ~8 kHz material (nfft 1024).
+    ``compat="torchaudio"`` returns the checkpoint-compatible
+    :class:`HDemucsTA` (published demucs-v3 layout, depth 5)."""
+    if compat == "torchaudio":
+        return HDemucsTA(sources=sources, nfft=1024, depth=5)
     return HDemucs(sources=sources, nfft=1024)
 
 
 def hdemucs_medium(sources: Sequence[str] = ("drums", "bass", "other",
-                                             "vocals")) -> HDemucs:
-    """HDemucs sized for ~16 kHz material (nfft 2048)."""
+                                             "vocals"), compat=None):
+    """HDemucs sized for ~16 kHz material (nfft 2048).
+    ``compat="torchaudio"`` → checkpoint-compatible HDemucsTA."""
+    if compat == "torchaudio":
+        return HDemucsTA(sources=sources, nfft=2048, depth=6)
     return HDemucs(sources=sources, nfft=2048)
 
 
 def hdemucs_high(sources: Sequence[str] = ("drums", "bass", "other",
-                                           "vocals")) -> HDemucs:
-    """HDemucs sized for 44.1/48 kHz material (nfft 4096)."""
+                                           "vocals"), compat=None):
+    """HDemucs sized for 44.1/48 kHz material (nfft 4096).
+    ``compat="torchaudio"`` → checkpoint-compatible HDemucsTA (the
+    ``HDEMUCS_HIGH_MUSDB*`` layout)."""
+    if compat == "torchaudio":
+        return HDemucsTA(sources=sources, nfft=4096, depth=6)
     return HDemucs(sources=sources, nfft=4096)
 
 

@@ -65,7 +65,8 @@ def _resolve(model, key, checkpoint, torch_checkpoint=None,
             raise NotImplementedError(
                 "torch_checkpoint import is wired for the "
                 "wav2vec2/HuBERT/WavLM, HiFi-GAN, ConvTasNet, "
-                "WaveRNN, Tacotron2 and VGGish bundles "
+                "WaveRNN, Tacotron2, VGGish, Emformer-RNNT, "
+                "Squim-objective and HDemucs bundles "
                 "(utils.import_torch has verified converters for "
                 "those families); for this bundle save the weights "
                 "with utils.checkpoint.save_params instead")
@@ -329,8 +330,9 @@ class SourceSeparationBundle:
     _factory: Callable
     sample_rate: int = 44100
     sources: Tuple[str, ...] = ("drums", "bass", "other", "vocals")
-    # family-specific torch importer (ConvTasNet has one; HDemucs's
-    # layout has no verified converter yet → loud NotImplementedError)
+    # family-specific torch importer (ConvTasNet:
+    # import_conv_tasnet; HDemucs: import_hdemucs on the
+    # compat="torchaudio" HDemucsTA build)
     _torch_importer: Optional[Callable] = None
 
     def get_model(self, key=None, checkpoint=None,
@@ -363,7 +365,20 @@ HUBERT_ASR_LARGE = Wav2Vec2ASRBundle(M.hubert_large)
 EMFORMER_RNNT_BASE_LIBRISPEECH = RNNTBundle()
 TACOTRON2_WAVERNN_CHAR_LJSPEECH = Tacotron2TTSBundle()
 HIFIGAN_VOCODER_V3_LJSPEECH = HiFiGANVocoderBundle()
-HDEMUCS_HIGH_MUSDB = SourceSeparationBundle(M.HDemucs)
+def _import_hdemucs(sd, model):
+    from ..utils.import_torch import import_hdemucs
+    return import_hdemucs(sd, model)
+
+
+# the HIGH bundles pin the published demucs-v3 layout (HDemucsTA via
+# hdemucs_high(compat="torchaudio")) so the released MUSDB checkpoints
+# import; models.HDemucs stays available as the TPU-first redesign
+def _hdemucs_high_compat():
+    return M.hdemucs_high(compat="torchaudio")
+
+
+HDEMUCS_HIGH_MUSDB = SourceSeparationBundle(
+    _hdemucs_high_compat, _torch_importer=_import_hdemucs)
 def _import_conv_tasnet(sd, model):
     from ..utils.import_torch import import_conv_tasnet
     return import_conv_tasnet(sd, model)
@@ -442,7 +457,8 @@ WAV2VEC2_ASR_LARGE_LV60K_960H = Wav2Vec2ASRBundle(
     M.wav2vec2_large_lv60k)
 HUBERT_ASR_XLARGE = Wav2Vec2ASRBundle(M.hubert_xlarge)
 
-HDEMUCS_HIGH_MUSDB_PLUS = SourceSeparationBundle(M.HDemucs)
+HDEMUCS_HIGH_MUSDB_PLUS = SourceSeparationBundle(
+    _hdemucs_high_compat, _torch_importer=_import_hdemucs)
 
 # prototype streaming-ASR bundle names: the same emformer_rnnt_base
 # architecture family over corpus-specific sentencepiece targets

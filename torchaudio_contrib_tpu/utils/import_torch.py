@@ -49,7 +49,7 @@ __all__ = [
     "import_tacotron2", "import_conformer",
     "import_wav2letter", "import_deepspeech",
     "import_vggish", "import_emformer_rnnt",
-    "import_squim_objective",
+    "import_squim_objective", "import_hdemucs",
 ]
 
 
@@ -836,6 +836,133 @@ def import_squim_objective(state_dict: Mapping[str, object], model):
                      "b2": jnp.asarray(sd.get(f"{pre}.2.2.bias"))},
         }
     return _check_tree(p, model, "import_squim_objective")
+
+
+# ----------------------------------------------------------------- #
+# HDemucs                                                           #
+# ----------------------------------------------------------------- #
+
+def import_hdemucs(state_dict: Mapping[str, object], model):
+    """torchaudio-layout ``models.HDemucs`` ``state_dict`` →
+    :class:`~..models.HDemucsTA` param pytree.
+
+    Convs/transposed convs keep torch's OIHW / ``(in, out, k)``
+    layouts verbatim (the model applies them with matching
+    ``dimension_numbers``), so the conversion is a pure renaming plus
+    the usual Linear/1×1 transposes.  Name map ([ref-recon: torchaudio
+    ``models/_hdemucs.py`` — UNVERIFIED, mount empty; conversion math
+    pinned against a torch replica in
+    ``tests/test_import_hdemucs.py``]):
+
+    ==================================================  ==============
+    ``freq_emb.embedding.weight`` (scale re-applied
+    at forward, exactly like ``_ScaledEmbedding``)      ``freq_emb.w``
+    ``{t,}encoder.{i}.conv`` / ``.rewrite``             ``conv/rewrite``
+    ``{t,}encoder.{i}.norm{1,2}`` (GroupNorm, only
+    from ``norm_starts``)                               ``norm{1,2}``
+    ``….dconv.layers.{d}.{0,1}`` (dilated conv, GN(1))  ``conv1, gn1``
+    ``….dconv.layers.{d}.{j}.lstm`` (2-layer BiLSTM;
+    the two torch biases summed, ``_reverse`` → bwd)
+    + ``.linear``                                       ``lstm.l/.proj``
+    ``….dconv.layers.{d}.{j}`` (_LocalState 1×1 convs)  ``attn.*``
+    ``….dconv.layers.{d}.{-4,-3,-1}`` (1×1 conv,
+    GN(1), _LayerScale.scale)                           ``conv2,gn2,scale``
+    ``{t,}decoder.{i}.conv_tr`` / ``.rewrite`` /
+    ``.norm{1,2}``                                      same names
+    ==================================================  ==============
+    """
+    from ..models.hdemucs_ta import HDemucsTA
+    if not isinstance(model, HDemucsTA):
+        raise ValueError(
+            "import_hdemucs needs the torchaudio-compatible build — "
+            "HDemucsTA / hdemucs_{low,medium,high}(); got "
+            f"{type(model).__name__} (models.HDemucs is this "
+            "package's TPU-first redesign and cannot load published "
+            "weights)")
+    sd = _SD(dict(state_dict))
+
+    def conv(pre):
+        return {"w": jnp.asarray(sd.get(f"{pre}.weight")),
+                "b": jnp.asarray(sd.get(f"{pre}.bias"))}
+
+    def gnp(pre):
+        return {"g": jnp.asarray(sd.get(f"{pre}.weight")),
+                "b": jnp.asarray(sd.get(f"{pre}.bias"))}
+
+    def dense1x1(pre):
+        w = sd.get(f"{pre}.weight")                   # (out, in, 1)
+        return {"w": jnp.asarray(w[:, :, 0].T),
+                "b": jnp.asarray(sd.get(f"{pre}.bias"))}
+
+    def lstm_dir(pre, k, suf):
+        return {"wi": jnp.asarray(sd.get(f"{pre}.weight_ih_l{k}{suf}").T),
+                "wh": jnp.asarray(sd.get(f"{pre}.weight_hh_l{k}{suf}").T),
+                "b": jnp.asarray(sd.get(f"{pre}.bias_ih_l{k}{suf}")
+                                 + sd.get(f"{pre}.bias_hh_l{k}{suf}"))}
+
+    def dconv(pre, spec):
+        blocks = []
+        for d in range(model.dconv_depth):
+            base = f"{pre}.layers.{d}"
+            b = {"conv1": conv(f"{base}.0"), "gn1": gnp(f"{base}.1")}
+            j = 3                       # 0 conv, 1 GN, 2 GELU, then…
+            if spec["lstm"]:
+                lpre = f"{base}.{j}"
+                j += 1
+                b["lstm"] = {
+                    "l": [{"fwd": lstm_dir(f"{lpre}.lstm", k, ""),
+                           "bwd": lstm_dir(f"{lpre}.lstm", k,
+                                           "_reverse")}
+                          for k in range(model.lstm_layers)],
+                    "proj": _linear(sd, f"{lpre}.linear")}
+            if spec["attn"]:
+                apre = f"{base}.{j}"
+                j += 1
+                b["attn"] = {"content": dense1x1(f"{apre}.content"),
+                             "query": dense1x1(f"{apre}.query"),
+                             "key": dense1x1(f"{apre}.key"),
+                             "qdecay": dense1x1(f"{apre}.query_decay"),
+                             "proj": dense1x1(f"{apre}.proj")}
+            b["conv2"] = conv(f"{base}.{j}")
+            b["gn2"] = gnp(f"{base}.{j + 1}")
+            b["scale"] = jnp.asarray(sd.get(f"{base}.{j + 3}.scale"))
+            blocks.append(b)
+        return blocks
+
+    def enc_layer(pre, spec):
+        p = {"conv": conv(f"{pre}.conv")}
+        if spec["empty"]:
+            return p
+        p["rewrite"] = conv(f"{pre}.rewrite")
+        if spec["norm"]:
+            p["norm1"] = gnp(f"{pre}.norm1")
+            p["norm2"] = gnp(f"{pre}.norm2")
+        p["dconv"] = dconv(f"{pre}.dconv", spec)
+        return p
+
+    def dec_layer(pre, spec):
+        p = {"conv_tr": conv(f"{pre}.conv_tr")}
+        if spec["norm"]:
+            p["norm2"] = gnp(f"{pre}.norm2")
+        if not spec["empty"]:
+            p["rewrite"] = conv(f"{pre}.rewrite")
+            if spec["norm"]:
+                p["norm1"] = gnp(f"{pre}.norm1")
+        return p
+
+    p = {
+        "freq_emb": {"w": jnp.asarray(
+            sd.get("freq_emb.embedding.weight"))},
+        "encoder": [enc_layer(f"encoder.{i}", s)
+                    for i, s in enumerate(model.enc_specs)],
+        "tencoder": [enc_layer(f"tencoder.{i}", s)
+                     for i, s in enumerate(model.tenc_specs)],
+        "decoder": [dec_layer(f"decoder.{i}", s)
+                    for i, s in enumerate(model.dec_specs)],
+        "tdecoder": [dec_layer(f"tdecoder.{i}", s)
+                     for i, s in enumerate(model.tdec_specs)],
+    }
+    return _check_tree(p, model, "import_hdemucs")
 
 
 # ----------------------------------------------------------------- #
