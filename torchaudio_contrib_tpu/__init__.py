@@ -57,6 +57,7 @@ from .ops import (
     forced_align, merge_tokens, TokenSpan,
     edit_distance, edit_distance_batched, rnnt_loss,
     ctc_greedy_decode, ctc_prefix_beam_search, ctc_beam_decode, CTCHypothesis,
+    ctc_lexicon_beam_decode, device_ctc_decoder, DeviceCTCDecoder,
     ctc_loss, snr, si_snr, frechet_distance,
     psd, mvdr_weights_souden, mvdr_weights_rtf,
     rtf_evd, rtf_power, apply_beamforming,
@@ -226,6 +227,7 @@ __all__ = [
     "hifigan_vocoder_v1", "hifigan_vocoder_v2", "hifigan_vocoder_v3",
     "CTCDecoderLM", "ZeroLM", "ARPALM",
     "CTCDecoder", "CTCDecoderOutput", "ctc_decoder",
+    "ctc_lexicon_beam_decode", "device_ctc_decoder", "DeviceCTCDecoder",
     "MFCC", "Loudness", "PitchShift", "Speed", "AddNoise",
     "Fade", "Vol", "FrequencyMasking", "TimeMasking",
     "Preemphasis", "Deemphasis", "ComputeDeltas", "SlidingWindowCmn",

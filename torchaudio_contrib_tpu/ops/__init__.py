@@ -79,6 +79,10 @@ from .edit import edit_distance, edit_distance_batched
 from .rnnt import rnnt_loss
 from .ctcloss import ctc_loss
 from .metrics import snr, si_snr, frechet_distance
+from .lexdecode import (LexiconTables, CompiledLexicon,
+                        compile_lexicon_tables,
+                        ctc_lexicon_beam_decode, DeviceCTCDecoder,
+                        device_ctc_decoder)
 from .ctcdecode import (ctc_greedy_decode, ctc_prefix_beam_search, ctc_beam_decode,
                         CTCHypothesis)
 from .beamform import (psd, mvdr_weights_souden, mvdr_weights_rtf,
@@ -133,6 +137,8 @@ __all__ = [
     "forced_align", "merge_tokens", "TokenSpan",
     "edit_distance", "edit_distance_batched", "rnnt_loss",
     "ctc_greedy_decode", "ctc_prefix_beam_search", "ctc_beam_decode", "CTCHypothesis",
+    "LexiconTables", "CompiledLexicon", "compile_lexicon_tables",
+    "ctc_lexicon_beam_decode", "DeviceCTCDecoder", "device_ctc_decoder",
     "ctc_loss", "snr", "si_snr", "frechet_distance",
     "psd", "mvdr_weights_souden", "mvdr_weights_rtf",
     "rtf_evd", "rtf_power", "apply_beamforming",
