@@ -266,15 +266,31 @@ def test_sp_wav2vec2_grads_match(rng):
             atol=3e-5, err_msg=jax.tree_util.keystr(k))
 
 
-def test_sp_wav2vec2_rejects_wavlm_and_bad_length():
+def test_sp_wavlm_matches_unsharded(rng):
+    """WavLM's gated rel-pos bias under the ring: local query gates ×
+    global-offset bucket bias must equal the unsharded forward."""
     from torchaudio_contrib_tpu.models import WavLM
     mesh = _mesh()
     wl = WavLM(**_W2V_TINY, extractor_mode="layer_norm",
                layer_norm_first=True, num_buckets=8, max_distance=20)
     params = wl.init(jax.random.PRNGKey(5))
-    with pytest.raises(NotImplementedError, match="WavLM"):
-        sp_wav2vec2_apply(wl, params, jnp.zeros((1, 1600)), mesh=mesh,
-                          axis="sp")
+    B, T = 2, 8 * 20 * 4
+    wav = jnp.asarray(rng.standard_normal((B, T)) * 0.1, jnp.float32)
+    lengths = jnp.asarray([T, T - 200])
+    want, want_len = wl.apply(params, wav, lengths)
+    got, got_len = sp_wav2vec2_apply(wl, params, wav, lengths,
+                                     mesh=mesh, axis="sp")
+    np.testing.assert_array_equal(np.asarray(got_len),
+                                  np.asarray(want_len))
+    got, want_np = np.asarray(got), np.asarray(want)
+    for b in range(B):
+        nv = int(np.asarray(want_len)[b])
+        np.testing.assert_allclose(got[b, :nv], want_np[b, :nv],
+                                   atol=2e-5, err_msg=f"b={b}")
+
+
+def test_sp_wav2vec2_rejects_bad_length():
+    mesh = _mesh()
     w2 = Wav2Vec2(**_W2V_TINY)
     p2 = w2.init(jax.random.PRNGKey(6))
     with pytest.raises(ValueError, match="multiple"):

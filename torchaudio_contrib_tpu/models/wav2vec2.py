@@ -298,6 +298,26 @@ class Wav2Vec2:
         return self.apply(params, waveforms, lengths)
 
 
+def wavlm_buckets(rel, num_buckets: int, max_distance: int):
+    """T5-style sign-separated half-exact/half-log bucket ids for an
+    integer offset array ``rel = k - q`` (NumPy, trace-time static) —
+    shared by :class:`WavLM` and the sequence-parallel path
+    (``parallel/spattn.py``), which indexes it by a 1-D offset range
+    instead of the (t, t) matrix."""
+    import numpy as np
+    nb = num_buckets // 2
+    out = (rel > 0).astype(np.int64) * nb
+    arel = np.abs(rel)
+    max_exact = nb // 2
+    log_large = max_exact + (
+        np.log(np.maximum(arel, 1) / max_exact)
+        / math.log(max_distance / max_exact)
+        * (nb - max_exact)).astype(np.int64)
+    out += np.where(arel < max_exact, arel,
+                    np.minimum(log_large, nb - 1))
+    return out
+
+
 class WavLM(Wav2Vec2):
     """WavLM (Chen et al. 2022) — a Wav2Vec2 encoder whose
     self-attention adds a *gated relative position bias*
@@ -347,17 +367,7 @@ class WavLM(Wav2Vec2):
         (NumPy at trace time; t is a traced shape, always concrete)."""
         import numpy as np
         rel = np.arange(t)[None, :] - np.arange(t)[:, None]
-        nb = self.num_buckets // 2
-        out = (rel > 0).astype(np.int64) * nb
-        arel = np.abs(rel)
-        max_exact = nb // 2
-        log_large = max_exact + (
-            np.log(np.maximum(arel, 1) / max_exact)
-            / math.log(self.max_distance / max_exact)
-            * (nb - max_exact)).astype(np.int64)
-        out += np.where(arel < max_exact, arel,
-                        np.minimum(log_large, nb - 1))
-        return out
+        return wavlm_buckets(rel, self.num_buckets, self.max_distance)
 
     def _encode(self, params, x, pad_mask, pos_bias=None):
         t = x.shape[1]

@@ -32,7 +32,10 @@ shard; finite-footprint ops (depthwise conv modules, the wav2vec2
 feature extractor and positional conv) get a two-sided ppermute halo
 (`_halo`), mirroring the STFT halo.  The wav2vec2 BASE extractor's
 GroupNorm reduces over global time — implemented with one ``psum`` of
-the shard moments.
+the shard moments.  WavLM's gated relative-position bias is exact
+under the ring: the per-(query, head) gate depends only on the local
+shard's content and the bucket only on the global offset ``k − q``
+(one static 1-D offset table instead of the (t, t) grid).
 """
 from __future__ import annotations
 
@@ -93,9 +96,10 @@ def ring_attention(q, k, v, axis_name: str, *,
     ``q, k, v (B, T_local, H, dh)`` — the local time shard's
     projections.  ``lengths (B,)`` — GLOBAL valid lengths (replicated);
     keys past them are masked with ``-1e30`` like the unsharded
-    models.  ``bias_fn(q_idx (Tq,), k_idx (Tk,)) -> (H, Tq, Tk)``
-    adds a logit bias from global indices (relative-position tables).
-    Returns ``(B, T_local, H, dh)``.
+    models.  ``bias_fn(q_idx (Tq,), k_idx (Tk,)) -> (H, Tq, Tk)`` or
+    ``(B, H, Tq, Tk)`` adds a logit bias from global indices
+    (relative-position tables; the batched form carries
+    content-dependent gates — WavLM).  Returns ``(B, T_local, H, dh)``.
     """
     B, Tl, H, dh = q.shape
     n = jax.lax.axis_size(axis_name)
@@ -115,7 +119,8 @@ def ring_attention(q, k, v, axis_name: str, *,
         k_idx = owner * Tl + jnp.arange(Tl)
         s = jnp.einsum("bqhd,bkhd->bhqk", q, kb) * scale
         if bias_fn is not None:
-            s = s + bias_fn(q_idx, k_idx)[None]
+            bias = bias_fn(q_idx, k_idx)
+            s = s + (bias if bias.ndim == 4 else bias[None])
         if lengths is not None:
             valid = k_idx[None] < lengths[:, None]        # (B, Tk)
             s = jnp.where(valid[:, None, None, :], s, _NEG)
@@ -314,10 +319,43 @@ def _w2v2_shard(model, params, wl, lengths, axis):
     h, dh = model.num_heads, model.d_model // model.num_heads
     lens_f = out_lengths
 
+    # WavLM: shared bucket bias gated per (query, head) from LOCAL
+    # content — the gate needs only the shard's rows, the bucket only
+    # the global offset k−q, so the ring stays exact.  The 1-D offset
+    # table is trace-time static NumPy (same math as the unsharded
+    # model's (t, t) grid).
+    wavlm_bias = None
+    Tf_glob = Tf * n
+    if getattr(model, "num_buckets", None) is not None:
+        import numpy as np
+        from ..models.wav2vec2 import wavlm_buckets
+        offs_1d = jnp.asarray(wavlm_buckets(
+            np.arange(-(Tf_glob - 1), Tf_glob), model.num_buckets,
+            model.max_distance).astype(np.int32))
+
+        def wavlm_bias(p, y):
+            gates = jax.nn.sigmoid(
+                (y.reshape(B, Tf, h, dh) @ p["gru_w"] + p["gru_b"])
+                .reshape(B, Tf, h, 2, 4).sum(-1))
+            gate = (gates[..., 0]
+                    * (gates[..., 1] * p["gru_const"][None, None, :]
+                       - 1.0) + 2.0)                    # (B, Tq, H)
+            gate = jnp.transpose(gate, (0, 2, 1))       # (B, H, Tq)
+
+            def bias_fn(q_idx, k_idx, gate=gate):
+                rel = k_idx[None, :] - q_idx[:, None]
+                bucket = offs_1d[rel + Tf_glob - 1]     # (Tq, Tk)
+                bb = jnp.transpose(params["rel_embed"][bucket],
+                                   (2, 0, 1))           # (H, Tq, Tk)
+                return gate[..., None] * bb[None]
+            return bias_fn
+
     def attention(p, y):
         qkv = (y @ p["wqkv"] + p["bqkv"]).reshape(B, Tf, 3, h, dh)
-        out = ring_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
-                             axis, lengths=lens_f)
+        out = ring_attention(
+            qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], axis,
+            lengths=lens_f,
+            bias_fn=wavlm_bias(p, y) if wavlm_bias else None)
         return out.reshape(B, Tf, model.d_model) @ p["wo"] + p["bo"]
 
     def ffn(q, y):
@@ -347,15 +385,12 @@ def sp_wav2vec2_apply(model, params, waveforms, lengths=None, *,
     """:class:`~..models.Wav2Vec2` forward with TIME sharded over
     ``mesh[axis]`` end to end: haloed extractor convs (+ psum'd
     GroupNorm for the BASE extractor), haloed positional conv, ring
-    attention per layer.  ``waveforms (B, T)`` with ``T`` divisible by
-    ``n · total_stride`` (e.g. 320·n for the published extractor);
-    returns ``(out (B, T', d_or_aux) sharded on time, out_lengths)``.
-    WavLM's gated position bias is not supported here (raise)."""
-    from ..models.wav2vec2 import WavLM
-    if isinstance(model, WavLM):
-        raise NotImplementedError(
-            "sequence-parallel WavLM (gated relative-position bias) "
-            "is not implemented; use Wav2Vec2 geometries")
+    attention per layer; WavLM's gated relative-position bias rides
+    the ring exactly (query gates are shard-local, bucket offsets are
+    global — see ``_w2v2_shard``).  ``waveforms (B, T)`` with ``T``
+    divisible by ``n · total_stride`` (e.g. 320·n for the published
+    extractor); returns ``(out (B, T', d_or_aux) sharded on time,
+    out_lengths)``."""
     n = mesh.shape[axis]
     st = 1
     for _, _, s in model.extractor:
