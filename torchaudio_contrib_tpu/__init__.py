@@ -55,7 +55,7 @@ from .ops import (
     filter_waveform,
     exp_sigmoid,
     forced_align, merge_tokens, TokenSpan,
-    edit_distance, edit_distance_batched, rnnt_loss,
+    edit_distance, edit_distance_batched, rnnt_loss, rnnt_loss_fused,
     ctc_greedy_decode, ctc_prefix_beam_search, ctc_beam_decode, CTCHypothesis,
     ctc_lexicon_beam_decode, device_ctc_decoder, DeviceCTCDecoder,
     ctc_loss, snr, si_snr, frechet_distance,
@@ -191,7 +191,7 @@ __all__ = [
     "filter_waveform",
     "exp_sigmoid",
     "forced_align", "merge_tokens", "TokenSpan",
-    "edit_distance", "edit_distance_batched", "rnnt_loss",
+    "edit_distance", "edit_distance_batched", "rnnt_loss", "rnnt_loss_fused",
     "ctc_greedy_decode", "ctc_prefix_beam_search", "ctc_beam_decode", "CTCHypothesis",
     "ctc_loss", "snr", "si_snr", "frechet_distance",
     "psd", "mvdr_weights_souden", "mvdr_weights_rtf",

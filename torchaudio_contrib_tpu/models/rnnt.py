@@ -281,6 +281,25 @@ class RNNT:
                            pred[:, None, :, :])
         return logits, out_lengths
 
+    def loss(self, params, x, targets, lengths=None,
+             target_lengths=None, *, time_chunk: int = 16, **kw):
+        """Transducer training loss via the FUSED path
+        (:func:`~..ops.rnnt_loss_fused`): the ``(B, T, U+1, V)`` joint
+        grid is computed ``time_chunk`` frames at a time under remat
+        and never stored — the memory-capacity fix for large-batch
+        training (docs/PERFORMANCE.md round 5).  Equals
+        ``rnnt_loss(joint_logits(...))`` exactly (values + grads,
+        pinned by test).  ``kw`` forwards blank/clamp/reduction."""
+        from ..ops.rnnt import rnnt_loss_fused
+        enc, out_lengths = self.transcribe(params, x, lengths)
+        pred = self.predictor.apply(params["predictor"], targets,
+                                    target_lengths)
+        kw.setdefault("blank", self.blank)
+        return rnnt_loss_fused(
+            enc, pred, params["joiner"], targets, act=self.act,
+            logit_lengths=out_lengths, target_lengths=target_lengths,
+            time_chunk=time_chunk, **kw)
+
     # -- decoding ---------------------------------------------------
     def greedy_init_state(self, params, batch_size: int):
         """Decoder-side greedy carry: (last predictor output, LSTM

@@ -76,7 +76,7 @@ from .dsp import (oscillator_bank, adsr_envelope, extend_pitch,
                   filter_waveform, exp_sigmoid)
 from .align import forced_align, merge_tokens, TokenSpan
 from .edit import edit_distance, edit_distance_batched
-from .rnnt import rnnt_loss
+from .rnnt import rnnt_loss, rnnt_loss_fused
 from .ctcloss import ctc_loss
 from .metrics import snr, si_snr, frechet_distance
 from .lexdecode import (LexiconTables, CompiledLexicon,
@@ -135,7 +135,7 @@ __all__ = [
     "vad", "vad_onset", "vad_trim",
     "convolve", "fftconvolve", "simulate_rir_ism", "ray_tracing",
     "forced_align", "merge_tokens", "TokenSpan",
-    "edit_distance", "edit_distance_batched", "rnnt_loss",
+    "edit_distance", "edit_distance_batched", "rnnt_loss", "rnnt_loss_fused",
     "ctc_greedy_decode", "ctc_prefix_beam_search", "ctc_beam_decode", "CTCHypothesis",
     "LexiconTables", "CompiledLexicon", "compile_lexicon_tables",
     "ctc_lexicon_beam_decode", "DeviceCTCDecoder", "device_ctc_decoder",

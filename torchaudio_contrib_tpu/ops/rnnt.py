@@ -30,7 +30,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["rnnt_loss"]
+__all__ = ["rnnt_loss", "rnnt_loss_fused"]
 
 _NEG = -1e30
 
@@ -50,19 +50,32 @@ def _rnnt_single(lp, targets, in_len, tgt_len, blank_idx):
     if u_max > 0:
         emit_lp = jnp.take_along_axis(
             lp[:, :u_max, :], targets[None, :, None], axis=2)[..., 0]
-        emit_lp = jnp.where(jnp.arange(u_max)[None, :] < tgt_len,
-                            emit_lp, _NEG)               # (T, U)
     else:
         emit_lp = jnp.zeros((t_max, 0), lp.dtype)
+    return _rnnt_from_lps(blank_lp, emit_lp, in_len, tgt_len)
+
+
+def _rnnt_from_lps(blank_lp, emit_lp, in_len, tgt_len):
+    """The lattice recursion from the only two log-prob planes it
+    needs: ``blank_lp (T, U+1)`` and ``emit_lp (T, U)`` (the target
+    token's log-prob at each (t, u)) — shared by :func:`rnnt_loss`
+    (full-lattice input) and :func:`rnnt_loss_fused` (planes computed
+    chunkwise, the (T, U+1, V) grid never stored)."""
+    t_max, u1 = blank_lp.shape
+    u_max = u1 - 1
+    if u_max > 0:
+        emit_lp = jnp.where(jnp.arange(u_max)[None, :] < tgt_len,
+                            emit_lp, _NEG)               # (T, U)
 
     # row 0: alpha[0, u] = cumulative emits at t=0
-    row0 = jnp.concatenate([jnp.zeros((1,), lp.dtype),
+    row0 = jnp.concatenate([jnp.zeros((1,), blank_lp.dtype),
                             jnp.cumsum(emit_lp[0])])
 
     def step(prev, inputs):
         blank_prev, emit_t = inputs                      # rows t-1 / t
         a = prev + blank_prev
-        es = jnp.concatenate([jnp.zeros((1,), lp.dtype), emit_t])
+        es = jnp.concatenate([jnp.zeros((1,), blank_lp.dtype),
+                              emit_t])
         _, row = jax.lax.associative_scan(_combine, (es, a))
         return row, row
 
@@ -84,7 +97,8 @@ def _clamp_grad_fwd(x, clamp):
 
 
 def _clamp_grad_bwd(clamp, g):
-    return jnp.clip(g, -clamp, clamp), None
+    c = jnp.asarray(clamp)
+    return jnp.clip(g, -c, c), None
 
 
 _clamp_grad.defvjp(_clamp_grad_fwd, _clamp_grad_bwd)
@@ -131,6 +145,95 @@ def rnnt_loss(logits, targets, logit_lengths=None, target_lengths=None,
     losses = jax.vmap(
         lambda l, tg, il, tl: _rnnt_single(l, tg, il, tl, blank_idx)
     )(lp, targets, logit_lengths, target_lengths)
+    if reduction == "mean":
+        return jnp.mean(losses)
+    if reduction == "sum":
+        return jnp.sum(losses)
+    return losses
+
+
+def rnnt_loss_fused(enc, pred, joiner, targets, *,
+                    act=jax.nn.relu,
+                    logit_lengths=None, target_lengths=None,
+                    blank: int = -1, clamp: float = -1.0,
+                    reduction: str = "mean", time_chunk: int = 16):
+    """Transducer loss straight from the encoder/predictor encodings —
+    the ``(B, T, U+1, V)`` joint grid is NEVER materialized.
+
+    The recursion (:func:`_rnnt_from_lps`) only needs two planes —
+    the blank log-prob and the target token's log-prob at each
+    ``(t, u)`` — so the joint (``act(enc + pred) @ w + b`` →
+    log-softmax, this package's :class:`~..models.RNNT.join` shape) is
+    computed ``time_chunk`` frames at a time under ``jax.checkpoint``:
+    the forward stores ``(B, T, 2U+1)`` floats instead of
+    ``(B, T, (U+1)·V)`` (≈256× less at V=512), and the backward
+    recomputes each chunk's joint on the fly.  Past the batch knee the
+    baseline step is CAPACITY-bound on exactly this tensor
+    (docs/PERFORMANCE.md round 5), so the recompute buys throughput,
+    not just memory.  Equality with ``rnnt_loss(join(...))`` — values
+    and gradients — is pinned by ``tests/test_rnnt_fused.py``.
+
+    ``enc (B, T, J)``, ``pred (B, U+1, J)``, ``joiner`` =
+    ``{"w": (J, V), "b": (V,)}``; other args as :func:`rnnt_loss`.
+    ``time_chunk`` bounds the transient joint block
+    (``B·time_chunk·(U+1)·V`` floats).
+    """
+    enc = jnp.asarray(enc)
+    pred = jnp.asarray(pred)
+    targets = jnp.asarray(targets, jnp.int32)
+    if enc.ndim != 3 or pred.ndim != 3 or targets.ndim != 2:
+        raise ValueError("enc must be (batch, time, J), pred (batch, "
+                         "max_target_len+1, J), targets (batch, "
+                         "max_target_len)")
+    B, T, J = enc.shape
+    u1 = pred.shape[1]
+    if targets.shape != (B, u1 - 1):
+        raise ValueError(
+            f"targets must be (batch, {u1 - 1}) to match pred's "
+            f"target axis of {u1}; got {targets.shape}")
+    if reduction not in ("none", "mean", "sum"):
+        raise ValueError(f"unknown reduction {reduction!r}")
+    V = joiner["w"].shape[-1]
+    blank_idx = blank % V
+    if logit_lengths is None:
+        logit_lengths = jnp.full((B,), T, jnp.int32)
+    if target_lengths is None:
+        target_lengths = jnp.full((B,), u1 - 1, jnp.int32)
+    logit_lengths = jnp.asarray(logit_lengths, jnp.int32)
+    target_lengths = jnp.asarray(target_lengths, jnp.int32)
+
+    c = max(1, min(int(time_chunk), T))
+    n_pad = (-T) % c
+    enc_p = jnp.pad(enc, ((0, 0), (0, n_pad), (0, 0)))
+    n_chunks = enc_p.shape[1] // c
+
+    def chunk_planes(enc_c):
+        """(B, c, J) → blank (B, c, U+1), emit (B, c, U)."""
+        logits = act(enc_c[:, :, None, :] + pred[:, None]) \
+            @ joiner["w"] + joiner["b"]               # (B, c, U+1, V)
+        if clamp is not None and clamp > 0:
+            logits = _clamp_grad(logits, jnp.asarray(clamp,
+                                                     logits.dtype))
+        lp = jax.nn.log_softmax(logits, -1)
+        blank_lp = lp[..., blank_idx]
+        if u1 > 1:
+            emit_lp = jnp.take_along_axis(
+                lp[:, :, :u1 - 1, :],
+                targets[:, None, :, None], axis=3)[..., 0]
+        else:
+            emit_lp = jnp.zeros((B, enc_c.shape[1], 0), lp.dtype)
+        return blank_lp, emit_lp
+
+    chunks = jnp.swapaxes(
+        enc_p.reshape(B, n_chunks, c, J), 0, 1)       # (nc, B, c, J)
+    blank_lp, emit_lp = jax.lax.map(jax.checkpoint(chunk_planes),
+                                    chunks)
+    blank_lp = jnp.swapaxes(blank_lp, 0, 1).reshape(B, -1, u1)[:, :T]
+    emit_lp = jnp.swapaxes(emit_lp, 0, 1).reshape(
+        B, -1, max(u1 - 1, 0))[:, :T]
+
+    losses = jax.vmap(_rnnt_from_lps)(blank_lp, emit_lp,
+                                      logit_lengths, target_lengths)
     if reduction == "mean":
         return jnp.mean(losses)
     if reduction == "sum":
