@@ -75,13 +75,19 @@ def main():
         extractor_conv_layers=((8, 10, 5), (8, 3, 2)),
         d_model=D_MODEL, num_layers=N_LAYERS, num_heads=4, ff_dim=64,
         pos_conv_kernel=8, pos_conv_groups=4, layer_norm_first=False)
-    k_emb, k_enc, k_head = jax.random.split(jax.random.PRNGKey(0), 3)
+    k_emb, k_enc, k_head, k_pos = jax.random.split(
+        jax.random.PRNGKey(0), 4)
     stacked = pipeline_shard(
         stack_pipeline(model.init(k_enc)["layers"], n_pipe), mesh)
     rep = NamedSharding(mesh, P())
+    # the transformer stack is permutation-equivariant over time and
+    # the head mean-pools — the position-dependent task NEEDS a
+    # positional embedding at the input or no depth can solve it
     params = {
         "embed": jax.device_put(
             0.3 * jax.random.normal(k_emb, (8, D_MODEL)), rep),
+        "pos": jax.device_put(
+            0.3 * jax.random.normal(k_pos, (T_FRAMES, D_MODEL)), rep),
         "stack": stacked,
         "head": jax.device_put(
             0.1 * jax.random.normal(k_head, (D_MODEL, NUM_CLASSES)),
@@ -100,7 +106,7 @@ def main():
     n_micro = 4
 
     def loss_fn(p, x, y):
-        h = x @ p["embed"]
+        h = x @ p["embed"] + p["pos"][None]
         h = pipeline_apply(model.encoder_layer, p["stack"], h,
                            mesh=mesh, data_axis="data",
                            n_microbatches=n_micro)

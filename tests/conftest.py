@@ -35,6 +35,33 @@ assert jax.device_count() == 8 and jax.devices()[0].platform == "cpu", (
     f"{jax.devices()}")
 
 
+# ---- fast/slow lanes ---------------------------------------------
+# The full suite is ~60 min on this 1-core host; `pytest -m "not slow"`
+# is the fast lane (target <= 15 min) that every change should run.
+# The slow lane (importer torch replicas, examples, dataset trees,
+# multihost, the heaviest shard_map/model suites) runs nightly /
+# per-round: `pytest -m slow`.  Modules are marked here centrally so
+# the split is one list, not 80 decorators.
+_SLOW_MODULES = {
+    "test_import_torch.py", "test_import_torch_extra.py",
+    "test_import_hdemucs.py", "test_import_squim.py",
+    "test_import_emformer_rnnt.py",
+    "test_examples.py", "test_datasets.py", "test_multihost_2proc.py",
+    "test_spattn.py", "test_pipelines.py", "test_bench_smoke.py",
+    "test_tacotron2.py", "test_wavernn.py", "test_emformer_rnnt.py",
+    "test_fsdp.py", "test_pp.py", "test_stream_io.py",
+    "test_squim.py", "test_prototype_ssl.py", "test_vggish.py",
+    "test_hdemucs.py", "test_conformer_w2v2.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.nodeid.split("::", 1)[0].rsplit("/", 1)[-1]
+        if mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture()
 def rng(request):
     # per-test deterministic stream (stable across runs and machines): a

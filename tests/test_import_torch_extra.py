@@ -159,8 +159,10 @@ def test_conv_tasnet_bundle_wiring():
         ref = tm(torch.from_numpy(x)).numpy()
     np.testing.assert_allclose(np.asarray(model.apply(params, x)),
                                ref, atol=1e-4)
-    # HDemucs bundle has no importer: loud
-    with pytest.raises(NotImplementedError):
+    # HDemucs bundle HAS an importer since round 5 — a garbage
+    # checkpoint must still fail LOUDLY (missing-key error naming the
+    # first absent weight), never return random weights
+    with pytest.raises(KeyError, match="state_dict has no"):
         pl.HDEMUCS_HIGH_MUSDB.get_model(torch_checkpoint={})
 
 
