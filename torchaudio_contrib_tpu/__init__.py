@@ -11,6 +11,9 @@ __version__ = "0.1.0"
 
 from . import (ops, models, parallel, utils, io, compliance, datasets,
                pipelines, sox_effects, kaldi_io)
+# torchaudio-shaped namespace aliases (import AFTER the implementation
+# packages above — they re-export from ops/models/pipelines)
+from . import functional, transforms, prototype
 
 # functional core (flat, reference-style)
 from .ops import (
@@ -149,6 +152,7 @@ __all__ = [
     "ChromaScale", "ChromaSpectrogram", "Wav2Vec2Model",
     "ops", "models", "parallel", "utils", "io", "compliance",
     "datasets", "pipelines", "sox_effects", "kaldi_io",
+    "functional", "transforms", "prototype",
     "load", "save", "info",
     "stft", "istft", "frame_signal", "num_frames", "stft_output_length",
     "complex_norm", "angle", "magphase",
