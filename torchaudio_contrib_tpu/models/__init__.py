@@ -10,7 +10,7 @@ from .layers import (
     Barkspectrogram, Chromagram,
 )
 from .frontend import MelFrontendClassifier
-from .conformer import Conformer
+from .conformer import Conformer, ConformerTranscriber
 from .asr import Wav2Letter, DeepSpeech
 from .tasnet import ConvTasNet
 from .wavernn import WaveRNN
@@ -40,6 +40,7 @@ from .vggish import VGGish, VGGishInputProcessor
 from .factories import (
     conv_tasnet_base, hdemucs_low, hdemucs_medium, hdemucs_high,
     emformer_rnnt_model, emformer_rnnt_base,
+    conformer_rnnt_model, conformer_rnnt_base,
     squim_objective_base, squim_subjective_base,
     wav2vec2_model, hifigan_vocoder,
     hubert_pretrain_base, hubert_pretrain_large,
@@ -108,6 +109,7 @@ __all__ = [
     "CTCDecoder", "CTCDecoderOutput", "ctc_decoder",
     "conv_tasnet_base", "hdemucs_low", "hdemucs_medium",
     "hdemucs_high", "emformer_rnnt_model", "emformer_rnnt_base",
+    "conformer_rnnt_model", "conformer_rnnt_base", "ConformerTranscriber",
     "squim_objective_base", "squim_subjective_base",
     "VGGish", "VGGishInputProcessor",
     "wav2vec2_model", "hifigan_vocoder",

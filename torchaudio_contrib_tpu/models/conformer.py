@@ -44,9 +44,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ._common import _ln as _layernorm, _ln_p as _ln_params
+from ._common import _dense, _ln as _layernorm, _ln_p as _ln_params
 
-__all__ = ["Conformer"]
+__all__ = ["Conformer", "ConformerTranscriber"]
 
 
 def _glorot(key, shape):
@@ -213,3 +213,73 @@ class Conformer:
     def num_params(self, params):
         return sum(int(np.prod(l.shape))
                    for l in jax.tree_util.tree_leaves(params))
+
+
+class ConformerTranscriber:
+    """torchaudio's prototype ``_ConformerEncoder`` geometry as an RNNT
+    transcriber [ref-recon: torchaudio prototype/models/rnnt.py
+    ``_ConformerEncoder`` — UNVERIFIED, mount empty]:
+
+    stride-``s`` time reduction (frame stacking; trailing remainder
+    frames dropped, torchaudio ``_TimeReduction`` semantics) →
+    input linear + Conformer (the house Conformer's built-in input
+    projection IS that linear: ``input_dim·s → conformer_input_dim``)
+    → output linear → LayerNorm, emitting ``output_dim``-wide
+    encodings at ``lengths // s``.
+
+    Behavioral divergences from the torch prototype (no published
+    checkpoint exists to match): the conv-module norm is LayerNorm
+    rather than GroupNorm(1), and attention carries the house
+    relative-position bias (zero-initialized → plain MHA at init).
+    ``convolution_first=True`` matches the prototype's block order.
+    """
+
+    def __init__(self, *, input_dim: int, output_dim: int,
+                 time_reduction_stride: int,
+                 conformer_input_dim: int, conformer_ffn_dim: int,
+                 conformer_num_layers: int, conformer_num_heads: int,
+                 conformer_depthwise_conv_kernel_size: int = 31):
+        if conformer_ffn_dim % conformer_input_dim:
+            raise ValueError(
+                "conformer_ffn_dim must be a multiple of "
+                f"conformer_input_dim (got {conformer_ffn_dim} vs "
+                f"{conformer_input_dim})")
+        self.input_dim = input_dim
+        self.output_dim = output_dim
+        self.stride = time_reduction_stride
+        self.d = conformer_input_dim
+        self.conformer = Conformer(
+            input_dim=input_dim * time_reduction_stride,
+            d_model=conformer_input_dim,
+            num_layers=conformer_num_layers,
+            num_heads=conformer_num_heads,
+            ff_ratio=conformer_ffn_dim // conformer_input_dim,
+            conv_kernel=conformer_depthwise_conv_kernel_size,
+            convolution_first=True)
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        return {"conformer": self.conformer.init(k1),
+                "out_lin": {"w": _dense(k2, self.d, self.output_dim),
+                            "b": jnp.zeros((self.output_dim,))},
+                "out_ln": _ln_params(self.output_dim)}
+
+    def apply(self, params, x, lengths=None):
+        x = jnp.asarray(x)
+        if x.ndim != 3 or x.shape[-1] != self.input_dim:
+            raise ValueError(
+                f"x must be (batch, time, {self.input_dim})")
+        B, T, D = x.shape
+        s = self.stride
+        T_red = T // s
+        if T_red < 1:
+            raise ValueError(
+                f"need at least {s} input frames (got {T})")
+        y = x[:, :T_red * s].reshape(B, T_red, D * s)
+        if lengths is None:
+            lengths = jnp.full((B,), T, jnp.int32)
+        red_lengths = lengths.astype(jnp.int32) // s
+        h = self.conformer.apply(params["conformer"], y, red_lengths)
+        out = _layernorm(h @ params["out_lin"]["w"]
+                         + params["out_lin"]["b"], params["out_ln"])
+        return out, red_lengths

@@ -15,6 +15,7 @@ from typing import Optional, Sequence
 from .tasnet import ConvTasNet
 from .hdemucs import HDemucs
 from .hdemucs_ta import HDemucsTA
+from .conformer import ConformerTranscriber
 from .emformer import Emformer, EmformerTranscriber
 from .rnnt import RNNT, LayerNormLSTMPredictor
 from .squim import SquimObjective, SquimObjectiveTA, SquimSubjective
@@ -27,6 +28,7 @@ __all__ = [
     "conv_tasnet_base",
     "hdemucs_low", "hdemucs_medium", "hdemucs_high",
     "emformer_rnnt_model", "emformer_rnnt_base",
+    "conformer_rnnt_model", "conformer_rnnt_base",
     "squim_objective_base", "squim_subjective_base",
     "wav2vec2_model", "hifigan_vocoder",
     "hubert_pretrain_base", "hubert_pretrain_large",
@@ -173,6 +175,71 @@ def emformer_rnnt_base(num_symbols: int = 4097,
     return emformer_rnnt_model(
         input_dim=80, num_symbols=num_symbols, segment_length=16,
         right_context_length=4)
+
+
+def conformer_rnnt_model(*, input_dim: int, encoding_dim: int,
+                         time_reduction_stride: int,
+                         conformer_input_dim: int,
+                         conformer_ffn_dim: int,
+                         conformer_num_layers: int,
+                         conformer_num_heads: int,
+                         conformer_depthwise_conv_kernel_size: int,
+                         conformer_dropout: float = 0.0,
+                         num_symbols: int,
+                         symbol_embedding_dim: int,
+                         num_lstm_layers: int,
+                         lstm_hidden_dim: int,
+                         lstm_layer_norm: bool = True,
+                         lstm_layer_norm_epsilon: float = 1e-5,
+                         lstm_dropout: float = 0.0,
+                         joiner_activation: str = "tanh") -> RNNT:
+    """Conformer-transcriber RNN-T (torchaudio's prototype
+    ``conformer_rnnt_model`` surface [ref-recon: torchaudio
+    prototype/models/rnnt.py — UNVERIFIED, mount empty]):
+    :class:`~.conformer.ConformerTranscriber` (time reduction →
+    Conformer → output projection + LayerNorm) + the layer-norm-LSTM
+    predictor + additive joiner.  ``conformer_dropout`` /
+    ``lstm_dropout`` are accepted for signature parity and ignored —
+    these models are deterministic (no train-mode dropout); the
+    regularization levers here are SpecAugment on the features and
+    batch via DP.  No published checkpoint exists for this family, so
+    the build is behavioral (see ConformerTranscriber's divergence
+    notes), not weight-import-targeted."""
+    del conformer_dropout, lstm_dropout
+    enc = ConformerTranscriber(
+        input_dim=input_dim, output_dim=encoding_dim,
+        time_reduction_stride=time_reduction_stride,
+        conformer_input_dim=conformer_input_dim,
+        conformer_ffn_dim=conformer_ffn_dim,
+        conformer_num_layers=conformer_num_layers,
+        conformer_num_heads=conformer_num_heads,
+        conformer_depthwise_conv_kernel_size=(
+            conformer_depthwise_conv_kernel_size))
+    predictor = LayerNormLSTMPredictor(
+        num_symbols, symbol_embedding_dim, lstm_hidden_dim,
+        encoding_dim, num_layers=num_lstm_layers,
+        layer_norm=lstm_layer_norm,
+        layer_norm_eps=lstm_layer_norm_epsilon)
+    return RNNT(enc, num_symbols=num_symbols,
+                encoding_dim=encoding_dim, joiner_dim=encoding_dim,
+                joiner_activation=joiner_activation,
+                predictor=predictor)
+
+
+def conformer_rnnt_base(num_symbols: int = 1024) -> RNNT:
+    """The prototype's published base configuration (80-dim features,
+    stride-4 reduction, 16×256-dim Conformer, 1024-dim encodings,
+    2-layer 512-dim layer-norm-LSTM predictor) [ref-recon: torchaudio
+    prototype ``conformer_rnnt_base`` — UNVERIFIED, mount empty]."""
+    return conformer_rnnt_model(
+        input_dim=80, encoding_dim=1024, time_reduction_stride=4,
+        conformer_input_dim=256, conformer_ffn_dim=1024,
+        conformer_num_layers=16, conformer_num_heads=4,
+        conformer_depthwise_conv_kernel_size=31,
+        num_symbols=num_symbols, symbol_embedding_dim=256,
+        num_lstm_layers=2, lstm_hidden_dim=512,
+        lstm_layer_norm=True, lstm_layer_norm_epsilon=1e-5,
+        joiner_activation="tanh")
 
 
 def squim_objective_base(compat: Optional[str] = None):

@@ -4,6 +4,7 @@ torchaudio prototype models surface — UNVERIFIED, mount empty]."""
 from ..models import (
     ConformerWav2Vec2, ConformerWav2Vec2PretrainModel, ConvEmformer,
     EmformerHuBERT, HiFiGANVocoder,
+    conformer_rnnt_base, conformer_rnnt_model,
     conformer_wav2vec2_base, conformer_wav2vec2_model,
     conformer_wav2vec2_pretrain_base, conformer_wav2vec2_pretrain_large,
     conformer_wav2vec2_pretrain_model,
@@ -15,6 +16,7 @@ from ..models import (
 __all__ = [
     "ConformerWav2Vec2", "ConformerWav2Vec2PretrainModel",
     "ConvEmformer", "EmformerHuBERT", "HiFiGANVocoder",
+    "conformer_rnnt_base", "conformer_rnnt_model",
     "conformer_wav2vec2_base", "conformer_wav2vec2_model",
     "conformer_wav2vec2_pretrain_base",
     "conformer_wav2vec2_pretrain_large",
