@@ -76,8 +76,11 @@ def main():
     targets = jnp.asarray(tokens, jnp.int32)
 
     def loss_fn(p):
-        logits, out_len = model.joint_logits(p, mel, targets)
-        return tac.rnnt_loss(logits, targets, out_len, blank=0)
+        # the fused path: the (B, T, U+1, V) joint grid is computed
+        # time-chunk-wise under remat and never stored — at production
+        # B/T/V this is the memory-capacity lever (PERFORMANCE.md
+        # round 5); equals rnnt_loss(model.joint_logits(...)) exactly
+        return model.loss(p, mel, targets)
 
     opt = optax.adam(3e-3)
     ost = opt.init(params)
