@@ -25,7 +25,8 @@ Run on the chip (ONE process):
     env PYTHONPATH=/root/.axon_site:/root/repo \
         python benchmarks/r5_mfu.py [--smoke] [--only SECTION]
 
-Sections: knee, scan_layers, flash_attn, hdemucs_ta.
+Sections: knee, knee_fused, knee_bf16, scan_layers, flash_attn,
+hdemucs_ta.
 Numbers land in docs/PERFORMANCE.md.
 """
 from __future__ import annotations
@@ -143,6 +144,162 @@ def bench_knee(rng, smoke):
             print(json.dumps({"metric": f"w2v2_pretrain-fwdbwd-B{B}",
                               "error": str(e)[:160]}), flush=True)
             break
+
+
+def bench_knee_fused(rng, smoke):
+    """Same Conformer-RNNT knee as ``bench_knee``, but through
+    ``RNNT.loss`` → :func:`rnnt_loss_fused`: the ``(B, T, U+1, V)``
+    joint grid is computed ``time_chunk`` frames at a time under remat
+    and never stored.  The unfused knee decays past B=64 on joint-tensor
+    capacity (1.0 GB fwd + cotangent at B=64) — this measures whether
+    removing the lattice moves the knee and the MFU ceiling."""
+    model, T, U, V = _conformer_rnnt(smoke)
+    p = model.init(jax.random.PRNGKey(0))
+    for B in ((1, 2) if smoke else (32, 64, 128, 256, 512)):
+        feats = jnp.asarray(rng.standard_normal((B, T, 80)),
+                            jnp.float32)
+        tgts = jnp.asarray(rng.integers(1, V, (B, U)), jnp.int32)
+
+        def step(pp, x, tgts=tgts):
+            g = jax.grad(
+                lambda q, v: model.loss(q, v, tgts,
+                                        reduction="mean"))(pp, x)
+            return jax.tree_util.tree_leaves(g)[0]
+
+        try:
+            fl, nb = _cost(step, p, feats)
+            sec = time_device_loop_p(step, p, feats, k=8)
+            emit(f"conformer_rnnt_fused-fwdbwd-B{B}", sec, fl, nb)
+        except Exception as e:
+            print(json.dumps(
+                {"metric": f"conformer_rnnt_fused-fwdbwd-B{B}",
+                 "error": str(e)[:160]}), flush=True)
+            break
+
+
+def bench_fused_chunk(rng, smoke):
+    """``rnnt_loss_fused`` time_chunk sweep at the batch sizes where
+    the fused knee behaved asymmetrically (1.6× faster than unfused at
+    B=32, slower past B=128): chunk ∈ {4…64} at B ∈ {32, 128, 256}
+    — is the large-B falloff the chunk-scan serialization (fixable by
+    a bigger chunk) or capacity of the per-chunk joint?  First pass
+    measured B32 {8,16,32,64} + B128 {8,16,32}: best point tracks
+    B·chunk ≈ 512 (B32→chunk16: 14.4 ms; B128→chunk8: 89.0 ms, which
+    BEATS the unfused 101.6 ms).  Second pass fills the grid edges to
+    pin the adaptive default."""
+    model, T, U, V = _conformer_rnnt(smoke)
+    p = model.init(jax.random.PRNGKey(0))
+    grid = ({1: (4,)} if smoke else
+            {32: (8, 16, 32, 64), 128: (4, 8, 16, 32),
+             256: (2, 4, 8)})
+    from torchaudio_contrib_tpu.ops import rnnt_loss
+    for B, chunks in grid.items():
+        feats = jnp.asarray(rng.standard_normal((B, T, 80)),
+                            jnp.float32)
+        tgts = jnp.asarray(rng.integers(1, V, (B, U)), jnp.int32)
+
+        # unfused anchor IN THE SAME SESSION (±10 % cross-session
+        # variance makes fused-vs-unfused comparisons invalid
+        # otherwise — CLAUDE.md timing rules)
+        def step_unfused(pp, x, tgts=tgts):
+            def loss_fn(q, v):
+                logits, _ = model.joint_logits(q, v, tgts)
+                return rnnt_loss(logits, tgts, blank=0,
+                                 reduction="mean")
+            g = jax.grad(loss_fn)(pp, x)
+            return jax.tree_util.tree_leaves(g)[0]
+
+        try:
+            fl, nb = _cost(step_unfused, p, feats)
+            sec = time_device_loop_p(step_unfused, p, feats, k=8)
+            emit(f"rnnt_unfused-B{B}", sec, fl, nb)
+        except Exception as e:
+            print(json.dumps({"metric": f"rnnt_unfused-B{B}",
+                              "error": str(e)[:160]}), flush=True)
+
+        for chunk in chunks:
+            def step(pp, x, tgts=tgts, chunk=chunk):
+                g = jax.grad(
+                    lambda q, v: model.loss(q, v, tgts,
+                                            time_chunk=chunk,
+                                            reduction="mean"))(pp, x)
+                return jax.tree_util.tree_leaves(g)[0]
+
+            try:
+                fl, nb = _cost(step, p, feats)
+                sec = time_device_loop_p(step, p, feats, k=8)
+                emit(f"rnnt_fused-B{B}-chunk{chunk}", sec, fl, nb)
+            except Exception as e:
+                print(json.dumps(
+                    {"metric": f"rnnt_fused-B{B}-chunk{chunk}",
+                     "error": str(e)[:160]}), flush=True)
+
+
+def bench_knee_bf16(rng, smoke):
+    """Mixed-precision probe AT THE KNEE: r4 measured 'bf16 moves
+    nothing' at B=4–32 where the step is latency-bound; the r5 roofline
+    says HuBERT-pretrain at B≥64 is BANDWIDTH-bound (≈100 % HBM, ~90
+    FLOP/B vs the 240 FLOP/B balance point) — there, halving activation
+    bytes is exactly the predicted lever.  Production pattern: params
+    stay f32 (optimizer-grade), cast params+inputs to bf16 inside the
+    step, grads flow back to f32 through the cast.  Emits f32 vs bf16
+    step time + a loss-parity check per batch size."""
+    import jax.tree_util as jtu
+    from torchaudio_contrib_tpu.models import HuBERTPretrainModel
+    from torchaudio_contrib_tpu.models.wav2vec2 import (Wav2Vec2,
+                                                        wav2vec2_base)
+    if smoke:
+        enc = Wav2Vec2(extractor_conv_layers=((32, 10, 5), (32, 3, 2)),
+                       d_model=32, num_layers=2, num_heads=4,
+                       ff_dim=64, pos_conv_kernel=16,
+                       pos_conv_groups=4)
+        TS, bs = 8000, (1,)
+    else:
+        enc = wav2vec2_base()
+        TS, bs = 32000, (32, 64, 128)
+    hub = HuBERTPretrainModel(enc, num_classes=100)
+    hp = hub.init(jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(2)
+
+    def cast(tree, dt):
+        return jtu.tree_map(
+            lambda l: l.astype(dt)
+            if jnp.issubdtype(l.dtype, jnp.floating) else l, tree)
+
+    for B in bs:
+        x = jnp.asarray(rng.standard_normal((B, TS)) * 0.1,
+                        jnp.float32)
+        labels = jnp.asarray(
+            rng.integers(0, 100, (B, int(enc.output_length(TS)))),
+            jnp.int32)
+
+        def loss_f32(pp, v, labels=labels):
+            return hub.loss(pp, key, v, labels)
+
+        def loss_bf16(pp, v, labels=labels):
+            # params cast INSIDE the differentiated fn: grads exit f32
+            return hub.loss(cast(pp, jnp.bfloat16), key,
+                            v.astype(jnp.bfloat16), labels)
+
+        l32 = float(jax.jit(loss_f32)(hp, x))
+        l16 = float(jax.jit(loss_bf16)(hp, x))
+        rel = abs(l16 - l32) / max(abs(l32), 1e-9)
+
+        for name, fn in (("f32", loss_f32), ("bf16", loss_bf16)):
+            def step(pp, v, fn=fn):
+                g = jax.grad(fn)(pp, v)
+                return jax.tree_util.tree_leaves(g)[0]
+
+            try:
+                fl, nb = _cost(step, hp, x)
+                sec = time_device_loop_p(step, hp, x, k=8)
+                emit(f"w2v2_pretrain-{name}-fwdbwd-B{B}", sec, fl, nb,
+                     extra={"loss_rel_err": round(rel, 5)}
+                     if name == "bf16" else None)
+            except Exception as e:
+                print(json.dumps(
+                    {"metric": f"w2v2_pretrain-{name}-fwdbwd-B{B}",
+                     "error": str(e)[:160]}), flush=True)
 
 
 # ------------------------------------------------------------------ #
@@ -321,6 +478,9 @@ def bench_hdemucs_ta(rng, smoke):
 
 
 _SECTIONS = {"knee": bench_knee,
+             "knee_fused": bench_knee_fused,
+             "knee_bf16": bench_knee_bf16,
+             "fused_chunk": bench_fused_chunk,
              "scan_layers": bench_scan_layers,
              "flash_attn": bench_flash_attn,
              "hdemucs_ta": bench_hdemucs_ta}
@@ -332,10 +492,13 @@ def main(smoke=False, only=""):
     print(f"# device: {dev.platform} "
           f"{getattr(dev, 'device_kind', '')} peak={PEAK_FLOPS / 1e12}"
           f" TFLOP/s, HBM {HBM_GBPS} GB/s", flush=True)
-    if only and only not in _SECTIONS:
-        raise SystemExit(f"--only must be one of {sorted(_SECTIONS)}")
+    wanted = [s for s in only.split(",") if s] if only else []
+    for s in wanted:
+        if s not in _SECTIONS:
+            raise SystemExit(
+                f"--only must name sections from {sorted(_SECTIONS)}")
     for name, fn in _SECTIONS.items():
-        if not only or only == name:
+        if not wanted or name in wanted:
             print(f"# section {name}", flush=True)
             fn(rng, smoke)
 

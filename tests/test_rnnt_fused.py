@@ -44,6 +44,20 @@ def test_fused_matches_baseline_values(rng, chunk, act):
                                atol=1e-5)
 
 
+@pytest.mark.parametrize("B", [2, 600])
+def test_fused_adaptive_chunk_default(rng, B):
+    # time_chunk=None -> max(4, 512 // B): exercises both the large
+    # chunk (B=2 -> 256, clipped to T) and the floor (B=600 -> 4);
+    # values must equal the unfused baseline either way
+    enc, pred, joiner, targets = _setup(rng, B=B, T=9)
+    want = _baseline(enc, pred, joiner, targets, jax.nn.relu,
+                     blank=-1, reduction="none")
+    got = rnnt_loss_fused(enc, pred, joiner, targets, blank=-1,
+                          reduction="none")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)
+
+
 def test_fused_matches_baseline_grads(rng):
     enc, pred, joiner, targets = _setup(rng)
     ll = jnp.asarray([11, 9, 6])

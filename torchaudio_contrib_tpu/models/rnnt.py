@@ -282,14 +282,16 @@ class RNNT:
         return logits, out_lengths
 
     def loss(self, params, x, targets, lengths=None,
-             target_lengths=None, *, time_chunk: int = 16, **kw):
+             target_lengths=None, *, time_chunk=None, **kw):
         """Transducer training loss via the FUSED path
         (:func:`~..ops.rnnt_loss_fused`): the ``(B, T, U+1, V)`` joint
         grid is computed ``time_chunk`` frames at a time under remat
         and never stored — the memory-capacity fix for large-batch
-        training (docs/PERFORMANCE.md round 5).  Equals
-        ``rnnt_loss(joint_logits(...))`` exactly (values + grads,
-        pinned by test).  ``kw`` forwards blank/clamp/reduction."""
+        training (docs/PERFORMANCE.md round 5).  ``time_chunk=None``
+        (default) adapts to the batch size (``max(4, 512 // B)``, the
+        measured v5e optimum).  Equals ``rnnt_loss(joint_logits(...))``
+        exactly (values + grads, pinned by test).  ``kw`` forwards
+        blank/clamp/reduction."""
         from ..ops.rnnt import rnnt_loss_fused
         enc, out_lengths = self.transcribe(params, x, lengths)
         pred = self.predictor.apply(params["predictor"], targets,

@@ -150,10 +150,14 @@ class Wav2Vec2:
     def _extract(self, params, x):
         y = x[..., None]                              # (B, T, 1)
         for p, (_, k, s) in zip(params["extractor"], self.extractor):
+            # output dtype follows the weights (the MXU accumulates in
+            # f32 internally either way), so a bf16-cast parameter
+            # tree runs a bf16 activation pipeline (mixed-precision
+            # training — PERFORMANCE.md round 5)
             y = jax.lax.conv_general_dilated(
                 y, p["w"], (s,), "VALID",
                 dimension_numbers=("NTC", "TIO", "NTC"),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=p["w"].dtype)
             if "b" in p:
                 y = y + p["b"]
             if "n" in p:
@@ -280,7 +284,8 @@ class Wav2Vec2:
             [(self.pos_k // 2, (self.pos_k - 1) // 2)],
             dimension_numbers=("NTC", "TIO", "NTC"),
             feature_group_count=self.pos_groups,
-            preferred_element_type=jnp.float32) + params["pos_b"]
+            preferred_element_type=params["pos_conv"].dtype) \
+            + params["pos_b"]
         x = x + jax.nn.gelu(pos, approximate=False)
         if not self.layer_norm_first:
             # BASE: one LN between the positional conv and the layers

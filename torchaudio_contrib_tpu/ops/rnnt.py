@@ -156,7 +156,7 @@ def rnnt_loss_fused(enc, pred, joiner, targets, *,
                     act=jax.nn.relu,
                     logit_lengths=None, target_lengths=None,
                     blank: int = -1, clamp: float = -1.0,
-                    reduction: str = "mean", time_chunk: int = 16):
+                    reduction: str = "mean", time_chunk=None):
     """Transducer loss straight from the encoder/predictor encodings —
     the ``(B, T, U+1, V)`` joint grid is NEVER materialized.
 
@@ -176,7 +176,12 @@ def rnnt_loss_fused(enc, pred, joiner, targets, *,
     ``enc (B, T, J)``, ``pred (B, U+1, J)``, ``joiner`` =
     ``{"w": (J, V), "b": (V,)}``; other args as :func:`rnnt_loss`.
     ``time_chunk`` bounds the transient joint block
-    (``B·time_chunk·(U+1)·V`` floats).
+    (``B·time_chunk·(U+1)·V`` floats).  ``None`` (default) picks
+    ``max(4, 512 // B)`` — the v5e sweep (docs/PERFORMANCE.md round 5,
+    ``r5_mfu.py --only fused_chunk``) puts the best point at
+    ``B·time_chunk ≈ 512``; too-large chunks fall out of
+    VMEM-friendly sizes (B=128: chunk16 is 1.5× slower than chunk8),
+    too-small ones serialize the scan.
     """
     enc = jnp.asarray(enc)
     pred = jnp.asarray(pred)
@@ -202,6 +207,8 @@ def rnnt_loss_fused(enc, pred, joiner, targets, *,
     logit_lengths = jnp.asarray(logit_lengths, jnp.int32)
     target_lengths = jnp.asarray(target_lengths, jnp.int32)
 
+    if time_chunk is None:
+        time_chunk = max(4, 512 // B)
     c = max(1, min(int(time_chunk), T))
     n_pad = (-T) % c
     enc_p = jnp.pad(enc, ((0, 0), (0, n_pad), (0, 0)))
