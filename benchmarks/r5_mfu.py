@@ -25,8 +25,8 @@ Run on the chip (ONE process):
     env PYTHONPATH=/root/.axon_site:/root/repo \
         python benchmarks/r5_mfu.py [--smoke] [--only SECTION]
 
-Sections: knee, knee_fused, knee_bf16, scan_layers, flash_attn,
-hdemucs_ta.
+Sections: knee, knee_fused, knee_bf16, fused_chunk, rnnt_bf16,
+scan_layers, flash_attn, hdemucs_ta.
 Numbers land in docs/PERFORMANCE.md.
 """
 from __future__ import annotations
@@ -232,6 +232,45 @@ def bench_fused_chunk(rng, smoke):
             except Exception as e:
                 print(json.dumps(
                     {"metric": f"rnnt_fused-B{B}-chunk{chunk}",
+                     "error": str(e)[:160]}), flush=True)
+
+
+def bench_rnnt_bf16(rng, smoke):
+    """The two levers composed: fused RNNT loss (adaptive chunk) ×
+    bf16 compute (``utils.precision.mixed_precision``).  The joint
+    GEMMs and the encoder run bf16; ``rnnt_loss_fused`` upcasts at the
+    log-softmax so the lattice recursion stays f32.  Emits f32 vs bf16
+    fused step time + loss parity per batch size."""
+    from torchaudio_contrib_tpu.utils import mixed_precision
+    model, T, U, V = _conformer_rnnt(smoke)
+    p = model.init(jax.random.PRNGKey(0))
+    for B in ((1,) if smoke else (32, 64, 128)):
+        feats = jnp.asarray(rng.standard_normal((B, T, 80)),
+                            jnp.float32)
+        tgts = jnp.asarray(rng.integers(1, V, (B, U)), jnp.int32)
+
+        def loss_f32(pp, x, tgts=tgts):
+            return model.loss(pp, x, tgts, reduction="mean")
+
+        loss_bf16 = mixed_precision(loss_f32)
+        l32 = float(jax.jit(loss_f32)(p, feats))
+        l16 = float(jax.jit(loss_bf16)(p, feats))
+        rel = abs(l16 - l32) / max(abs(l32), 1e-9)
+
+        for name, fn in (("f32", loss_f32), ("bf16", loss_bf16)):
+            def step(pp, x, fn=fn):
+                g = jax.grad(fn)(pp, x)
+                return jax.tree_util.tree_leaves(g)[0]
+
+            try:
+                fl, nb = _cost(step, p, feats)
+                sec = time_device_loop_p(step, p, feats, k=8)
+                emit(f"rnnt_fused-{name}-fwdbwd-B{B}", sec, fl, nb,
+                     extra={"loss_rel_err": round(rel, 5)}
+                     if name == "bf16" else None)
+            except Exception as e:
+                print(json.dumps(
+                    {"metric": f"rnnt_fused-{name}-fwdbwd-B{B}",
                      "error": str(e)[:160]}), flush=True)
 
 
@@ -481,6 +520,7 @@ _SECTIONS = {"knee": bench_knee,
              "knee_fused": bench_knee_fused,
              "knee_bf16": bench_knee_bf16,
              "fused_chunk": bench_fused_chunk,
+             "rnnt_bf16": bench_rnnt_bf16,
              "scan_layers": bench_scan_layers,
              "flash_attn": bench_flash_attn,
              "hdemucs_ta": bench_hdemucs_ta}

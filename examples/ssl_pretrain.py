@@ -10,7 +10,13 @@ duck-typed over any encoder exposing the SSL hooks.
 The synthetic objective is genuinely learnable: masked-frame CE drops
 well below ln(num_classes) within ~60 steps on CPU.
 
+`--bf16` runs the step through `utils.mixed_precision`: f32 master
+params, bf16 compute, f32 grads — the production TPU pattern (1.23×
+at the batch knee, docs/PERFORMANCE.md round 5); the training curve
+is indistinguishable from f32 on this objective.
+
 Run: python examples/ssl_pretrain.py [--steps N] [--encoder wavlm|w2v2]
+     [--bf16]
 """
 import argparse
 import os
@@ -51,6 +57,9 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--encoder", choices=("wavlm", "w2v2"),
                     default="wavlm")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 compute (f32 master params/grads) via "
+                         "utils.mixed_precision")
     args = ap.parse_args()
 
     num_classes = 4
@@ -69,10 +78,17 @@ def main():
     data_sharding = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec("data"))
 
+    def loss_fn(pp, key, x, labels):
+        return model.loss(pp, key, x, labels)
+
+    if args.bf16:
+        # f32 master params in, bf16 compute inside, f32 grads out
+        loss_fn = tac.utils.mixed_precision(loss_fn)
+
     @jax.jit
     def step(p, key, x, labels):
         loss, g = jax.value_and_grad(
-            lambda pp: model.loss(pp, key, x, labels))(p)
+            lambda pp: loss_fn(pp, key, x, labels))(p)
         new_p = jax.tree_util.tree_map(lambda w, gr: w - 0.1 * gr, p, g)
         return loss, new_p
 

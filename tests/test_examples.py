@@ -53,6 +53,14 @@ def test_pp_train_example():
     assert "stack stayed stage-sharded" in stdout
 
 
+@pytest.mark.parametrize("extra", [[], ["--bf16"]])
+def test_ssl_pretrain_example(extra):
+    stdout = _run(["ssl_pretrain.py", "--steps", "30",
+                   "--batch", "8"] + extra)
+    assert "masked-CE+pen" in stdout
+    assert "done in" in stdout
+
+
 def test_vocoder_example(tmp_path):
     stdout = _run(["vocoder_roundtrip.py"])
     assert "mel spectral convergence" in stdout

@@ -58,6 +58,32 @@ def test_fused_adaptive_chunk_default(rng, B):
                                atol=1e-5)
 
 
+def test_fused_bf16_compute_f32_lattice(rng):
+    # under utils.precision.mixed_precision the joint GEMMs run bf16
+    # but the lattice recursion upcasts to f32 at the log-softmax:
+    # loss must stay close to the f32 loss, grads exit f32
+    from torchaudio_contrib_tpu.utils import mixed_precision
+    enc, pred, joiner, targets = _setup(rng, B=4, T=40, U=6)
+
+    def loss(jj, e, pr, tgt=targets):
+        return rnnt_loss_fused(e, pr, jj, tgt, blank=-1,
+                               reduction="mean")
+
+    l32 = float(loss(joiner, enc, pred))
+    mp = mixed_precision(loss)
+    l16 = float(mp(joiner, enc, pred))
+    assert abs(l16 - l32) / max(abs(l32), 1e-9) < 2e-2
+    g = jax.grad(mp)(joiner, enc, pred)
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(g))
+    # unfused path upcasts bf16 logits the same way
+    logits = jnp.asarray(
+        rng.standard_normal((4, 40, 7, 7)), jnp.bfloat16)
+    tg = jnp.asarray(rng.integers(0, 6, (4, 6)), jnp.int32)
+    out = rnnt_loss(logits, tg, blank=-1, reduction="none")
+    assert out.dtype == jnp.float32
+
+
 def test_fused_matches_baseline_grads(rng):
     enc, pred, joiner, targets = _setup(rng)
     ll = jnp.asarray([11, 9, 6])

@@ -140,6 +140,12 @@ def rnnt_loss(logits, targets, logit_lengths=None, target_lengths=None,
 
     if clamp is not None and clamp > 0:
         logits = _clamp_grad(logits, jnp.asarray(clamp, logits.dtype))
+    # the lattice recursion needs f32 (bf16's 8-bit mantissa drifts
+    # over T accumulation steps) — upcast sub-f32 inputs here so the
+    # loss is mixed-precision-safe like rnnt_loss_fused
+    if jnp.issubdtype(logits.dtype, jnp.floating) and \
+            jnp.finfo(logits.dtype).bits < 32:
+        logits = logits.astype(jnp.float32)
     lp = jax.nn.log_softmax(logits, -1) if fused_log_softmax else logits
 
     losses = jax.vmap(
@@ -221,7 +227,12 @@ def rnnt_loss_fused(enc, pred, joiner, targets, *,
         if clamp is not None and clamp > 0:
             logits = _clamp_grad(logits, jnp.asarray(clamp,
                                                      logits.dtype))
-        lp = jax.nn.log_softmax(logits, -1)
+        # the GEMMs above follow the input dtype (bf16 under
+        # utils.precision.mixed_precision — the MXU/bandwidth win),
+        # but the log-semiring lattice cannot run at bf16's 8-bit
+        # mantissa: upcast at the log-softmax so the recursion below
+        # is always f32 (grads flow back bf16 through the cast)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         blank_lp = lp[..., blank_idx]
         if u1 > 1:
             emit_lp = jnp.take_along_axis(
