@@ -26,7 +26,7 @@ Run on the chip (ONE process):
         python benchmarks/r5_mfu.py [--smoke] [--only SECTION]
 
 Sections: knee, knee_fused, knee_bf16, fused_chunk, rnnt_bf16,
-scan_layers, flash_attn, hdemucs_ta.
+bf16_chunk, scan_layers, flash_attn, hdemucs_ta.
 Numbers land in docs/PERFORMANCE.md.
 """
 from __future__ import annotations
@@ -232,6 +232,44 @@ def bench_fused_chunk(rng, smoke):
             except Exception as e:
                 print(json.dumps(
                     {"metric": f"rnnt_fused-B{B}-chunk{chunk}",
+                     "error": str(e)[:160]}), flush=True)
+
+
+def bench_bf16_chunk(rng, smoke):
+    """Chunk law under bf16.  The f32 sweep pinned the best
+    ``time_chunk`` at ``512 // B`` — a constant per-chunk joint block.
+    bf16 halves the block's bytes, so if the law is *byte*-driven the
+    bf16 optimum should sit near ``1024 // B``; if it is
+    element-count-driven it stays at ``512 // B``.  Probed at B=64
+    (where bf16 at the f32 chunk moved nothing — serialization
+    suspected) and B=128, chunks {0.5×, 1×, 2×, 4×} the f32 law."""
+    from torchaudio_contrib_tpu.utils import mixed_precision
+    model, T, U, V = _conformer_rnnt(smoke)
+    p = model.init(jax.random.PRNGKey(0))
+    grid = ({1: (4,)} if smoke else
+            {64: (4, 8, 16, 32), 128: (2, 4, 8, 16)})
+    for B, chunks in grid.items():
+        feats = jnp.asarray(rng.standard_normal((B, T, 80)),
+                            jnp.float32)
+        tgts = jnp.asarray(rng.integers(1, V, (B, U)), jnp.int32)
+        for chunk in chunks:
+            def loss(pp, x, tgts=tgts, chunk=chunk):
+                return model.loss(pp, x, tgts, time_chunk=chunk,
+                                  reduction="mean")
+
+            mp = mixed_precision(loss)
+
+            def step(pp, x, mp=mp):
+                g = jax.grad(mp)(pp, x)
+                return jax.tree_util.tree_leaves(g)[0]
+
+            try:
+                fl, nb = _cost(step, p, feats)
+                sec = time_device_loop_p(step, p, feats, k=8)
+                emit(f"rnnt_fused_bf16-B{B}-chunk{chunk}", sec, fl, nb)
+            except Exception as e:
+                print(json.dumps(
+                    {"metric": f"rnnt_fused_bf16-B{B}-chunk{chunk}",
                      "error": str(e)[:160]}), flush=True)
 
 
@@ -521,6 +559,7 @@ _SECTIONS = {"knee": bench_knee,
              "knee_bf16": bench_knee_bf16,
              "fused_chunk": bench_fused_chunk,
              "rnnt_bf16": bench_rnnt_bf16,
+             "bf16_chunk": bench_bf16_chunk,
              "scan_layers": bench_scan_layers,
              "flash_attn": bench_flash_attn,
              "hdemucs_ta": bench_hdemucs_ta}
